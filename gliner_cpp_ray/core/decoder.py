@@ -1,0 +1,195 @@
+"""Span / token decoding + greedy non-overlap selection.
+
+Transcribes the reference decoder semantics exactly
+(/root/reference/src/decoder.cpp), vectorizing candidate generation with
+NumPy while preserving the reference's *flat-scan* candidate order —
+``np.argwhere`` over a C-contiguous ``[words, width, entities]`` array
+yields row-major order, identical to the reference's linear walk over the
+flat logit vector (decoder.cpp:96-101).  The order matters: the greedy
+pass is sequential and order-sensitive (decoder.cpp:31-61), NOT a
+probability-sorted textbook greedy.
+
+Offsets are UTF-8 **byte** offsets; span text is a byte slice of the
+encoded text (C++ ``substr`` on a std::string, decoder.cpp:112).  Word
+tokens always start/end on codepoint boundaries, so the slice is always
+valid UTF-8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gliner_cpp_ray.core.processor import EncodedBatch
+
+
+@dataclass
+class Span:
+    """Output entity mention (reference ``gliner::Span``,
+    /root/reference/include/GLiNER/gliner_structs.hpp:64-70)."""
+
+    start: int  # byte offset, inclusive
+    end: int  # byte offset, exclusive
+    text: str
+    label: str
+    prob: float
+
+
+def sigmoid(x):
+    """decoder.cpp:7-9 (vectorized)."""
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+# --- overlap predicates (decoder.cpp:11-29) ------------------------------
+
+def _is_nested(s1: Span, s2: Span) -> bool:
+    return (s1.start <= s2.start and s2.end <= s1.end) or (
+        s2.start <= s1.start and s1.end <= s2.end
+    )
+
+
+def _has_overlapping(s1: Span, s2: Span, multi_label: bool) -> bool:
+    if s1.start == s2.start and s1.end == s2.end:
+        return not multi_label
+    if s1.start > s2.end or s2.start > s1.end:
+        return False
+    return True
+
+
+def _has_overlapping_nested(s1: Span, s2: Span, multi_label: bool) -> bool:
+    return _has_overlapping(s1, s2, multi_label) or _is_nested(s1, s2)
+
+
+def greedy_search(
+    spans: list[Span], flat_ner: bool = True, multi_label: bool = False
+) -> list[Span]:
+    """Sequential left-to-right pass over generation-ordered spans
+    (decoder.cpp:31-61).  On conflict the higher-prob span survives as the
+    running candidate; on no-conflict the running candidate is emitted."""
+    if not spans:
+        return []
+    has_ov = _has_overlapping if flat_ner else _has_overlapping_nested
+    out: list[Span] = []
+    prev = 0
+    for nxt in range(1, len(spans)):
+        if not has_ov(spans[prev], spans[nxt], multi_label):
+            out.append(spans[prev])
+            prev = nxt
+        elif spans[prev].prob < spans[nxt].prob:
+            prev = nxt
+    out.append(spans[prev])
+    return out
+
+
+def decode_span_batch(
+    batch: EncodedBatch,
+    texts: list[str],
+    entities: list[str],
+    logits: np.ndarray,
+    flat_ner: bool = True,
+    threshold: float = 0.5,
+    multi_label: bool = False,
+) -> list[list[Span]]:
+    """SpanDecoder::decode (decoder.cpp:76-121).
+
+    Flat logits have implicit row-major layout
+    ``[batch, start_word, width, entity]``; a candidate survives iff
+    ``sigmoid(logit) >= threshold`` and both its start and end word index
+    are within the document's real token count (padding rows are thereby
+    dropped, decoder.cpp:104-107).
+    """
+    B = batch.batch_size
+    W = batch.num_words
+    K = batch.width()  # = max_width for span batches
+    E = len(entities)
+    if B == 0 or W == 0 or E == 0:
+        return [[] for _ in range(B)]
+    probs = sigmoid(np.asarray(logits, dtype=np.float32).reshape(B, W, K, E))
+    over = probs >= threshold
+
+    ends_grid = np.arange(W, dtype=np.int64)[:, None] + np.arange(K, dtype=np.int64)[None, :]
+
+    results: list[list[Span]] = []
+    for b in range(B):
+        ntok = len(batch.token_texts[b])
+        valid = ends_grid < ntok  # end < ntok ⇒ start < ntok (width ≥ 0)
+        cand = np.argwhere(over[b] & valid[:, :, None])  # row-major = flat order
+        spans: list[Span] = []
+        if cand.size:
+            tstarts = batch.token_starts[b]
+            tends = batch.token_ends[b]
+            tb = texts[b].encode("utf-8")
+            pb = probs[b]
+            for s, w, e in cand:
+                si = int(tstarts[s])
+                ei = int(tends[s + w])
+                spans.append(
+                    Span(si, ei, tb[si:ei].decode("utf-8"), entities[e], float(pb[s, w, e]))
+                )
+        results.append(greedy_search(spans, flat_ner, multi_label))
+    return results
+
+
+def decode_token_batch(
+    batch: EncodedBatch,
+    texts: list[str],
+    entities: list[str],
+    logits: np.ndarray,
+    flat_ner: bool = True,
+    threshold: float = 0.5,
+    multi_label: bool = False,
+) -> list[list[Span]]:
+    """TokenDecoder::decode (decoder.cpp:123-181).
+
+    Logits are three stacked row-major blocks of shape
+    ``[batch, word, entity]``: start-, end-, inside-scores.  For each
+    over-threshold start, end positions scan forward with the reference's
+    exact continue/break asymmetry (decoder.cpp:160-165): an
+    under-threshold END score skips the position (``continue``) *without*
+    consulting the inside score; an under-threshold INSIDE score ends the
+    scan (``break``).  Emitted prob = running mean of the inside scores of
+    positions emitted so far.
+
+    Divergence guard: the reference indexes ``tokens[b][...]`` without a
+    bounds check in this path (C++ UB on padded positions; real models
+    score padding under threshold).  We additionally skip out-of-range
+    start positions and stop the scan at the document's token count —
+    identical output for any model that scores padding below threshold.
+    """
+    B = batch.batch_size
+    W = batch.num_words
+    E = len(entities)
+    if B == 0 or W == 0 or E == 0:
+        return [[] for _ in range(B)]
+    probs = sigmoid(np.asarray(logits, dtype=np.float32).reshape(3, B, W, E))
+    start_p, end_p, inside_p = probs[0], probs[1], probs[2]
+
+    results: list[list[Span]] = [[] for _ in range(B)]
+    cand = np.argwhere(start_p >= threshold)  # (b, s, e) row-major = start_id order
+    for b, s, e in cand:
+        ntok = len(batch.token_texts[b])
+        if s >= ntok:
+            continue  # guard (see docstring)
+        tstarts = batch.token_starts[b]
+        tends = batch.token_ends[b]
+        tb = texts[b].encode("utf-8")
+        label = entities[e]
+        score_sum = 0.0
+        n = 0
+        si = int(tstarts[s])
+        spans_b = results[b]
+        stop = min(W, ntok)  # reference scans to W; guard caps at ntok
+        for t in range(s, stop):
+            if end_p[b, t, e] < threshold:
+                continue
+            ins = float(inside_p[b, t, e])
+            if ins < threshold:
+                break
+            score_sum += ins
+            n += 1
+            ei = int(tends[t])
+            spans_b.append(
+                Span(si, ei, tb[si:ei].decode("utf-8"), label, score_sum / n)
+            )
+    return [greedy_search(sp, flat_ner, multi_label) for sp in results]

@@ -1,0 +1,191 @@
+"""Scoring models + the GLiNER inference facade.
+
+``GlinerModel`` mirrors the reference orchestration
+(/root/reference/src/model.cpp:101-124): guard empty inputs → prepare
+batch → score → decode, with Model-level defaults ``flat_ner=True,
+threshold=0.5, multi_label=False`` (model.cpp:101-102 — these override
+the decoder's own ``flatNer=false`` default, and win in every reference
+example/test).
+
+Scoring backends:
+
+* ``OnnxScoringModel`` — the real ONNX bi-encoder, gated behind an
+  import-try on ``onnxruntime`` (absent in this sandbox).  Feeds the
+  exact named tensors of the reference session — span mode:
+  ``input_ids, attention_mask, words_mask, text_lengths, span_idx,
+  span_mask``; token mode: first four — and reads ``logits``
+  (model.cpp:59-66).  Same ONNX file ⇒ identical logits ⇒ parity.
+* ``GazetteerScoringModel`` — deterministic stand-in with the same I/O
+  contract: emits ``hit_logit`` for spans whose word sequence matches a
+  (label → surfaces) gazetteer, ``miss_logit`` elsewhere.  Makes the
+  full processor→decoder path testable and benchmarkable without model
+  weights; everything around it is the real pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Iterable, Mapping, Protocol
+
+import numpy as np
+
+from gliner_cpp_ray.config import SPAN_LEVEL, TOKEN_LEVEL, GlinerConfig
+from gliner_cpp_ray.core.decoder import Span, decode_span_batch, decode_token_batch
+from gliner_cpp_ray.core.processor import EncodedBatch, GlinerProcessor
+from gliner_cpp_ray.core.splitter import WordSplitter
+from gliner_cpp_ray.core.subword import HashSubwordTokenizer, SubwordTokenizer
+
+
+class ScoringModel(Protocol):
+    def run(
+        self, batch: EncodedBatch, texts: list[str], entities: list[str]
+    ) -> np.ndarray:
+        """Flat float32 logits (reference Model::run, model.cpp:87-99)."""
+        ...
+
+
+def _logit(p: float) -> float:
+    return math.log(p / (1.0 - p))
+
+
+class GazetteerScoringModel:
+    """Deterministic fake scorer keyed on word-token sequences.
+
+    ``gazetteer`` maps label → iterable of surface strings, or label →
+    {surface: probability}.  Surfaces are word-split with the reference
+    splitter at construction; a span (start word i, width L) scores a hit
+    iff its token texts equal a surface's token sequence for that label.
+    """
+
+    def __init__(
+        self,
+        gazetteer: Mapping[str, Iterable[str] | Mapping[str, float]],
+        hit_prob: float = 0.9,
+        miss_logit: float = -8.0,
+    ):
+        splitter = WordSplitter()
+        self.miss_logit = miss_logit
+        default_logit = _logit(hit_prob)
+        # first word -> [(token_tuple, label, logit)]
+        self._index: dict[str, list[tuple[tuple[str, ...], str, float]]] = {}
+        for label, surfaces in gazetteer.items():
+            items = (
+                surfaces.items()
+                if isinstance(surfaces, Mapping)
+                else ((s, None) for s in surfaces)
+            )
+            for surface, p in items:
+                _, _, words = splitter(surface)
+                if not words:
+                    continue
+                lg = default_logit if p is None else _logit(p)
+                self._index.setdefault(words[0], []).append((tuple(words), label, lg))
+
+    def run(
+        self, batch: EncodedBatch, texts: list[str], entities: list[str]
+    ) -> np.ndarray:
+        B, W, E = batch.batch_size, batch.num_words, len(entities)
+        ent_pos = {lbl: i for i, lbl in enumerate(entities)}
+        index = self._index
+        if batch.model_type == SPAN_LEVEL:
+            K = batch.max_width
+            logits = np.full((B, W, K, E), self.miss_logit, dtype=np.float32)
+            for b in range(B):
+                words = batch.token_texts[b]
+                for i, w in enumerate(words):
+                    hits = index.get(w)
+                    if not hits:
+                        continue
+                    for tup, label, lg in hits:
+                        L = len(tup)
+                        e = ent_pos.get(label)
+                        if e is None or L > K or i + L > len(words):
+                            continue
+                        if tuple(words[i : i + L]) == tup:
+                            logits[b, i, L - 1, e] = lg
+            return logits.ravel()
+        # token mode: 3 stacked [B, W, E] blocks (start, end, inside)
+        logits = np.full((3, B, W, E), self.miss_logit, dtype=np.float32)
+        for b in range(B):
+            words = batch.token_texts[b]
+            for i, w in enumerate(words):
+                hits = index.get(w)
+                if not hits:
+                    continue
+                for tup, label, lg in hits:
+                    L = len(tup)
+                    e = ent_pos.get(label)
+                    if e is None or i + L > len(words):
+                        continue
+                    if tuple(words[i : i + L]) == tup:
+                        logits[0, b, i, e] = lg
+                        logits[1, b, i + L - 1, e] = lg
+                        logits[2, b, i : i + L, e] = lg
+        return logits.ravel()
+
+
+class OnnxScoringModel:
+    """Real ONNX Runtime session (requires the ``onnxruntime`` wheel)."""
+
+    def __init__(self, model_path: str, model_type: str = SPAN_LEVEL, providers=None):
+        try:
+            import onnxruntime as ort  # type: ignore
+        except ImportError as exc:  # pragma: no cover - wheel absent in sandbox
+            raise ImportError(
+                "onnxruntime is not installed; use GazetteerScoringModel "
+                "or install onnxruntime for numeric parity"
+            ) from exc
+        self.model_type = model_type
+        self._sess = ort.InferenceSession(
+            model_path, providers=providers or ["CPUExecutionProvider"]
+        )
+
+    def run(
+        self, batch: EncodedBatch, texts: list[str], entities: list[str]
+    ) -> np.ndarray:  # pragma: no cover - needs wheel
+        feeds = {
+            "input_ids": batch.input_ids,
+            "attention_mask": batch.attention_mask,
+            "words_mask": batch.words_mask,
+            "text_lengths": batch.text_lengths,
+        }
+        if batch.model_type == SPAN_LEVEL:
+            feeds["span_idx"] = batch.span_idx
+            feeds["span_mask"] = batch.span_mask
+        (out,) = self._sess.run(["logits"], feeds)
+        return np.asarray(out, dtype=np.float32).ravel()
+
+
+class GlinerModel:
+    """Reference ``gliner::Model`` analog: processor + scorer + decoder."""
+
+    def __init__(
+        self,
+        scoring: ScoringModel,
+        config: GlinerConfig | None = None,
+        subword: SubwordTokenizer | None = None,
+    ):
+        self.config = config or GlinerConfig()
+        self.processor = GlinerProcessor(self.config, subword or HashSubwordTokenizer())
+        self.scoring = scoring
+
+    def inference(
+        self,
+        texts: list[str],
+        entities: list[str],
+        flat_ner: bool = True,
+        threshold: float = 0.5,
+        multi_label: bool = False,
+    ) -> list[list[Span]]:
+        if not texts or not entities:  # model.cpp:104-107
+            warnings.warn("Empty texts or entities.", stacklevel=2)
+            return []
+        batch = self.processor.prepare_batch(texts, entities)
+        logits = self.scoring.run(batch, texts, entities)
+        decode = (
+            decode_span_batch
+            if self.config.model_type == SPAN_LEVEL
+            else decode_token_batch
+        )
+        return decode(batch, texts, entities, logits, flat_ner, threshold, multi_label)

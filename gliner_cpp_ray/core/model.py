@@ -66,7 +66,6 @@ class GazetteerScoringModel:
     ):
         splitter = WordSplitter()
         self.miss_logit = miss_logit
-        default_logit = _logit(hit_prob)
         # first word -> [(token_tuple, label, logit)]
         self._index: dict[str, list[tuple[tuple[str, ...], str, float]]] = {}
         for label, surfaces in gazetteer.items():
@@ -79,8 +78,16 @@ class GazetteerScoringModel:
                 _, _, words = splitter(surface)
                 if not words:
                     continue
-                lg = default_logit if p is None else _logit(p)
-                self._index.setdefault(words[0], []).append((tuple(words), label, lg))
+                # Longer surfaces score marginally higher, mimicking real
+                # models' preference for the fullest span; without this, a
+                # prefix alias ("Acme") would tie its superstring ("Acme
+                # Corp") and the sequential greedy keeps the earlier,
+                # shorter candidate.
+                if p is None:
+                    p = min(0.98, hit_prob + 0.01 * (len(words) - 1))
+                self._index.setdefault(words[0], []).append(
+                    (tuple(words), label, _logit(p))
+                )
 
     def run(
         self, batch: EncodedBatch, texts: list[str], entities: list[str]

@@ -1,0 +1,239 @@
+"""End-to-end KG construction pipeline (north_rule), checkpointed.
+
+    pages ──read_parquet(cols pruned, lang pushdown)──▶ docs (html→text)
+      ──byte-cap rebatch──▶ NER actor pool ──▶ mentions  [checkpoint, sharded]
+    mentions ──relations──▶ triples ──linker actors──▶ linked  [checkpoint]
+    mentions ──pair collect──groupby distinct──▶ union-find ──▶ canon map
+    linked ──canon rewrite──groupby(s,p,o)──▶ edges ──sort(subj)──▶ parquet
+    mentions ──canonize──groupby(canon_id)──▶ nodes ──▶ parquet
+
+Each stage streams; nothing materializes the full corpus on the driver
+(the only ``take_all`` is the reduced surface-pair table, bounded by the
+surface vocabulary).  Stage outputs are partitioned Parquet with
+manifests + ``_SUCCESS`` (state/checkpoint.py); the expensive NER stage
+is additionally sharded over input-file groups so a failed run resumes
+mid-stage.  Shuffles: pair-distinct, edge key, node key, subject sort.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import pyarrow.dataset as pads
+
+from gliner_cpp_ray.sources import world
+from gliner_cpp_ray.stages.canonicalize import (
+    MentionCanonizer,
+    SurfacePairCollector,
+    TripleEndpointCanonizer,
+    build_canon_map,
+    reduce_edge_group,
+    reduce_node_group,
+    rewrite_triples_to_canon,
+)
+from gliner_cpp_ray.stages.html_to_text import html_to_docs
+from gliner_cpp_ray.stages.linking import EntityLinker
+from gliner_cpp_ray.stages.ner import GlinerNERStage
+from gliner_cpp_ray.stages.relations import extract_relations
+from gliner_cpp_ray.stages.repartition import make_byte_capped_rebatcher
+from gliner_cpp_ray.state import checkpoint
+
+
+@dataclass
+class KGPipelineConfig:
+    lang_allow: tuple[str, ...] = ("en",)
+    ner_kwargs: dict = field(default_factory=dict)
+    ner_batch_size: int = 128
+    ner_concurrency: tuple[int, int] = (1, 8)
+    ner_num_cpus: float = 1.0
+    link_concurrency: tuple[int, int] = (1, 4)
+    shards: int = 4  # input-file groups for resumable NER
+    max_block_bytes: int = 4 * 1024 * 1024
+
+    def fingerprint(self) -> dict:
+        return {
+            "lang_allow": list(self.lang_allow),
+            "ner_batch_size": self.ner_batch_size,
+            "shards": self.shards,
+        }
+
+
+def _pages_files(pages_path: str) -> list[str]:
+    if os.path.isfile(pages_path):
+        return [pages_path]
+    return sorted(
+        os.path.join(root, f)
+        for root, _, names in os.walk(pages_path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+
+def read_pages(paths, lang_allow=("en",), columns=("url", "html", "lang")):
+    """Column-pruned, predicate-pushdown read of the pages table."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        paths,
+        columns=list(columns),
+        filter=pads.field("lang").isin(list(lang_allow)),
+    )
+
+
+def build_mentions(pages_ds, cfg: KGPipelineConfig):
+    docs = pages_ds.map_batches(html_to_docs, batch_format="pyarrow")
+    docs = docs.map_batches(
+        make_byte_capped_rebatcher(cfg.max_block_bytes), batch_format="pyarrow"
+    )
+    return docs.map_batches(
+        GlinerNERStage,
+        fn_constructor_kwargs=cfg.ner_kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.ner_batch_size,
+        concurrency=cfg.ner_concurrency,
+        num_cpus=cfg.ner_num_cpus,
+    )
+
+
+def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None = None) -> dict:
+    """Run (or resume) the full pipeline; returns per-stage manifests."""
+    import ray.data as rd
+
+    cfg = cfg or KGPipelineConfig()
+    os.makedirs(out_root, exist_ok=True)
+    summary: dict = {}
+
+    # --- stage 1: mentions (sharded + resumable) ----------------------
+    files = _pages_files(pages_path)
+    n_shards = max(1, min(cfg.shards, len(files)))
+    groups = [files[i::n_shards] for i in range(n_shards)]
+    mentions_root = os.path.join(out_root, "mentions")
+    shard_manifests = []
+    for k, group in enumerate(groups):
+        shard_dir = os.path.join(mentions_root, f"shard-{k}")
+
+        def produce(path, group=group):
+            ds = read_pages(group, cfg.lang_allow)
+            build_mentions(ds, cfg).write_parquet(path)
+            return {"input_files": group}
+
+        shard_manifests.append(
+            checkpoint.run_stage(
+                shard_dir, {"stage": "mentions", "config": cfg.fingerprint()}, produce
+            )
+        )
+    summary["mentions"] = {
+        "shards": len(shard_manifests),
+        "rows": sum(m["total_rows"] for m in shard_manifests),
+        "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
+    }
+
+    def read_stage(name):
+        return rd.read_parquet(os.path.join(out_root, name), file_extensions=["parquet"])
+
+    # --- stage 2: triples + linking -----------------------------------
+    linked_dir = os.path.join(out_root, "linked")
+
+    def produce_linked(path):
+        mentions = read_stage("mentions")
+        triples = mentions.map_batches(extract_relations, batch_format="pyarrow")
+        linked = triples.map_batches(
+            EntityLinker,
+            batch_format="pyarrow",
+            concurrency=cfg.link_concurrency,
+        )
+        linked.write_parquet(path)
+        return {"input": "mentions"}
+
+    summary["linked"] = checkpoint.run_stage(
+        linked_dir, {"stage": "linked", "config": cfg.fingerprint()}, produce_linked
+    )
+
+    # --- stage 3: canonicalization map --------------------------------
+    canon_dir = os.path.join(out_root, "canon")
+    canon_pkl = os.path.join(canon_dir, "canon_map.pkl")
+
+    def produce_canon(path):
+        mentions = read_stage("mentions")
+        pairs = mentions.map_batches(
+            SurfacePairCollector, batch_format="pyarrow", concurrency=(1, 2)
+        )
+        distinct = pairs.groupby(["norm_surface", "label", "qid"]).count()
+        small = distinct.to_pandas()  # bounded by surface vocabulary
+        import pyarrow as pa
+
+        pairs_tbl = pa.table(
+            {
+                "norm_surface": pa.array(small["norm_surface"], pa.string()),
+                "label": pa.array(small["label"], pa.string()),
+                "qid": pa.array(small["qid"], pa.string()),
+            }
+        )
+        canon_map = build_canon_map(pairs_tbl)
+        import pyarrow.parquet as pq
+
+        pq.write_table(pairs_tbl, os.path.join(path, "pairs.parquet"))
+        with open(canon_pkl, "wb") as f:
+            pickle.dump(canon_map, f)
+        return {"n_pairs": len(small), "n_canon": len(set(canon_map["qid"].values()))}
+
+    summary["canon"] = checkpoint.run_stage(
+        canon_dir, {"stage": "canon", "config": cfg.fingerprint()}, produce_canon
+    )
+    with open(canon_pkl, "rb") as f:
+        canon_map = pickle.load(f)
+
+    # --- stage 4: edges (canon rewrite -> dedup count -> sort) --------
+    edges_dir = os.path.join(out_root, "edges")
+
+    def produce_edges(path):
+        linked = read_stage("linked")
+        partial = linked.map_batches(
+            rewrite_triples_to_canon,
+            fn_kwargs={"canon_map": canon_map},
+            batch_format="pyarrow",
+        )
+        edges = (
+            partial.groupby(["subj_canon", "pred", "obj_canon"])
+            .map_groups(reduce_edge_group, batch_format="pandas")
+            .sort("subj_canon")
+        )
+        edges.write_parquet(path)
+        return {"input": "linked"}
+
+    summary["edges"] = checkpoint.run_stage(
+        edges_dir, {"stage": "edges", "config": cfg.fingerprint()}, produce_edges
+    )
+
+    # --- stage 5: nodes ----------------------------------------------
+    nodes_dir = os.path.join(out_root, "nodes")
+
+    def produce_nodes(path):
+        mentions = read_stage("mentions")
+        partial = mentions.map_batches(
+            MentionCanonizer,
+            fn_constructor_kwargs={"canon_map": canon_map},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        endpoint_partial = read_stage("linked").map_batches(
+            TripleEndpointCanonizer,
+            fn_constructor_kwargs={"canon_map": canon_map},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        nodes = (
+            partial.union(endpoint_partial)
+            .groupby("canon_id")
+            .map_groups(reduce_node_group, batch_format="pandas")
+            .sort("canon_id")
+        )
+        nodes.write_parquet(path)
+        return {"input": "mentions"}
+
+    summary["nodes"] = checkpoint.run_stage(
+        nodes_dir, {"stage": "nodes", "config": cfg.fingerprint()}, produce_nodes
+    )
+    return summary

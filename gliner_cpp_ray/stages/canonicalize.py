@@ -1,0 +1,255 @@
+"""Canonicalization (B9/B10) + graph materialization (B11-B13).
+
+Stages:
+1. ``SurfacePairCollector`` — Ray-side pre-aggregation: per batch,
+   emit the DISTINCT ``(norm_surface, label, qid)`` link pairs (qid
+   empty when the surface is NIL or ambiguous).  A tiny
+   ``groupby``-distinct then reduces them globally; the reduced list is
+   bounded by the surface vocabulary, not the corpus.
+2. ``build_canon_map`` — driver-side union-find over the reduced pairs
+   (gliner_cpp_ray.state.union_find): nodes are surfaces and qids,
+   edges are unambiguous surface→qid links; each component gets a
+   deterministic ``canon_id`` (the alias-dict canonical name of its
+   minimal qid, else the minimal member surface).
+3. ``edges_from_linked`` / ``nodes_from_mentions`` — rewrite to canon
+   ids via the broadcast map, pre-aggregate per batch, then one
+   ``groupby`` each; edges are sorted by subject before the sink (B13).
+
+Shuffle keys (SURVEY.md §4): the pair-distinct key, the canon node key,
+the (subj, pred, obj) triple key, and the final subject sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gliner_cpp_ray.sources import world
+from gliner_cpp_ray.stages.linking import EntityLinker
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("subj_canon", pa.string()),
+        ("pred", pa.string()),
+        ("obj_canon", pa.string()),
+        ("weight", pa.int64()),
+        ("provenance", pa.list_(pa.string())),
+    ]
+)
+
+NODES_SCHEMA = pa.schema(
+    [
+        ("canon_id", pa.string()),
+        ("surface", pa.string()),
+        ("label", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("mention_count", pa.int64()),
+    ]
+)
+
+_PROVENANCE_CAP = 8
+_ALIAS_CAP = 16
+
+
+class SurfacePairCollector:
+    """mentions batch -> distinct (norm_surface, label, qid) rows."""
+
+    def __init__(self, alias_rows: list[dict] | None = None):
+        self.linker = EntityLinker(alias_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        out_s, out_l, out_q = [], [], []
+        for surface, label in zip(
+            batch.column("text").to_pylist(), batch.column("label").to_pylist()
+        ):
+            norm = world.normalize_surface(surface)
+            key = (norm, label)
+            if key in seen:
+                continue
+            seen.add(key)
+            cands = self.linker.candidates(surface, label)
+            out_s.append(norm)
+            out_l.append(label)
+            out_q.append(cands[0] if len(cands) == 1 else "")
+        return pa.table(
+            {
+                "norm_surface": pa.array(out_s, pa.string()),
+                "label": pa.array(out_l, pa.string()),
+                "qid": pa.array(out_q, pa.string()),
+            }
+        )
+
+
+def build_canon_map(pairs: pa.Table, alias_rows: list[dict] | None = None) -> dict:
+    """Union-find over reduced pairs -> {'surface': {(norm,label): canon},
+    'qid': {qid: canon}} with deterministic representatives."""
+    from gliner_cpp_ray.state.union_find import UnionFind
+
+    rows = alias_rows if alias_rows is not None else world.alias_rows()
+    qid_canon = {r["qid"]: r["canon"] for r in rows}
+
+    uf = UnionFind()
+    surfaces = pairs.column("norm_surface").to_pylist()
+    labels = pairs.column("label").to_pylist()
+    qids = pairs.column("qid").to_pylist()
+    for s, l, q in zip(surfaces, labels, qids):
+        node_s = ("s", s, l)
+        uf.find(node_s)
+        if q:
+            uf.union(node_s, ("q", q))
+    comp = uf.components()
+
+    # component root -> display name: alias canon of min qid member, else min surface
+    members: dict = {}
+    for node, root in comp.items():
+        members.setdefault(root, []).append(node)
+    display: dict = {}
+    for root, nodes in members.items():
+        comp_qids = sorted(n[1] for n in nodes if n[0] == "q")
+        if comp_qids:
+            display[root] = qid_canon.get(comp_qids[0], comp_qids[0])
+        else:
+            display[root] = min(n[1] for n in nodes if n[0] == "s")
+
+    surface_map = {}
+    qid_map = {}
+    for node, root in comp.items():
+        if node[0] == "s":
+            surface_map[(node[1], node[2])] = display[root]
+        else:
+            qid_map[node[1]] = display[root]
+    # every dictionary qid resolves even if unobserved in this corpus
+    for q, canon in qid_canon.items():
+        qid_map.setdefault(q, canon)
+    return {"surface": surface_map, "qid": qid_map}
+
+
+def canon_of(canon_map: dict, surface: str, label: str, qid: str) -> str:
+    if qid:
+        hit = canon_map["qid"].get(qid)
+        if hit is not None:
+            return hit
+    norm = world.normalize_surface(surface)
+    return canon_map["surface"].get((norm, label), norm)
+
+
+def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:
+    """linked triples -> (subj_canon, pred, obj_canon, doc_id) partials."""
+    subj = batch.column("subj").to_pylist()
+    obj = batch.column("obj").to_pylist()
+    sl = batch.column("subj_label").to_pylist()
+    ol = batch.column("obj_label").to_pylist()
+    sq = batch.column("subj_qid").to_pylist()
+    oq = batch.column("obj_qid").to_pylist()
+    return pa.table(
+        {
+            "subj_canon": pa.array(
+                [canon_of(canon_map, s, l, q) for s, l, q in zip(subj, sl, sq)],
+                pa.string(),
+            ),
+            "pred": batch.column("pred"),
+            "obj_canon": pa.array(
+                [canon_of(canon_map, o, l, q) for o, l, q in zip(obj, ol, oq)],
+                pa.string(),
+            ),
+            "doc_id": batch.column("doc_id"),
+        }
+    )
+
+
+def reduce_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per (subj_canon, pred, obj_canon) group: weight + provenance sample."""
+    prov = sorted(g["doc_id"].unique())[:_PROVENANCE_CAP]
+    return pd.DataFrame(
+        {
+            "subj_canon": [g["subj_canon"].iloc[0]],
+            "pred": [g["pred"].iloc[0]],
+            "obj_canon": [g["obj_canon"].iloc[0]],
+            "weight": np.array([len(g)], dtype=np.int64),
+            "provenance": [prov],
+        }
+    )
+
+
+class MentionCanonizer:
+    """mentions batch -> per-batch partial (canon_id, surface, label, count)."""
+
+    def __init__(self, canon_map: dict, alias_rows: list[dict] | None = None):
+        self.canon_map = canon_map
+        self.linker = EntityLinker(alias_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str, str], int] = {}
+        for surface, label in zip(
+            batch.column("text").to_pylist(), batch.column("label").to_pylist()
+        ):
+            cands = self.linker.candidates(surface, label)
+            qid = cands[0] if len(cands) == 1 else ""
+            canon = canon_of(self.canon_map, surface, label, qid)
+            key = (canon, surface, label)
+            agg[key] = agg.get(key, 0) + 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "canon_id": pa.array([k[0] for k in keys], pa.string()),
+                "surface": pa.array([k[1] for k in keys], pa.string()),
+                "label": pa.array([k[2] for k in keys], pa.string()),
+                "count": pa.array([agg[k] for k in keys], pa.int64()),
+            }
+        )
+
+
+class TripleEndpointCanonizer:
+    """linked triples -> node partials for AMBIGUOUS endpoint surfaces.
+
+    Mentions whose surface maps to several candidate entities cannot be
+    attributed by ``MentionCanonizer`` (no context) and fall into a NIL
+    surface cluster.  Triple endpoints, however, were context-resolved by
+    the linker — register their canon entities as nodes so every edge
+    endpoint has a node row (referential integrity), counting the triple
+    occurrences they appear in.
+    """
+
+    def __init__(self, canon_map: dict, alias_rows: list[dict] | None = None):
+        self.canon_map = canon_map
+        self.linker = EntityLinker(alias_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str, str], int] = {}
+        for side in ("subj", "obj"):
+            surfaces = batch.column(side).to_pylist()
+            labels = batch.column(side + "_label").to_pylist()
+            qids = batch.column(side + "_qid").to_pylist()
+            for surface, label, qid in zip(surfaces, labels, qids):
+                if not qid or len(self.linker.candidates(surface, label)) <= 1:
+                    continue
+                canon = canon_of(self.canon_map, surface, label, qid)
+                key = (canon, surface, label)
+                agg[key] = agg.get(key, 0) + 1
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "canon_id": pa.array([k[0] for k in keys], pa.string()),
+                "surface": pa.array([k[1] for k in keys], pa.string()),
+                "label": pa.array([k[2] for k in keys], pa.string()),
+                "count": pa.array([agg[k] for k in keys], pa.int64()),
+            }
+        )
+
+
+def reduce_node_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per canon_id: total mentions, modal label, distinct alias sample."""
+    by_label = g.groupby("label")["count"].sum()
+    label = by_label.sort_values(ascending=False).index[0]
+    aliases = sorted(g["surface"].unique())[:_ALIAS_CAP]
+    return pd.DataFrame(
+        {
+            "canon_id": [g["canon_id"].iloc[0]],
+            "surface": [g["canon_id"].iloc[0]],
+            "label": [label],
+            "aliases": [aliases],
+            "mention_count": np.array([int(g["count"].sum())], dtype=np.int64),
+        }
+    )

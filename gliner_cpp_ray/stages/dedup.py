@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (see /opt/skills/guides/ray_guide.md "Aggregation at scale"):
+
+* exact: vectorized content-hash column → ``groupby(hash)`` keep-first —
+  one shuffle on the hash key;
+* MinHash+LSH: per-batch vectorized signatures → explode to
+  ``(band_id, band_hash, doc_id)`` rows → ``groupby(band)`` emits
+  candidate pairs → signature-similarity verification → connected
+  components over the (small) verified pair list;
+* SimHash: 64-bit signatures, banded into 4×16-bit keys, Hamming-
+  verified within buckets;
+* the pairwise n-gram Jaccard verifier is shared by tests and callers.
+
+Candidate-pair lists are bounded by true near-duplicate density, not
+corpus size, so the final union-find is driver-side (state/union_find).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PRIME = np.uint64((1 << 61) - 1)
+
+
+def _stable_u64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles (uint64, deduplicated)."""
+    if len(text) < k:
+        return np.array([_stable_u64(text.encode())], dtype=np.uint64)
+    out = {_stable_u64(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    md5s = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(md5s, pa.string()))
+
+
+def keep_first_in_group(g: pd.DataFrame, order_col: str = "doc_id") -> pd.DataFrame:
+    return g.nsmallest(1, order_col)
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset -> deduplicated Dataset (keeps min-id row per content hash)."""
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").map_groups(
+        lambda g: keep_first_in_group(g, id_col), batch_format="pandas"
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+class MinHashSigner:
+    """Per-batch vectorized MinHash signatures + LSH band keys.
+
+    ``num_perm`` permutations ``(a*x + b) mod p``; ``bands`` bands of
+    ``num_perm // bands`` rows each.  Emits one row per (doc, band).
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        seed: int = 13,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _PRIME, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _PRIME, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = char_shingles(text, self.shingle_k)  # [S]
+        # (a*x + b) mod p over the outer product, min per permutation
+        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _PRIME
+        return prod.min(axis=1)  # [num_perm]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t)
+            sig_bytes = sig.tobytes()
+            for band in range(self.bands):
+                lo = band * self.rows_per_band
+                chunk = sig[lo : lo + self.rows_per_band]
+                out_id.append(i)
+                out_band.append(band)
+                out_key.append(_stable_u64(chunk.tobytes()))
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.uint64()),
+                "signature": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def bucket_candidate_pairs(g: pd.DataFrame, cap: int = 64) -> pd.DataFrame:
+    """Per (band_id, band_key) group: emit candidate doc pairs with their
+    signatures.  Buckets larger than ``cap`` docs are near-identical
+    floods (e.g. empty docs); pair them against the minimum id only,
+    keeping output linear."""
+    docs = g.drop_duplicates("doc_id").sort_values("doc_id")
+    n = len(docs)
+    if n < 2:
+        return pd.DataFrame(
+            {"a": [], "b": [], "sig_a": [], "sig_b": []}
+        ).astype({"a": "int64", "b": "int64"})
+    ids = docs["doc_id"].to_numpy()
+    sigs = docs["signature"].to_numpy()
+    pairs_a, pairs_b, sa, sb = [], [], [], []
+    if n > cap:
+        for j in range(1, n):
+            pairs_a.append(ids[0]); pairs_b.append(ids[j])
+            sa.append(sigs[0]); sb.append(sigs[j])
+    else:
+        for x in range(n):
+            for y in range(x + 1, n):
+                pairs_a.append(ids[x]); pairs_b.append(ids[y])
+                sa.append(sigs[x]); sb.append(sigs[y])
+    return pd.DataFrame({"a": pairs_a, "b": pairs_b, "sig_a": sa, "sig_b": sb})
+
+
+def verify_pairs(batch: pa.Table, threshold: float = 0.8, num_perm: int = 64) -> pa.Table:
+    """Estimated Jaccard = fraction of matching MinHash rows; keep pairs
+    over threshold."""
+    a = batch.column("a").to_pylist()
+    b = batch.column("b").to_pylist()
+    sa = batch.column("sig_a").to_pylist()
+    sb = batch.column("sig_b").to_pylist()
+    keep_a, keep_b, est = [], [], []
+    seen = set()
+    for x, y, bx, by in zip(a, b, sa, sb):
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        va = np.frombuffer(bx, dtype=np.uint64)
+        vb = np.frombuffer(by, dtype=np.uint64)
+        j = float((va == vb).mean())
+        if j >= threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            est.append(j)
+    return pa.table(
+        {
+            "a": pa.array(keep_a, pa.int64()),
+            "b": pa.array(keep_b, pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | None = None):
+    """Dataset(doc_id, text) -> pandas DataFrame (doc_id, cluster_id).
+
+    cluster_id = min doc_id of the near-duplicate component.  The
+    verified pair list (bounded by true dup density) is pulled to the
+    driver for union-find; everything before it streams.
+    """
+    from gliner_cpp_ray.state.union_find import UnionFind
+
+    signer_kwargs = signer_kwargs or {}
+    sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
+                          batch_format="pyarrow", concurrency=(1, 4))
+    cands = sigs.groupby(["band_id", "band_key"]).map_groups(
+        bucket_candidate_pairs, batch_format="pandas"
+    )
+    verified = cands.map_batches(
+        verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
+    )
+    pairs = verified.select_columns(["a", "b"]).to_pandas()
+    uf = UnionFind()
+    for x, y in pairs.itertuples(index=False):
+        uf.union(int(x), int(y))
+    comp = uf.components()
+    all_ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    return pd.DataFrame(
+        {
+            "doc_id": all_ids,
+            "cluster_id": [int(comp.get(int(i), int(i))) for i in all_ids],
+        }
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = _stable_u64(w.encode())
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for bit in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(bit)
+    return out
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = np.array(
+        [simhash64(t) for t in batch.column(text_col).to_pylist()], dtype=np.uint64
+    )
+    out = batch.append_column("simhash", pa.array(hs, pa.uint64()))
+    # 4 bands x 16 bits: near-dups (Hamming<=3) share at least one band
+    for band in range(4):
+        key = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        out = out.append_column(f"simhash_b{band}", pa.array(key, pa.uint64()))
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(int(a) ^ int(b)).count("1")

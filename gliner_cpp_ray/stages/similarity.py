@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: the (small) query matrix is
+  broadcast (``ray.put`` once / constructor arg), each batch computes a
+  vectorized ``batch × queries`` matmul and emits per-batch top-k
+  PARTIALS; a final tiny reduce merges them.  Scales linearly in corpus
+  size with no shuffle.
+* ``embedding_near_dup_pairs`` — exact all-pairs cosine over a broadcast
+  matrix (the scale path for the verify step of embedding near-dup);
+  fine while one side fits in worker memory.
+* ``LshBucketer`` — random-hyperplane LSH codes: the approximate scale
+  path; bucket by code, compare within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if arr.num_chunks == 1:
+        flat = arr.chunk(0)
+    else:
+        flat = arr.combine_chunks()
+    values = np.asarray(flat.values, dtype=np.float64)
+    return values.reshape(len(batch), -1)
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                 id_col: str = "vec_id", col: str = "embedding",
+                 exclude_self: bool = True):
+        self.q = _normalize(queries)  # [Q, D]
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, self.col))  # [N, D]
+        sims = m @ self.q.T  # [N, Q]
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k + (1 if self.exclude_self else 0), len(ids))
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            for j in top:
+                if self.exclude_self and ids[j] == self.query_ids[qi]:
+                    continue
+                out_q.append(self.query_ids[qi])
+                out_v.append(ids[j])
+                out_s.append(col[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def reduce_topk(partials: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Merge per-batch partials -> global top-k per query with
+    deterministic tie-break (score desc, vec_id asc) and 1-based rank."""
+    out = []
+    for qid, g in partials.groupby("query_id", sort=True):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "score", "rank"]
+    )
+    return res[["query_id", "rank", "vec_id"]]
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                     **stage_kwargs) -> pd.DataFrame:
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
+                               **stage_kwargs},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return reduce_topk(partial.to_pandas(), k)
+
+
+class NearDupScorer:
+    """Per-batch exact cosine vs a broadcast reference matrix; emits
+    pairs over threshold with a < b ordering."""
+
+    def __init__(self, ref_ids: np.ndarray, ref_matrix: np.ndarray,
+                 threshold: float = 0.95, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        self.ref_ids = np.asarray(ref_ids)
+        self.ref = _normalize(ref_matrix)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, self.col))
+        sims = m @ self.ref.T  # [N, R]
+        ii, jj = np.nonzero(sims > self.threshold)
+        a, b, s = [], [], []
+        for x, y in zip(ii, jj):
+            ia, ib = int(ids[x]), int(self.ref_ids[y])
+            if ia < ib:  # dedupe symmetric pairs + drop self
+                a.append(ia)
+                b.append(ib)
+                s.append(float(sims[x, y]))
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "cosine": pa.array(s, pa.float64()),
+            }
+        )
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: adds an int64 ``lsh_code`` column."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 23, col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, self.col)
+        codes = (m @ self.planes > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(codes.shape[1], dtype=np.uint64)
+        code = (codes * weights).sum(axis=1).astype(np.int64)
+        return batch.append_column("lsh_code", pa.array(code, pa.int64()))

@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are stateless vectorized ``map_batches`` transforms over a table
+with (id_col, text) columns — designed for the ``documents`` testdata
+table but schema-agnostic.  Counting operators emit INTEGER columns
+(counts, not ratios) so DuckDB oracles hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "for", "on", "with",
+}
+# minimal per-language stopword profiles for the n-gram/stopword language id
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "for", "with", "on", "a"},
+    "de": {"der", "die", "das", "und", "ist", "mit", "für", "auf", "den", "von"},
+    "es": {"el", "la", "los", "de", "y", "es", "en", "por", "con", "para"},
+    "fr": {"le", "la", "les", "de", "et", "est", "en", "pour", "que", "dans"},
+    "uk": {"і", "та", "що", "на", "не", "з", "до", "за", "як", "це"},
+}
+
+
+def token_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Whitespace token count (SQL-matchable definition):
+    ``len(split(trim(text), r"\\s+"))`` with empty text counting 0."""
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    n = pc.list_value_length(toks).cast(pa.int64())
+    empty = pc.equal(trimmed, "")
+    n = pc.if_else(empty, pa.scalar(0, pa.int64()), n)
+    return pa.table({id_col: batch.column(id_col), "n_tokens": n})
+
+
+def quality_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Quality-signal counts per document: characters, alpha chars,
+    digits, whitespace tokens, stopword tokens.  Quality ratios
+    (alpha/len, stop/tokens, mean token length) are derivable downstream;
+    integers keep oracle comparison exact."""
+    texts = batch.column(text_col).to_pylist()
+    n_chars = np.empty(len(texts), np.int64)
+    n_alpha = np.empty(len(texts), np.int64)
+    n_digit = np.empty(len(texts), np.int64)
+    n_token = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        n_chars[i] = len(t)
+        n_alpha[i] = sum(c.isalpha() for c in t)
+        n_digit[i] = sum(c.isdigit() for c in t)
+        toks = _WS.split(t.strip()) if t.strip() else []
+        n_token[i] = len(toks)
+        n_stop[i] = sum(w.lower() in _STOPWORDS for w in toks)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n_chars),
+            "n_alpha": pa.array(n_alpha),
+            "n_digit": pa.array(n_digit),
+            "n_tokens": pa.array(n_token),
+            "n_stopwords": pa.array(n_stop),
+        }
+    )
+
+
+def fingerprints(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Content fingerprints: md5 hex (exact, SQL-matchable) and a 64-bit
+    rolling (Rabin-Karp style) hash over the token stream."""
+    texts = batch.column(text_col).to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    rolls = np.empty(len(texts), np.uint64)
+    B = np.uint64(1000003)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i, t in enumerate(texts):
+        h = np.uint64(1469598103934665603)
+        for w in t.split():
+            wh = np.uint64(
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            )
+            h = ((h * B) & MASK) ^ wh
+        rolls[i] = h
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "content_md5": pa.array(md5s, pa.string()),
+            "rolling_hash": pa.array(rolls, pa.uint64()),
+        }
+    )
+
+
+class LangId:
+    """Heuristic language id: stopword-profile voting + script detection.
+
+    Stateful stage (profiles compiled once per actor); emits
+    ``pred_lang`` with "zh" for CJK-dominant text, else the profile with
+    the most stopword hits ("und" = undetermined)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            sample = t[:2000]
+            cjk = sum("一" <= c <= "鿿" for c in sample)
+            if cjk > 0.2 * max(1, len(sample)):
+                preds.append("zh")
+                continue
+            words = [w.lower() for w in self.word_re.findall(sample)]
+            best, best_hits = "und", 0
+            for lang in sorted(self.profiles):
+                hits = sum(w in self.profiles[lang] for w in words)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )

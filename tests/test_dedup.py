@@ -1,0 +1,82 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gliner_cpp_ray.stages.dedup import (
+    MinHashSigner,
+    add_simhash,
+    exact_dedup,
+    hamming64,
+    jaccard,
+    minhash_dedup_clusters,
+    simhash64,
+    word_ngrams,
+)
+
+
+def _docs():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, 200))
+    near = base.replace("w1 ", "w999 ", 1) + " tail"
+    texts = [base, near, base]  # 2 near-dup + 1 exact dup of base
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(vocab, 150)))
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_jaccard_and_ngrams():
+    a = word_ngrams("a b c d e", 3)
+    assert a == {"a b c", "b c d", "c d e"}
+    assert jaccard(a, a) == 1.0
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({"x"}, {"y"}) == 0.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    signer = MinHashSigner(num_perm=128)
+    s1 = signer.signature("the quick brown fox jumps over the lazy dog " * 10)
+    s2 = signer.signature("the quick brown fox jumps over the lazy cat " * 10)
+    s3 = signer.signature("completely different content about other things " * 10)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5 > sim13
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs())
+    kept = exact_dedup(ds).to_pandas()
+    # doc 2 is an exact dup of doc 0 -> dropped (min id kept)
+    assert 0 in set(kept["doc_id"]) and 2 not in set(kept["doc_id"])
+    assert len(kept) == _docs().num_rows - 1
+
+
+def test_minhash_clusters_ray(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs())
+    clusters = minhash_dedup_clusters(ds, threshold=0.7)
+    by_id = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # all three near/exact dups in one cluster rooted at min id 0
+    assert by_id[0] == by_id[1] == by_id[2] == 0
+    # unrelated docs keep singleton clusters
+    assert by_id[10] == 10
+
+
+def test_simhash_near_dup():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("dog", "cat")
+    far = "completely different words here entirely unrelated " * 5
+    h1, h2, h3 = simhash64(base), simhash64(near), simhash64(far)
+    assert hamming64(h1, h2) < 12 < hamming64(h1, h3)
+
+
+def test_add_simhash_bands():
+    t = pa.table({"doc_id": [1], "text": ["hello world example text"]})
+    out = add_simhash(t)
+    h = out.column("simhash")[0].as_py()
+    for band in range(4):
+        key = out.column(f"simhash_b{band}")[0].as_py()
+        assert key == (h >> (16 * band)) & 0xFFFF

@@ -1,0 +1,74 @@
+import numpy as np
+import pyarrow as pa
+
+from gliner_cpp_ray.stages.similarity import (
+    LshBucketer,
+    NearDupScorer,
+    brute_force_topk,
+    _normalize,
+)
+
+
+def _emb_table(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[7] = m[3] * 2.0  # exact cosine dup pair (3, 7)
+    return (
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [row.tolist() for row in m],
+            }
+        ),
+        m,
+    )
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    tbl, m = _emb_table()
+    ds = rd.from_arrow(tbl).repartition(4)
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    got = brute_force_topk(ds, m[qids], qids, k=5)
+    nm = _normalize(m)
+    sims = nm @ nm[qids].T
+    for qi, qid in enumerate(qids):
+        col = sims[:, qi].copy()
+        col[qid] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(len(col)), -col))[:5]
+        want = list(order)
+        have = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert have == want
+
+
+def test_near_dup_scorer_finds_planted_pair(ray_session):
+    import ray.data as rd
+
+    tbl, m = _emb_table()
+    ds = rd.from_arrow(tbl).repartition(3)
+    stage_partials = ds.map_batches(
+        NearDupScorer,
+        fn_constructor_kwargs={
+            "ref_ids": np.arange(len(m)),
+            "ref_matrix": m,
+            "threshold": 0.999,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    pairs = set(zip(stage_partials["a"], stage_partials["b"]))
+    assert (3, 7) in pairs
+
+
+def test_lsh_bucketer_consistency():
+    tbl, m = _emb_table(50, 16)
+    stage = LshBucketer(dim=16, bits=12)
+    out = stage(tbl)
+    codes = out.column("lsh_code").to_pylist()
+    assert all(0 <= c < 2**12 for c in codes)
+    # colinear vectors share a bucket (same hyperplane signs)
+    assert codes[3] == codes[7]
+    # deterministic across instances with same seed
+    out2 = LshBucketer(dim=16, bits=12)(tbl)
+    assert codes == out2.column("lsh_code").to_pylist()

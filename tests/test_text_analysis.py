@@ -1,0 +1,52 @@
+import hashlib
+
+import pyarrow as pa
+
+from gliner_cpp_ray.stages.text_analysis import (
+    LangId,
+    fingerprints,
+    quality_counts,
+    token_counts,
+)
+
+
+def tbl(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_counts():
+    out = token_counts(tbl(["a b  c", "  x ", "", "one"]))
+    assert out.column("n_tokens").to_pylist() == [3, 1, 0, 1]
+
+
+def test_quality_counts():
+    out = quality_counts(tbl(["The cat and 2 dogs!", ""]))
+    assert out.column("n_chars").to_pylist() == [19, 0]
+    assert out.column("n_alpha").to_pylist() == [13, 0]
+    assert out.column("n_digit").to_pylist() == [1, 0]
+    assert out.column("n_tokens").to_pylist() == [5, 0]
+    assert out.column("n_stopwords").to_pylist() == [2, 0]  # "The", "and"
+
+
+def test_fingerprints_md5_and_rolling():
+    out = fingerprints(tbl(["hello world", "hello world", "different"]))
+    md5 = out.column("content_md5").to_pylist()
+    assert md5[0] == hashlib.md5(b"hello world").hexdigest()
+    assert md5[0] == md5[1] and md5[0] != md5[2]
+    roll = out.column("rolling_hash").to_pylist()
+    assert roll[0] == roll[1] and roll[0] != roll[2]
+
+
+def test_langid():
+    stage = LangId()
+    out = stage(
+        tbl(
+            [
+                "the cat is on the mat and the dog is in the house",
+                "der hund ist mit der katze und das haus",
+                "el perro y la casa es de los gatos",
+                "这 是 一个 中文 句子 关于 数据 系统 的 测试 文本 更多 中文",
+            ]
+        )
+    )
+    assert out.column("pred_lang").to_pylist() == ["en", "de", "es", "zh"]

@@ -1,0 +1,459 @@
+"""Driver-contract queries + DuckDB oracle SQL (see __ray_entry__.py).
+
+One entry per implemented operator family from SURVEY.md §2 (Part B) and
+the training-data operator suite.  Each callable takes ``sf_dir`` and
+returns a Dataset / DataFrame / Table; ``ORACLE_SQL`` holds the
+equivalent ANSI SQL for every SQL-expressible query (same column names —
+the driver hash-compares values after sorting columns by name).
+
+Float discipline: aggregate queries emit INTEGER columns (counts,
+``floor(x * 1e6)`` micro-units) so Ray and DuckDB hash identically;
+cosine scores are excluded from compared outputs (ranks are compared,
+computed with identical tie-breaking).
+
+KG queries run over the deterministic synthetic pages corpus (generated
+idempotently under /tmp, sized by sf) with closed-form expected triples
+as the oracle side.  Non-SQL-expressible ops (NER mentions, MinHash
+clusters, language id, nodes) have no oracle entry — the driver records
+a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
+from gliner_cpp_ray.sources.pages import corpus_dir_for, ensure_corpus, n_pages_for_sf
+from gliner_cpp_ray.stages.dedup import (
+    add_content_hash,
+    exact_dedup,
+    minhash_dedup_clusters,
+)
+from gliner_cpp_ray.stages.html_to_text import html_to_docs
+from gliner_cpp_ray.stages.similarity import NearDupScorer, brute_force_topk
+from gliner_cpp_ray.stages.text_analysis import (
+    LangId,
+    fingerprints,
+    quality_counts,
+    token_counts,
+)
+
+KG_SEED = 7
+KG_OUT_VERSION = "v1"
+_SQL_SF = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _sf_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_sf_path(sf_dir, table), columns=columns)
+
+
+def _corpus(sf_dir: str) -> str:
+    return ensure_corpus(n_pages_for_sf(sf_dir), KG_SEED)
+
+
+def _kg_out(corpus_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(corpus_dir))
+    return os.path.join("/tmp/kgray_out", KG_OUT_VERSION, name)
+
+
+def _run_kg(sf_dir: str):
+    corpus = _corpus(sf_dir)
+    out = _kg_out(corpus)
+    run_kg_pipeline(os.path.join(corpus, "pages"), out, KGPipelineConfig())
+    return corpus, out
+
+
+def _read_out(out: str, stage: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out, stage), file_extensions=["parquet"])
+
+
+# oracle-side path constants (driver compares at sf0.01)
+_ORACLE_CORPUS = corpus_dir_for(n_pages_for_sf(_SQL_SF), KG_SEED)
+
+
+# --------------------------------------------------------------------- KG
+
+def q_kg_extracted_text(sf_dir: str):
+    """HTML→text over every page; byte-identity vs the ground-truth text."""
+    import ray.data as rd
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "html", "lang"]
+    )
+    return ds.map_batches(html_to_docs, batch_format="pyarrow").select_columns(
+        ["url", "text"]
+    )
+
+
+def q_kg_triples(sf_dir: str):
+    _, out = _run_kg(sf_dir)
+    return _read_out(out, "linked").select_columns(["doc_id", "subj", "pred", "obj"])
+
+
+def q_kg_edges(sf_dir: str):
+    _, out = _run_kg(sf_dir)
+    return _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon", "weight"]
+    )
+
+
+def q_kg_mentions_by_label(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    _, out = _run_kg(sf_dir)
+    ds = _read_out(out, "mentions")
+    return ds.groupby("label").aggregate(Count(alias_name="n_mentions"))
+
+
+def q_kg_nodes(sf_dir: str):
+    _, out = _run_kg(sf_dir)
+    return _read_out(out, "nodes").select_columns(
+        ["canon_id", "label", "mention_count"]
+    )
+
+
+# ------------------------------------------------------------- documents
+
+def q_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = exact_dedup(ds)
+    return kept.select_columns(["content_hash", "doc_id"])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_md5"]
+    )
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_counts, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_counts, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(ds, threshold=0.8)
+
+
+# ------------------------------------------------------------ embeddings
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id < 8."""
+    tbl = pq.read_table(
+        _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    qmask = pc.less(tbl.column("vec_id"), 8)
+    qtbl = tbl.filter(qmask)
+    qids = np.asarray(qtbl.column("vec_id"))
+    qm = np.stack([np.asarray(x) for x in qtbl.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, qm, qids, k=10)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Exact all-pairs cosine > 0.4 (a < b; threshold chosen so the
+    testdata embeddings — random vectors, max pair cosine ~0.51 — yield a
+    non-degenerate result)."""
+    tbl = pq.read_table(
+        _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ref_ids = np.asarray(tbl.column("vec_id"))
+    ref = np.stack([np.asarray(x) for x in tbl.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(
+        NearDupScorer,
+        fn_constructor_kwargs={
+            "ref_ids": ref_ids,
+            "ref_matrix": ref,
+            "threshold": 0.4,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    df = pairs.select_columns(["a", "b"]).to_pandas()
+    if df.empty:  # keep a stable schema even when no pair clears threshold
+        df = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    return df
+
+
+# ---------------------------------------------------------------- events
+
+def _micro(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.floor(pc.multiply(col, 1_000_000.0)), pa.int64())
+
+
+def q_top_users_by_value(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "value_micro": _micro(t.column("value"))}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value_micro", alias_name="total_micro")
+    )
+    return agg.sort(["total_micro", "user_id"], descending=[True, False]).limit(20)
+
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)  # int64 floor division
+        return pa.table({"hour_bucket": hour, "event_type": t.column("event_type")})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour_bucket", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_event_sessions(sf_dir: str):
+    """Sessionization: per user, count sessions split at >30 min gaps."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ----------------------------------------------------------- relational
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join: orders ⋈ customer ⋈ nation (small dims)."""
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(_sf_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_sf_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nation_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    cust_nation = {
+        c: nation_of[nk]
+        for c, nk in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        nations = [cust_nation[c] for c in t.column("o_custkey").to_pylist()]
+        return pa.table({"nation": pa.array(nations, pa.string())})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """Q1-style grouped aggregate with predicate pushdown at the read."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _sf_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        filter=pads.field("l_quantity") < 25.0,
+    )
+
+    def micro(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_micro": _micro(t.column("l_quantity")),
+                "price_micro": _micro(t.column("l_extendedprice")),
+            }
+        )
+
+    return (
+        ds.map_batches(micro, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("qty_micro", alias_name="sum_qty_micro"),
+            Sum("price_micro", alias_name="sum_price_micro"),
+        )
+    )
+
+
+# ------------------------------------------------------------- registry
+
+def queries():
+    return {
+        "kg_extracted_text": q_kg_extracted_text,
+        "kg_triples": q_kg_triples,
+        "kg_edges": q_kg_edges,
+        "kg_mentions_by_label": q_kg_mentions_by_label,
+        "kg_nodes": q_kg_nodes,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "minhash_clusters": q_minhash_clusters,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "top_users_by_value": q_top_users_by_value,
+        "events_hourly": q_events_hourly,
+        "event_sessions": q_event_sessions,
+        "orders_by_nation": q_orders_by_nation,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
+
+
+_STOP_SQL = "('the','and','of','a','to','in','is','it','for','on','with')"
+
+
+def oracle_sql():
+    return oracle_sql_for_corpus(_ORACLE_CORPUS)
+
+
+def oracle_sql_for_corpus(corpus_dir: str):
+    """Oracle SQL keyed to a specific synthetic corpus directory (the
+    public ``oracle_sql()`` uses the sf0.01 corpus the driver compares
+    at; tests reuse this with a smaller corpus)."""
+    pages_glob = os.path.join(corpus_dir, "pages", "*.parquet")
+    expected_glob = os.path.join(corpus_dir, "expected_triples", "*.parquet")
+    return {
+        "kg_extracted_text": (
+            f"SELECT url, text FROM read_parquet('{pages_glob}')"
+        ),
+        "kg_triples": (
+            f"SELECT doc_id, subj, pred, obj FROM read_parquet('{expected_glob}')"
+        ),
+        "kg_edges": (
+            "SELECT subj_canon, pred, obj_canon, count(*) AS weight "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon"
+        ),
+        # kg_mentions_by_label / kg_nodes / lang_id / minhash_clusters:
+        # not SQL-expressible (NER model / clustering) -> rows-only check.
+        "doc_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "dedup_exact_docs": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"x -> lower(x) IN {_STOP_SQL})) END AS n_stopwords "
+            "FROM documents"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4"
+        ),
+        "top_users_by_value": (
+            "SELECT user_id, count(*) AS n_events, "
+            "sum(CAST(floor(value * 1000000) AS BIGINT)) AS total_micro "
+            "FROM events GROUP BY user_id "
+            "ORDER BY total_micro DESC, user_id LIMIT 20"
+        ),
+        "events_hourly": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "event_sessions": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE OR "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_session FROM events) "
+            "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions "
+            "FROM g GROUP BY user_id"
+        ),
+        "orders_by_nation": (
+            "SELECT n.n_name AS nation, count(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+            "sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS sum_qty_micro, "
+            "sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS sum_price_micro "
+            "FROM lineitem WHERE l_quantity < 25.0 "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+    }

@@ -25,16 +25,16 @@ import pyarrow.dataset as pads
 
 from gliner_cpp_ray.sources import world
 from gliner_cpp_ray.stages.canonicalize import (
-    MentionCanonizer,
-    SurfacePairCollector,
-    TripleEndpointCanonizer,
     build_canon_map,
+    canonize_mentions,
+    canonize_triple_endpoints,
+    collect_surface_pairs,
     reduce_edge_group,
     reduce_node_group,
     rewrite_triples_to_canon,
 )
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
-from gliner_cpp_ray.stages.linking import EntityLinker
+from gliner_cpp_ray.stages.linking import link_triples
 from gliner_cpp_ray.stages.ner import GlinerNERStage
 from gliner_cpp_ray.stages.relations import extract_relations
 from gliner_cpp_ray.stages.repartition import make_byte_capped_rebatcher
@@ -46,11 +46,17 @@ class KGPipelineConfig:
     lang_allow: tuple[str, ...] = ("en",)
     ner_kwargs: dict = field(default_factory=dict)
     ner_batch_size: int = 128
-    ner_concurrency: tuple[int, int] = (1, 8)
+    ner_concurrency: tuple[int, int] = (2, 16)
     ner_num_cpus: float = 1.0
     link_concurrency: tuple[int, int] = (1, 4)
-    shards: int = 4  # input-file groups for resumable NER
+    shards: int = 2  # input-file groups for resumable NER (raise at cluster scale)
     max_block_bytes: int = 4 * 1024 * 1024
+    # partition count for the post-combiner shuffles (edge/node/pair
+    # groupbys).  The combiner inside map_batches already reduced these
+    # streams to (distinct keys x blocks) rows, so a handful of
+    # partitions suffices at bench scale; raise proportionally to
+    # cluster size for 10^12-doc runs.
+    reduce_partitions: int = 8
 
     def fingerprint(self) -> dict:
         return {
@@ -139,11 +145,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     def produce_linked(path):
         mentions = read_stage("mentions")
         triples = mentions.map_batches(extract_relations, batch_format="pyarrow")
-        linked = triples.map_batches(
-            EntityLinker,
-            batch_format="pyarrow",
-            concurrency=cfg.link_concurrency,
-        )
+        # cheap-state stage -> plain tasks with a cached per-process
+        # linker (no actor-pool spin-up; see linking.default_linker)
+        linked = triples.map_batches(link_triples, batch_format="pyarrow")
         linked.write_parquet(path)
         return {"input": "mentions"}
 
@@ -157,10 +161,12 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
 
     def produce_canon(path):
         mentions = read_stage("mentions")
-        pairs = mentions.map_batches(
-            SurfacePairCollector, batch_format="pyarrow", concurrency=(1, 2)
+        pairs = mentions.map_batches(collect_surface_pairs, batch_format="pyarrow")
+        distinct = (
+            pairs.repartition(cfg.reduce_partitions)
+            .groupby(["norm_surface", "label", "qid"])
+            .count()
         )
-        distinct = pairs.groupby(["norm_surface", "label", "qid"]).count()
         small = distinct.to_pandas()  # bounded by surface vocabulary
         import pyarrow as pa
 
@@ -196,7 +202,8 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             batch_format="pyarrow",
         )
         edges = (
-            partial.groupby(["subj_canon", "pred", "obj_canon"])
+            partial.repartition(cfg.reduce_partitions)
+            .groupby(["subj_canon", "pred", "obj_canon"])
             .map_groups(reduce_edge_group, batch_format="pandas")
             .sort("subj_canon")
         )
@@ -213,19 +220,18 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     def produce_nodes(path):
         mentions = read_stage("mentions")
         partial = mentions.map_batches(
-            MentionCanonizer,
-            fn_constructor_kwargs={"canon_map": canon_map},
+            canonize_mentions,
+            fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",
-            concurrency=(1, 2),
         )
         endpoint_partial = read_stage("linked").map_batches(
-            TripleEndpointCanonizer,
-            fn_constructor_kwargs={"canon_map": canon_map},
+            canonize_triple_endpoints,
+            fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",
-            concurrency=(1, 2),
         )
         nodes = (
             partial.union(endpoint_partial)
+            .repartition(cfg.reduce_partitions)
             .groupby("canon_id")
             .map_groups(reduce_node_group, batch_format="pandas")
             .sort("canon_id")

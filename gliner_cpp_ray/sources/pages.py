@@ -257,19 +257,43 @@ def ensure_corpus(
     os.makedirs(pages_dir, exist_ok=True)
     os.makedirs(expected_dir, exist_ok=True)
     shard = rows_per_file
-    for lo in range(0, n_pages, shard):
-        idx = np.arange(lo, min(lo + shard, n_pages), dtype=np.int64)
-        pq.write_table(
-            make_page_batch(idx, seed),
-            os.path.join(pages_dir, f"part-{lo:08d}.parquet"),
-        )
-        pq.write_table(
-            make_expected_batch(idx, seed),
-            os.path.join(expected_dir, f"part-{lo:08d}.parquet"),
-        )
+    bounds = [(lo, min(lo + shard, n_pages)) for lo in range(0, n_pages, shard)]
+
+    use_ray = False
+    if n_pages >= 20_000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+    if use_ray:
+        # page content is a pure function of (seed, index) — shard
+        # generation parallelizes trivially
+        import ray
+
+        @ray.remote
+        def gen(lo: int, hi: int) -> None:
+            _write_shard(lo, hi, seed, pages_dir, expected_dir)
+
+        ray.get([gen.remote(lo, hi) for lo, hi in bounds])
+    else:
+        for lo, hi in bounds:
+            _write_shard(lo, hi, seed, pages_dir, expected_dir)
     with open(marker, "w") as f:
         f.write(f"n_pages={n_pages} seed={seed}\n")
     return out
+
+
+def _write_shard(lo: int, hi: int, seed: int, pages_dir: str, expected_dir: str) -> None:
+    idx = np.arange(lo, hi, dtype=np.int64)
+    pq.write_table(
+        make_page_batch(idx, seed), os.path.join(pages_dir, f"part-{lo:08d}.parquet")
+    )
+    pq.write_table(
+        make_expected_batch(idx, seed),
+        os.path.join(expected_dir, f"part-{lo:08d}.parquet"),
+    )
 
 
 def n_pages_for_sf(sf_dir: str) -> int:

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from gliner_cpp_ray.sources import world
-from gliner_cpp_ray.stages.linking import EntityLinker
+from gliner_cpp_ray.stages.linking import EntityLinker, default_linker
 
 EDGES_SCHEMA = pa.schema(
     [
@@ -53,23 +53,43 @@ _ALIAS_CAP = 16
 
 
 class SurfacePairCollector:
-    """mentions batch -> distinct (norm_surface, label, qid) rows."""
+    """mentions batch -> distinct (norm_surface, label, qid) rows
+    (actor form; see ``collect_surface_pairs`` for the task form)."""
 
     def __init__(self, alias_rows: list[dict] | None = None):
         self.linker = EntityLinker(alias_rows)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _surface_pairs(batch, self.linker)
+
+
+def collect_surface_pairs(batch: pa.Table) -> pa.Table:
+    """Stateless-task form using the cached default linker."""
+    return _surface_pairs(batch, default_linker())
+
+
+def _surface_pairs(batch: pa.Table, linker: EntityLinker) -> pa.Table:
+        # distinct (surface, label) first — the lookup loop then runs over
+        # the batch-local vocabulary, not over rows
+        uniq = (
+            pd.DataFrame(
+                {
+                    "text": batch.column("text").to_pandas(),
+                    "label": batch.column("label").to_pandas(),
+                }
+            )
+            .drop_duplicates()
+            .itertuples(index=False)
+        )
         seen: set[tuple[str, str]] = set()
         out_s, out_l, out_q = [], [], []
-        for surface, label in zip(
-            batch.column("text").to_pylist(), batch.column("label").to_pylist()
-        ):
+        for surface, label in uniq:
             norm = world.normalize_surface(surface)
             key = (norm, label)
             if key in seen:
                 continue
             seen.add(key)
-            cands = self.linker.candidates(surface, label)
+            cands = linker.candidates(surface, label)
             out_s.append(norm)
             out_l.append(label)
             out_q.append(cands[0] if len(cands) == 1 else "")
@@ -135,39 +155,66 @@ def canon_of(canon_map: dict, surface: str, label: str, qid: str) -> str:
     return canon_map["surface"].get((norm, label), norm)
 
 
+def _canon_series(canon_map, surfaces, labels, qids) -> list[str]:
+    cache: dict[tuple[str, str, str], str] = {}
+    out = []
+    for s, l, q in zip(surfaces, labels, qids):
+        key = (s, l, q)
+        v = cache.get(key)
+        if v is None:
+            v = cache[key] = canon_of(canon_map, s, l, q)
+        out.append(v)
+    return out
+
+
 def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:
-    """linked triples -> (subj_canon, pred, obj_canon, doc_id) partials."""
-    subj = batch.column("subj").to_pylist()
-    obj = batch.column("obj").to_pylist()
-    sl = batch.column("subj_label").to_pylist()
-    ol = batch.column("obj_label").to_pylist()
-    sq = batch.column("subj_qid").to_pylist()
-    oq = batch.column("obj_qid").to_pylist()
+    """linked triples -> PRE-AGGREGATED edge partials per batch:
+    (subj_canon, pred, obj_canon, count, prov) — the combiner pattern:
+    reduce inside map_batches so the groupby shuffle moves one row per
+    distinct triple per batch, not one per occurrence."""
+    df = pd.DataFrame(
+        {
+            "subj_canon": _canon_series(
+                canon_map,
+                batch.column("subj").to_pylist(),
+                batch.column("subj_label").to_pylist(),
+                batch.column("subj_qid").to_pylist(),
+            ),
+            "pred": batch.column("pred").to_pandas(),
+            "obj_canon": _canon_series(
+                canon_map,
+                batch.column("obj").to_pylist(),
+                batch.column("obj_label").to_pylist(),
+                batch.column("obj_qid").to_pylist(),
+            ),
+            "doc_id": batch.column("doc_id").to_pandas(),
+        }
+    )
+    agg = df.groupby(["subj_canon", "pred", "obj_canon"], sort=True).agg(
+        count=("doc_id", "size"),
+        prov=("doc_id", lambda s: sorted(set(s))[:_PROVENANCE_CAP]),
+    )
+    agg = agg.reset_index()
     return pa.table(
         {
-            "subj_canon": pa.array(
-                [canon_of(canon_map, s, l, q) for s, l, q in zip(subj, sl, sq)],
-                pa.string(),
-            ),
-            "pred": batch.column("pred"),
-            "obj_canon": pa.array(
-                [canon_of(canon_map, o, l, q) for o, l, q in zip(obj, ol, oq)],
-                pa.string(),
-            ),
-            "doc_id": batch.column("doc_id"),
+            "subj_canon": pa.array(agg["subj_canon"], pa.string()),
+            "pred": pa.array(agg["pred"], pa.string()),
+            "obj_canon": pa.array(agg["obj_canon"], pa.string()),
+            "count": pa.array(agg["count"].to_numpy(np.int64)),
+            "prov": pa.array(agg["prov"].tolist(), pa.list_(pa.string())),
         }
     )
 
 
 def reduce_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per (subj_canon, pred, obj_canon) group: weight + provenance sample."""
-    prov = sorted(g["doc_id"].unique())[:_PROVENANCE_CAP]
+    """Merge per-batch edge partials for one (subj, pred, obj) key."""
+    prov = sorted({d for lst in g["prov"] for d in lst})[:_PROVENANCE_CAP]
     return pd.DataFrame(
         {
             "subj_canon": [g["subj_canon"].iloc[0]],
             "pred": [g["pred"].iloc[0]],
             "obj_canon": [g["obj_canon"].iloc[0]],
-            "weight": np.array([len(g)], dtype=np.int64),
+            "weight": np.array([int(g["count"].sum())], dtype=np.int64),
             "provenance": [prov],
         }
     )
@@ -181,22 +228,39 @@ class MentionCanonizer:
         self.linker = EntityLinker(alias_rows)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        agg: dict[tuple[str, str, str], int] = {}
-        for surface, label in zip(
-            batch.column("text").to_pylist(), batch.column("label").to_pylist()
-        ):
-            cands = self.linker.candidates(surface, label)
+        return _mention_partials(batch, self.canon_map, self.linker)
+
+
+def canonize_mentions(batch: pa.Table, canon_map: dict) -> pa.Table:
+    """Stateless-task form of MentionCanonizer (default linker)."""
+    return _mention_partials(batch, canon_map, default_linker())
+
+
+def _mention_partials(batch: pa.Table, canon_map: dict, linker: EntityLinker) -> pa.Table:
+        # combiner: count per (surface, label) with pandas, then resolve
+        # canon once per distinct surface (batch-local vocabulary)
+        df = (
+            pd.DataFrame(
+                {
+                    "surface": batch.column("text").to_pandas(),
+                    "label": batch.column("label").to_pandas(),
+                }
+            )
+            .groupby(["surface", "label"], sort=True)
+            .size()
+            .reset_index(name="count")
+        )
+        canons = []
+        for surface, label in zip(df["surface"], df["label"]):
+            cands = linker.candidates(surface, label)
             qid = cands[0] if len(cands) == 1 else ""
-            canon = canon_of(self.canon_map, surface, label, qid)
-            key = (canon, surface, label)
-            agg[key] = agg.get(key, 0) + 1
-        keys = sorted(agg)
+            canons.append(canon_of(canon_map, surface, label, qid))
         return pa.table(
             {
-                "canon_id": pa.array([k[0] for k in keys], pa.string()),
-                "surface": pa.array([k[1] for k in keys], pa.string()),
-                "label": pa.array([k[2] for k in keys], pa.string()),
-                "count": pa.array([agg[k] for k in keys], pa.int64()),
+                "canon_id": pa.array(canons, pa.string()),
+                "surface": pa.array(df["surface"], pa.string()),
+                "label": pa.array(df["label"], pa.string()),
+                "count": pa.array(df["count"].to_numpy(np.int64)),
             }
         )
 
@@ -217,15 +281,31 @@ class TripleEndpointCanonizer:
         self.linker = EntityLinker(alias_rows)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _endpoint_partials(batch, self.canon_map, self.linker)
+
+
+def canonize_triple_endpoints(batch: pa.Table, canon_map: dict) -> pa.Table:
+    """Stateless-task form of TripleEndpointCanonizer (default linker)."""
+    return _endpoint_partials(batch, canon_map, default_linker())
+
+
+def _endpoint_partials(batch: pa.Table, canon_map: dict, linker: EntityLinker) -> pa.Table:
         agg: dict[tuple[str, str, str], int] = {}
+        ambiguous: dict[tuple[str, str], bool] = {}
         for side in ("subj", "obj"):
             surfaces = batch.column(side).to_pylist()
             labels = batch.column(side + "_label").to_pylist()
             qids = batch.column(side + "_qid").to_pylist()
             for surface, label, qid in zip(surfaces, labels, qids):
-                if not qid or len(self.linker.candidates(surface, label)) <= 1:
+                if not qid:
                     continue
-                canon = canon_of(self.canon_map, surface, label, qid)
+                k = (surface, label)
+                amb = ambiguous.get(k)
+                if amb is None:
+                    amb = ambiguous[k] = len(linker.candidates(surface, label)) > 1
+                if not amb:
+                    continue
+                canon = canon_of(canon_map, surface, label, qid)
                 key = (canon, surface, label)
                 agg[key] = agg.get(key, 0) + 1
         keys = sorted(agg)

@@ -28,6 +28,26 @@ LINKED_EXTRA = [
     ("link_score", pa.float32()),
 ]
 
+_DEFAULT_LINKER = None
+
+
+def default_linker() -> "EntityLinker":
+    """Per-process lazy singleton for the default (world) alias dict.
+
+    The dictionary is tiny and builds in ~4 ms, so plain Ray TASKS with
+    this cached instance beat an actor pool (no pool spin-up); a custom
+    alias dict at real scale should use ``ray.put`` + an actor pool via
+    the ``EntityLinker`` class directly."""
+    global _DEFAULT_LINKER
+    if _DEFAULT_LINKER is None:
+        _DEFAULT_LINKER = EntityLinker()
+    return _DEFAULT_LINKER
+
+
+def link_triples(batch: pa.Table) -> pa.Table:
+    """Stateless-task wrapper over the default linker."""
+    return default_linker()(batch)
+
 
 class EntityLinker:
     def __init__(self, alias_rows: list[dict] | None = None, dim: int = 32):
@@ -63,6 +83,20 @@ class EntityLinker:
     def embedding(self, qid: str) -> np.ndarray | None:
         return self._emb.get(qid)
 
+    def _resolve_unambiguous(self, surfaces: list[str], labels: list[str]):
+        """qid per row for the easy cases; None marks an ambiguous surface.
+        Dictionary lookups run once per DISTINCT (surface, label) key —
+        web text repeats surfaces heavily, so this is the fast path."""
+        cache: dict[tuple[str, str], str | None] = {}
+        out: list[str | None] = []
+        for s, l in zip(surfaces, labels):
+            key = (s, l)
+            if key not in cache:
+                c = self.candidates(s, l)
+                cache[key] = "" if not c else (c[0] if len(c) == 1 else None)
+            out.append(cache[key])
+        return out
+
     # -- triples batch: link subj & obj with cross-context -------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -70,26 +104,23 @@ class EntityLinker:
         obj = batch.column("obj").to_pylist()
         sl = batch.column("subj_label").to_pylist()
         ol = batch.column("obj_label").to_pylist()
-        subj_qid = [""] * n
-        obj_qid = [""] * n
+        subj_qid = self._resolve_unambiguous(subj, sl)
+        obj_qid = self._resolve_unambiguous(obj, ol)
         score = np.ones(n, dtype=np.float32)
+        # slow path only for rows touching an ambiguous surface:
+        # resolve the unambiguous side first, use it as re-rank context
         for i in range(n):
-            sc = self.candidates(subj[i], sl[i])
-            oc = self.candidates(obj[i], ol[i])
-            # resolve the unambiguous side first, use it as context
-            if len(sc) <= 1 and len(oc) <= 1:
-                subj_qid[i] = sc[0] if sc else ""
-                obj_qid[i] = oc[0] if oc else ""
-            elif len(sc) <= 1:  # obj ambiguous
-                subj_qid[i] = sc[0] if sc else ""
+            s_amb, o_amb = subj_qid[i] is None, obj_qid[i] is None
+            if not s_amb and not o_amb:
+                continue
+            if not s_amb:  # obj ambiguous
                 ctx = self._emb.get(subj_qid[i]) if subj_qid[i] else None
-                obj_qid[i], s = self.resolve(obj[i], ol[i], ctx)
-                score[i] = s
+                obj_qid[i], score[i] = self.resolve(obj[i], ol[i], ctx)
             else:  # subj ambiguous (or both; obj first as context)
-                obj_qid[i] = oc[0] if oc else ""
+                if o_amb:
+                    obj_qid[i], _ = self.resolve(obj[i], ol[i], None)
                 ctx = self._emb.get(obj_qid[i]) if obj_qid[i] else None
-                subj_qid[i], s = self.resolve(subj[i], sl[i], ctx)
-                score[i] = s
+                subj_qid[i], score[i] = self.resolve(subj[i], sl[i], ctx)
         out = batch.append_column("subj_qid", pa.array(subj_qid, pa.string()))
         out = out.append_column("obj_qid", pa.array(obj_qid, pa.string()))
         out = out.append_column("link_score", pa.array(score, pa.float32()))

@@ -13,6 +13,7 @@ of SURVEY.md §1.2's struct spans).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -62,10 +63,10 @@ def extract_relations(batch: pa.Table, patterns: dict[str, str] | None = None) -
     key = pc.binary_join_element_wise(
         batch.column("label"), batch.column("gap_next"), batch.column("next_label"), sep
     )
-    keys = key.to_pylist()
-    preds = [pats.get(k) for k in keys]
-    mask = np.array([p is not None for p in preds], dtype=bool)
-    idx = np.flatnonzero(mask)
+    # vectorized dict lookup over the (few) distinct keys in the batch
+    keys = pd.Series(key.to_pandas())
+    preds = keys.map(pats)
+    idx = np.flatnonzero(preds.notna().to_numpy())
     sel = batch.take(pa.array(idx))
     prob = pc.min_element_wise(sel.column("prob"), sel.column("next_prob"))
     return pa.table(
@@ -73,7 +74,7 @@ def extract_relations(batch: pa.Table, patterns: dict[str, str] | None = None) -
             "doc_id": sel.column("doc_id"),
             "url": sel.column("url"),
             "subj": sel.column("text"),
-            "pred": pa.array([preds[i] for i in idx], pa.string()),
+            "pred": pa.array(preds.iloc[idx].to_numpy(), pa.string()),
             "obj": sel.column("next_text"),
             "subj_label": sel.column("label"),
             "obj_label": sel.column("next_label"),

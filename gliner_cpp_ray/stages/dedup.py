@@ -32,10 +32,21 @@ def _stable_u64(data: bytes) -> int:
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles (uint64, deduplicated)."""
-    if len(text) < k:
-        return np.array([_stable_u64(text.encode())], dtype=np.uint64)
-    out = {_stable_u64(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
+    """Hashed byte k-shingles (uint64, deduplicated), vectorized.
+
+    For k <= 8 the k UTF-8 bytes pack losslessly into a uint64 (a
+    PERFECT hash — zero collisions) via a sliding-window dot product;
+    larger k falls back to per-shingle blake2b."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(raw) < k:
+        return np.array([_stable_u64(bytes(raw))], dtype=np.uint64)
+    if k <= 8:
+        windows = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+        weights = np.uint64(1) << (np.arange(k - 1, -1, -1, dtype=np.uint64) * np.uint64(8))
+        return np.unique(windows @ weights)
+    out = {
+        _stable_u64(bytes(raw[i : i + k])) for i in range(len(raw) - k + 1)
+    }
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
@@ -200,8 +211,10 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     signer_kwargs = signer_kwargs or {}
     sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
                           batch_format="pyarrow", concurrency=(1, 4))
-    cands = sigs.groupby(["band_id", "band_key"]).map_groups(
-        bucket_candidate_pairs, batch_format="pandas"
+    cands = (
+        sigs.repartition(8)
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_candidate_pairs, batch_format="pandas")
     )
     verified = cands.map_batches(
         verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"

@@ -141,9 +141,70 @@ class LshBucketer:
         self.planes = rng.standard_normal((dim, bits))
         self.col = col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, self.col)
-        codes = (m @ self.planes > 0).astype(np.uint64)
+    def code_of(self, vectors: np.ndarray) -> np.ndarray:
+        codes = (np.asarray(vectors, np.float64) @ self.planes > 0).astype(np.uint64)
         weights = np.uint64(1) << np.arange(codes.shape[1], dtype=np.uint64)
-        code = (codes * weights).sum(axis=1).astype(np.int64)
+        return (codes * weights).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        code = self.code_of(_embedding_matrix(batch, self.col))
         return batch.append_column("lsh_code", pa.array(code, pa.int64()))
+
+
+class LshTopK:
+    """Approximate top-k: score a batch row against a query ONLY when
+    their LSH codes are within ``max_hamming`` bits — the bucketed scale
+    path (probes shrink the scored fraction; recall traded for cost)."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                 bits: int = 16, max_hamming: int = 6, seed: int = 23,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        self.q = _normalize(queries)
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+        self.max_hamming = max_hamming
+        self.bucketer = LshBucketer(self.q.shape[1], bits, seed, col)
+        self.q_codes = self.bucketer.code_of(self.q)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, self.col))
+        codes = self.bucketer.code_of(m)
+        out_q, out_v, out_s = [], [], []
+        for qi, qcode in enumerate(self.q_codes):
+            xor = (codes ^ qcode).astype(np.uint64)
+            ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1).sum(axis=1)
+            probe = np.flatnonzero(ham <= self.max_hamming)
+            if probe.size == 0:
+                continue
+            sims = m[probe] @ self.q[qi]
+            k = min(self.k + 1, probe.size)
+            top = np.argpartition(-sims, k - 1)[:k] if k < probe.size else np.arange(probe.size)
+            for j in top:
+                vid = ids[probe[j]]
+                if vid == self.query_ids[qi]:
+                    continue
+                out_q.append(self.query_ids[qi])
+                out_v.append(vid)
+                out_s.append(sims[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             **stage_kwargs) -> pd.DataFrame:
+    partial = ds.map_batches(
+        LshTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
+                               **stage_kwargs},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return reduce_topk(partial.to_pandas(), k)

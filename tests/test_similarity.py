@@ -72,3 +72,20 @@ def test_lsh_bucketer_consistency():
     # deterministic across instances with same seed
     out2 = LshBucketer(dim=16, bits=12)(tbl)
     assert codes == out2.column("lsh_code").to_pylist()
+
+
+def test_lsh_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import lsh_topk
+
+    tbl, m = _emb_table(400, 16, seed=9)
+    ds = rd.from_arrow(tbl).repartition(4)
+    qids = np.array([0, 1], dtype=np.int64)
+    exact = brute_force_topk(ds, m[qids], qids, k=10)
+    approx = lsh_topk(ds, m[qids], qids, k=10, bits=12, max_hamming=6)
+    for qid in qids:
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        have = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall = len(want & have) / len(want)
+        assert recall >= 0.5, f"recall {recall} too low for q{qid}"

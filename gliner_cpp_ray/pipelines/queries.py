@@ -239,35 +239,50 @@ def q_top_users_by_value(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count
+    from gliner_cpp_ray.stages.windows import tumbling_counts
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return tumbling_counts(ds, size_s=3600, extra_keys=("event_type",))
 
-    def bucket(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64())
-        hour = pc.divide(us, 3_600_000_000)  # int64 floor division
-        return pa.table({"hour_bucket": hour, "event_type": t.column("event_type")})
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour_bucket", "event_type"])
-        .aggregate(Count(alias_name="n"))
-    )
+def q_events_sliding_3h(sf_dir: str):
+    from gliner_cpp_ray.stages.windows import sliding_counts
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    return sliding_counts(ds, step_s=3600, span_steps=3)
 
 
 def q_event_sessions(sf_dir: str):
     """Sessionization: per user, count sessions split at >30 min gaps."""
+    from gliner_cpp_ray.stages.windows import session_counts
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return session_counts(ds, gap_s=1800)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], np.int64)}
-        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+def q_max_order_by_cust(sf_dir: str):
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "total_micro": _micro(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_custkey").aggregate(
+        Max("total_micro", alias_name="max_total_micro"),
+        Count(alias_name="n_orders"),
+    )
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": pd.Series(vals, dtype="object")})
 
 
 # ----------------------------------------------------------- relational
@@ -351,7 +366,10 @@ def queries():
         "embedding_near_dup": q_embedding_near_dup,
         "top_users_by_value": q_top_users_by_value,
         "events_hourly": q_events_hourly,
+        "events_sliding_3h": q_events_sliding_3h,
         "event_sessions": q_event_sessions,
+        "max_order_by_cust": q_max_order_by_cust,
+        "distinct_event_types": q_distinct_event_types,
         "orders_by_nation": q_orders_by_nation,
         "lineitem_pricing": q_lineitem_pricing,
     }
@@ -432,9 +450,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "ORDER BY total_micro DESC, user_id LIMIT 20"
         ),
         "events_hourly": (
-            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, "
             "event_type, count(*) AS n FROM events GROUP BY 1, 2"
         ),
+        "events_sliding_3h": (
+            "WITH b AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, "
+            "count(*) AS n FROM events GROUP BY 1), "
+            "r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b), "
+            "(SELECT max(bucket) FROM b))) AS bucket), "
+            "d AS (SELECT r.bucket, coalesce(b.n, 0) AS n FROM r LEFT JOIN b USING (bucket)), "
+            "w AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window FROM d) "
+            "SELECT bucket, n_window FROM w WHERE n_window > 0"
+        ),
+        "max_order_by_cust": (
+            "SELECT o_custkey, "
+            "max(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS max_total_micro, "
+            "count(*) AS n_orders FROM orders GROUP BY o_custkey"
+        ),
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "event_sessions": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -236,8 +236,13 @@ def make_expected_batch(indices: np.ndarray, seed: int) -> pa.Table:
 
 # --- corpus materialization ---------------------------------------------
 
+# bump when generator/world semantics change: stale cached corpora under
+# /tmp would otherwise silently disagree with the code that reads them
+GEN_VERSION = 2
+
+
 def corpus_dir_for(n_pages: int, seed: int = 7, root: str = "/tmp/kgray_corpus") -> str:
-    return os.path.join(root, f"n{n_pages}_s{seed}")
+    return os.path.join(root, f"n{n_pages}_s{seed}_g{GEN_VERSION}")
 
 
 def ensure_corpus(

@@ -34,9 +34,9 @@ from gliner_cpp_ray.stages.canonicalize import (
     rewrite_triples_to_canon,
 )
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
-from gliner_cpp_ray.stages.linking import link_triples
-from gliner_cpp_ray.stages.ner import GlinerNERStage
-from gliner_cpp_ray.stages.relations import extract_relations
+from gliner_cpp_ray.stages.linking import LINKED_EXTRA, link_triples
+from gliner_cpp_ray.stages.ner import MENTIONS_SCHEMA, GlinerNERStage
+from gliner_cpp_ray.stages.relations import TRIPLES_SCHEMA, extract_relations
 from gliner_cpp_ray.stages.repartition import make_byte_capped_rebatcher
 from gliner_cpp_ray.state import checkpoint
 
@@ -64,6 +64,18 @@ class KGPipelineConfig:
             "ner_batch_size": self.ner_batch_size,
             "shards": self.shards,
         }
+
+
+def _trim_stats(ds) -> list[str]:
+    """Per-operator wall-time lines from ds.stats() for the manifest."""
+    try:
+        return [
+            ln.strip()
+            for ln in ds.stats().splitlines()
+            if ln.startswith("Operator") or "execution time" in ln
+        ][:20]
+    except Exception:
+        return []
 
 
 def _pages_files(pages_path: str) -> list[str]:
@@ -122,8 +134,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
 
         def produce(path, group=group):
             ds = read_pages(group, cfg.lang_allow)
-            build_mentions(ds, cfg).write_parquet(path)
-            return {"input_files": group}
+            out = build_mentions(ds, cfg)
+            out.write_parquet(path)
+            return {"input_files": group, "dataset_stats": _trim_stats(out)}
 
         shard_manifests.append(
             checkpoint.run_stage(
@@ -136,14 +149,28 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
     }
 
-    def read_stage(name):
-        return rd.read_parquet(os.path.join(out_root, name), file_extensions=["parquet"])
+    def read_stage(name, schema=None):
+        path = os.path.join(out_root, name)
+        if not any(
+            f.endswith(".parquet")
+            for root, _, names in os.walk(path)
+            for f in names
+        ):
+            # a fully-filtered corpus produces no files; keep the typed
+            # schema so downstream transforms still resolve columns
+            import pyarrow as pa
+
+            empty = pa.table(
+                {f.name: pa.array([], f.type) for f in (schema or [])}
+            )
+            return rd.from_arrow(empty)
+        return rd.read_parquet(path, file_extensions=["parquet"])
 
     # --- stage 2: triples + linking -----------------------------------
     linked_dir = os.path.join(out_root, "linked")
 
     def produce_linked(path):
-        mentions = read_stage("mentions")
+        mentions = read_stage("mentions", MENTIONS_SCHEMA)
         triples = mentions.map_batches(extract_relations, batch_format="pyarrow")
         # cheap-state stage -> plain tasks with a cached per-process
         # linker (no actor-pool spin-up; see linking.default_linker)
@@ -160,7 +187,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     canon_pkl = os.path.join(canon_dir, "canon_map.pkl")
 
     def produce_canon(path):
-        mentions = read_stage("mentions")
+        mentions = read_stage("mentions", MENTIONS_SCHEMA)
         pairs = mentions.map_batches(collect_surface_pairs, batch_format="pyarrow")
         distinct = (
             pairs.repartition(cfg.reduce_partitions)
@@ -170,6 +197,8 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         small = distinct.to_pandas()  # bounded by surface vocabulary
         import pyarrow as pa
 
+        if "norm_surface" not in small.columns:  # empty corpus edge case
+            small = small.reindex(columns=["norm_surface", "label", "qid"])
         pairs_tbl = pa.table(
             {
                 "norm_surface": pa.array(small["norm_surface"], pa.string()),
@@ -194,8 +223,12 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     # --- stage 4: edges (canon rewrite -> dedup count -> sort) --------
     edges_dir = os.path.join(out_root, "edges")
 
+    linked_schema = list(TRIPLES_SCHEMA) + [
+        __import__("pyarrow").field(n, t) for n, t in LINKED_EXTRA
+    ]
+
     def produce_edges(path):
-        linked = read_stage("linked")
+        linked = read_stage("linked", linked_schema)
         partial = linked.map_batches(
             rewrite_triples_to_canon,
             fn_kwargs={"canon_map": canon_map},
@@ -218,13 +251,13 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     nodes_dir = os.path.join(out_root, "nodes")
 
     def produce_nodes(path):
-        mentions = read_stage("mentions")
+        mentions = read_stage("mentions", MENTIONS_SCHEMA)
         partial = mentions.map_batches(
             canonize_mentions,
             fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",
         )
-        endpoint_partial = read_stage("linked").map_batches(
+        endpoint_partial = read_stage("linked", linked_schema).map_batches(
             canonize_triple_endpoints,
             fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",

@@ -123,3 +123,14 @@ def test_manifests_and_resume(pipeline_out):
     shutil.rmtree(os.path.join(out, "mentions", "shard-1"))
     s3 = run_kg_pipeline(os.path.join(corpus, "pages"), out, cfg)
     assert s3["mentions"]["rows"] == summary["mentions"]["rows"]
+
+
+def test_pipeline_with_fully_filtered_corpus(ray_session, corpus_dir, tmp_path_factory):
+    """A lang allowlist matching nothing must still complete every stage
+    (empty, typed outputs) rather than crash on missing files."""
+    out = str(tmp_path_factory.mktemp("kg_empty"))
+    cfg = KGPipelineConfig(lang_allow=("xx",), ner_concurrency=(1, 2), shards=1)
+    summary = run_kg_pipeline(os.path.join(corpus_dir, "pages"), out, cfg)
+    assert summary["mentions"]["rows"] == 0
+    for stage in ["linked", "canon", "edges", "nodes"]:
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))

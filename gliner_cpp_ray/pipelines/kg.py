@@ -135,7 +135,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         def produce(path, group=group):
             ds = read_pages(group, cfg.lang_allow)
             out = build_mentions(ds, cfg)
-            out.write_parquet(path)
+            # coalesce output files: hundreds of tiny parquet files slow
+            # the write and every downstream read
+            out.write_parquet(path, min_rows_per_file=200_000)
             return {"input_files": group, "dataset_stats": _trim_stats(out)}
 
         shard_manifests.append(
@@ -175,7 +177,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         # cheap-state stage -> plain tasks with a cached per-process
         # linker (no actor-pool spin-up; see linking.default_linker)
         linked = triples.map_batches(link_triples, batch_format="pyarrow")
-        linked.write_parquet(path)
+        linked.write_parquet(path, min_rows_per_file=200_000)
         return {"input": "mentions"}
 
     summary["linked"] = checkpoint.run_stage(

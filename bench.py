@@ -89,12 +89,13 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.to_pandas()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    timed("dedup_exact_docs", q.q_dedup_exact_docs)
-    timed("minhash_clusters", q.q_minhash_clusters)
-    timed("token_counts", q.q_token_counts)
-    timed("ann_topk", q.q_ann_topk)
-    timed("events_hourly", q.q_events_hourly)
-    timed("lineitem_pricing", q.q_lineitem_pricing)
+    if not os.environ.get("KGRAY_SKIP_SECONDARY"):
+        timed("dedup_exact_docs", q.q_dedup_exact_docs)
+        timed("minhash_clusters", q.q_minhash_clusters)
+        timed("token_counts", q.q_token_counts)
+        timed("ann_topk", q.q_ann_topk)
+        timed("events_hourly", q.q_events_hourly)
+        timed("lineitem_pricing", q.q_lineitem_pricing)
 
     result = {
         "metric": "kg_pipeline_e2e",
@@ -119,7 +120,7 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     be — at sf0.1's 20k pages the whole pipeline finishes in seconds and
     fixed orchestration latency (job submit, actor spawn, shuffle
     barriers) would dominate the ratio."""
-    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "200000")
+    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "1000000")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -127,6 +128,7 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             KGRAY_BENCH_PAGES=scaling_pages,
+            KGRAY_SKIP_SECONDARY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

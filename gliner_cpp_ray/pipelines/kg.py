@@ -89,6 +89,11 @@ class KGPipelineConfig:
     # partitions suffices at bench scale; raise proportionally to
     # cluster size for 10^12-doc runs.
     reduce_partitions: int = 8
+    # run independent stage pairs (linked||canon, edges||nodes) as two
+    # concurrently-executing Datasets.  None = auto: only when the
+    # cluster has >= 16 CPUs — on small clusters two competing streaming
+    # executors thrash each other.
+    concurrent_stages: bool | None = None
 
     def fingerprint(self) -> dict:
         return {
@@ -154,6 +159,30 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     cfg = cfg or KGPipelineConfig()
     os.makedirs(out_root, exist_ok=True)
     summary: dict = {}
+
+    concurrent = cfg.concurrent_stages
+    if concurrent is None:
+        import ray
+
+        try:
+            concurrent = int(ray.cluster_resources().get("CPU", 0)) >= 16
+        except Exception:
+            concurrent = False
+
+    def run_pair(jobs):
+        """jobs: [(summary_key, dir, manifest, producer)] — concurrently
+        when the cluster is large enough, else sequentially."""
+        if concurrent and len(jobs) > 1:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futs = [
+                    (key, pool.submit(checkpoint.run_stage, d, m, prod))
+                    for key, d, m, prod in jobs
+                ]
+                for key, fut in futs:
+                    summary[key] = fut.result()
+        else:
+            for key, d, m, prod in jobs:
+                summary[key] = checkpoint.run_stage(d, m, prod)
 
     # --- stage 1: mentions (sharded + resumable) ----------------------
     files = _pages_files(pages_path)
@@ -247,24 +276,13 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             pickle.dump(canon_map, f)
         return {"n_pairs": len(small), "n_canon": len(set(canon_map["qid"].values()))}
 
-    # linked and canon both depend only on mentions — run their Ray jobs
-    # concurrently (two Datasets share the cluster; the streaming
-    # executors interleave).  Same for edges/nodes below.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_linked = pool.submit(
-            checkpoint.run_stage,
-            linked_dir,
-            {"stage": "linked", "config": cfg.fingerprint()},
-            produce_linked,
-        )
-        fut_canon = pool.submit(
-            checkpoint.run_stage,
-            canon_dir,
-            {"stage": "canon", "config": cfg.fingerprint()},
-            produce_canon,
-        )
-        summary["linked"] = fut_linked.result()
-        summary["canon"] = fut_canon.result()
+    # linked and canon both depend only on mentions
+    run_pair(
+        [
+            ("linked", linked_dir, {"stage": "linked", "config": cfg.fingerprint()}, produce_linked),
+            ("canon", canon_dir, {"stage": "canon", "config": cfg.fingerprint()}, produce_canon),
+        ]
+    )
     with open(canon_pkl, "rb") as f:
         canon_map = pickle.load(f)
 
@@ -328,19 +346,10 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         nodes.write_parquet(path)
         return {"input": "mentions"}
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_edges = pool.submit(
-            checkpoint.run_stage,
-            edges_dir,
-            {"stage": "edges", "config": cfg.fingerprint()},
-            produce_edges,
-        )
-        fut_nodes = pool.submit(
-            checkpoint.run_stage,
-            nodes_dir,
-            {"stage": "nodes", "config": cfg.fingerprint()},
-            produce_nodes,
-        )
-        summary["edges"] = fut_edges.result()
-        summary["nodes"] = fut_nodes.result()
+    run_pair(
+        [
+            ("edges", edges_dir, {"stage": "edges", "config": cfg.fingerprint()}, produce_edges),
+            ("nodes", nodes_dir, {"stage": "nodes", "config": cfg.fingerprint()}, produce_nodes),
+        ]
+    )
     return summary

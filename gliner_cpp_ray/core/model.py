@@ -52,11 +52,18 @@ def _logit(p: float) -> float:
 class GazetteerScoringModel:
     """Deterministic fake scorer keyed on word-token sequences.
 
+    Reads token texts only — ``needs_encoding`` / ``needs_span_grid``
+    let the processor skip assembling the dense ONNX input tensors it
+    would never consume.
+
     ``gazetteer`` maps label → iterable of surface strings, or label →
     {surface: probability}.  Surfaces are word-split with the reference
     splitter at construction; a span (start word i, width L) scores a hit
     iff its token texts equal a surface's token sequence for that label.
     """
+
+    needs_encoding = False
+    needs_span_grid = False
 
     def __init__(
         self,
@@ -135,6 +142,9 @@ class GazetteerScoringModel:
 class OnnxScoringModel:
     """Real ONNX Runtime session (requires the ``onnxruntime`` wheel)."""
 
+    needs_encoding = True
+    needs_span_grid = True
+
     def __init__(self, model_path: str, model_type: str = SPAN_LEVEL, providers=None):
         try:
             import onnxruntime as ort  # type: ignore
@@ -188,7 +198,12 @@ class GlinerModel:
         if not texts or not entities:  # model.cpp:104-107
             warnings.warn("Empty texts or entities.", stacklevel=2)
             return []
-        batch = self.processor.prepare_batch(texts, entities)
+        batch = self.processor.prepare_batch(
+            texts,
+            entities,
+            build_encoding=getattr(self.scoring, "needs_encoding", True),
+            build_span_grid=getattr(self.scoring, "needs_span_grid", True),
+        )
         logits = self.scoring.run(batch, texts, entities)
         decode = (
             decode_span_batch

@@ -81,7 +81,18 @@ class GlinerProcessor:
         return [self.splitter(t) for t in texts]
 
     # --- A5-A8: full batch prep (processor.cpp:146-181) ------------------
-    def prepare_batch(self, texts: list[str], entities: list[str]) -> EncodedBatch:
+    def prepare_batch(
+        self,
+        texts: list[str],
+        entities: list[str],
+        build_encoding: bool = True,
+        build_span_grid: bool = True,
+    ) -> EncodedBatch:
+        """``build_encoding`` / ``build_span_grid`` skip the dense tensor
+        assembly when the scoring backend doesn't consume it (the
+        deterministic stub scorer reads token texts only; the ONNX
+        backend requires both).  Token lists, ``num_words`` and decode
+        semantics are identical either way."""
         cfg = self.config
         batch_size = len(texts)
 
@@ -110,39 +121,45 @@ class GlinerProcessor:
         ).reshape(batch_size, 1)
         num_words = int(text_lengths.max(initial=0))
 
-        # Subword-encode every prompt word; find num_tokens = max(2 + Σ|sub|).
-        encode = self.subword.encode
-        prefix_ids = [encode(w) for w in prompt_prefix]
-        prefix_total = sum(len(x) for x in prefix_ids)
-        per_doc_ids: list[list[list[int]]] = []
-        num_tokens = 0
-        for words in token_texts:
-            doc_ids = [encode(w) for w in words]
-            per_doc_ids.append(doc_ids)
-            s = 2 + prefix_total + sum(len(x) for x in doc_ids)
-            num_tokens = max(num_tokens, s)
+        if build_encoding:
+            # Subword-encode every prompt word; num_tokens = max(2 + Σ|sub|).
+            encode = self.subword.encode
+            prefix_ids = [encode(w) for w in prompt_prefix]
+            prefix_total = sum(len(x) for x in prefix_ids)
+            per_doc_ids: list[list[list[int]]] = []
+            num_tokens = 0
+            for words in token_texts:
+                doc_ids = [encode(w) for w in words]
+                per_doc_ids.append(doc_ids)
+                s = 2 + prefix_total + sum(len(x) for x in doc_ids)
+                num_tokens = max(num_tokens, s)
 
-        input_ids = np.zeros((batch_size, num_tokens), dtype=np.int64)
-        attention_mask = np.zeros((batch_size, num_tokens), dtype=np.int64)
-        words_mask = np.zeros((batch_size, num_tokens), dtype=np.int64)
+            input_ids = np.zeros((batch_size, num_tokens), dtype=np.int64)
+            attention_mask = np.zeros((batch_size, num_tokens), dtype=np.int64)
+            words_mask = np.zeros((batch_size, num_tokens), dtype=np.int64)
 
-        for p in range(batch_size):
-            row_ids: list[int] = [1]  # CLS (processor.cpp:93)
-            wmask: list[int] = [0]
-            for sub in prefix_ids:  # prompt words: words_mask stays 0
-                row_ids.extend(sub)
-                wmask.extend([0] * len(sub))
-            word_id = 1
-            for sub in per_doc_ids[p]:
-                wmask.append(word_id)  # first subtoken carries the word index
-                wmask.extend([0] * (len(sub) - 1))
-                row_ids.extend(sub)
-                word_id += 1
-            n = len(row_ids)
-            input_ids[p, :n] = row_ids
-            input_ids[p, n] = 2  # SEP right after last subtoken (processor.cpp:111-112)
-            attention_mask[p, : n + 1] = 1
-            words_mask[p, :n] = wmask
+            for p in range(batch_size):
+                row_ids: list[int] = [1]  # CLS (processor.cpp:93)
+                wmask: list[int] = [0]
+                for sub in prefix_ids:  # prompt words: words_mask stays 0
+                    row_ids.extend(sub)
+                    wmask.extend([0] * len(sub))
+                word_id = 1
+                for sub in per_doc_ids[p]:
+                    wmask.append(word_id)  # first subtoken carries the word index
+                    wmask.extend([0] * (len(sub) - 1))
+                    row_ids.extend(sub)
+                    word_id += 1
+                n = len(row_ids)
+                input_ids[p, :n] = row_ids
+                input_ids[p, n] = 2  # SEP after last subtoken (processor.cpp:111-112)
+                attention_mask[p, : n + 1] = 1
+                words_mask[p, :n] = wmask
+        else:
+            num_tokens = 0
+            input_ids = np.zeros((batch_size, 0), dtype=np.int64)
+            attention_mask = input_ids
+            words_mask = input_ids
 
         batch = EncodedBatch(
             batch_size=batch_size,
@@ -158,7 +175,7 @@ class GlinerProcessor:
             token_ends=token_ends,
             token_texts=token_texts,
         )
-        if cfg.model_type == SPAN_LEVEL:
+        if cfg.model_type == SPAN_LEVEL and build_span_grid:
             self._prepare_spans(batch)
         return batch
 

@@ -212,6 +212,16 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
     }
 
+    import ray as _ray
+
+    try:
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        _ncpu = 8
+    # task granularity for downstream scans: a handful of tasks per CPU
+    # (hundreds of ~100ms tasks pay more dispatch than compute)
+    _scan_blocks = max(8, 4 * _ncpu)
+
     def read_stage(name, schema=None, columns=None):
         path = os.path.join(out_root, name)
         if not any(
@@ -230,7 +240,12 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             return rd.from_arrow(empty)
         # prune at the read: checkpoints are re-scanned by several
         # downstream stages, each needing only a few columns
-        return rd.read_parquet(path, file_extensions=["parquet"], columns=columns)
+        return rd.read_parquet(
+            path,
+            file_extensions=["parquet"],
+            columns=columns,
+            override_num_blocks=_scan_blocks,
+        )
 
     # --- stage 2: triples + linking -----------------------------------
     linked_dir = os.path.join(out_root, "linked")

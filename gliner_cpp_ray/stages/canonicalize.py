@@ -157,15 +157,19 @@ def canon_of(canon_map: dict, surface: str, label: str, qid: str) -> str:
 
 def _canon_series(canon_map, df: pd.DataFrame, s_col: str, l_col: str, q_col: str) -> pd.Series:
     """Vectorized canon resolution: Python work only on the batch-DISTINCT
-    (surface, label, qid) keys, mapped back with a categorical merge —
-    web text repeats surfaces heavily, so distinct ≪ rows."""
+    (surface, label, qid) keys, mapped back with a hash merge — web text
+    repeats surfaces heavily, so distinct ≪ rows."""
     uniq = df[[s_col, l_col, q_col]].drop_duplicates()
-    mapping = {
-        (s, l, q): canon_of(canon_map, s, l, q)
-        for s, l, q in uniq.itertuples(index=False)
-    }
-    keys = pd.MultiIndex.from_frame(df[[s_col, l_col, q_col]])
-    return keys.map(mapping)
+    uniq = uniq.assign(
+        __canon=[
+            canon_of(canon_map, s, l, q)
+            for s, l, q in uniq.itertuples(index=False)
+        ]
+    )
+    merged = df[[s_col, l_col, q_col]].merge(
+        uniq, on=[s_col, l_col, q_col], how="left", copy=False
+    )
+    return merged["__canon"].to_numpy()
 
 
 def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:

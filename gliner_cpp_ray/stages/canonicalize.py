@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from gliner_cpp_ray.sources import world
 from gliner_cpp_ray.stages.linking import EntityLinker, default_linker
@@ -155,21 +156,32 @@ def canon_of(canon_map: dict, surface: str, label: str, qid: str) -> str:
     return canon_map["surface"].get((norm, label), norm)
 
 
-def _canon_series(canon_map, df: pd.DataFrame, s_col: str, l_col: str, q_col: str) -> pd.Series:
-    """Vectorized canon resolution: Python work only on the batch-DISTINCT
-    (surface, label, qid) keys, mapped back with a hash merge — web text
-    repeats surfaces heavily, so distinct ≪ rows."""
-    uniq = df[[s_col, l_col, q_col]].drop_duplicates()
-    uniq = uniq.assign(
-        __canon=[
-            canon_of(canon_map, s, l, q)
-            for s, l, q in uniq.itertuples(index=False)
-        ]
-    )
-    merged = df[[s_col, l_col, q_col]].merge(
-        uniq, on=[s_col, l_col, q_col], how="left", copy=False
-    )
-    return merged["__canon"].to_numpy()
+def _dict_codes(col: pa.ChunkedArray) -> tuple[np.ndarray, list[str]]:
+    d = pc.dictionary_encode(col.combine_chunks())
+    return np.asarray(d.indices, dtype=np.int64), d.dictionary.to_pylist()
+
+
+def _canon_codes(canon_map, batch, s_col, l_col, q_col, canon_vocab: dict) -> np.ndarray:
+    """Per-row integer canon ids via Arrow dictionary codes — the Python
+    loop touches only batch-DISTINCT (surface, label, qid) keys; no
+    pandas string factorization anywhere."""
+    si, sd = _dict_codes(batch.column(s_col))
+    li, ld = _dict_codes(batch.column(l_col))
+    qi, qd = _dict_codes(batch.column(q_col))
+    combined = (si * len(ld) + li) * len(qd) + qi
+    uniq, inverse = np.unique(combined, return_inverse=True)
+    canon_ids = np.empty(len(uniq), dtype=np.int64)
+    for k, code in enumerate(uniq):
+        q = int(code) % len(qd)
+        rest = int(code) // len(qd)
+        l = rest % len(ld)
+        s = rest // len(ld)
+        canon = canon_of(canon_map, sd[s], ld[l], qd[q])
+        cid = canon_vocab.get(canon)
+        if cid is None:
+            cid = canon_vocab[canon] = len(canon_vocab)
+        canon_ids[k] = cid
+    return canon_ids[inverse]
 
 
 def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:
@@ -177,18 +189,42 @@ def rewrite_triples_to_canon(batch: pa.Table, canon_map: dict) -> pa.Table:
     (subj_canon, pred, obj_canon, count, prov) — the combiner pattern:
     reduce inside map_batches so the groupby shuffle moves one row per
     distinct triple per batch, not one per occurrence.  ``prov`` samples
-    one doc id per triple per batch (merged + capped in the reduce)."""
-    df = batch.select(
-        ["subj", "subj_label", "subj_qid", "pred", "obj", "obj_label", "obj_qid", "doc_id"]
-    ).to_pandas()
-    df["subj_canon"] = _canon_series(canon_map, df, "subj", "subj_label", "subj_qid")
-    df["obj_canon"] = _canon_series(canon_map, df, "obj", "obj_label", "obj_qid")
-    agg = df.groupby(["subj_canon", "pred", "obj_canon"], sort=True).agg(
-        count=("doc_id", "size"),
-        prov=("doc_id", "min"),  # vectorized sample; reduce merges/caps
+    one doc id per triple per batch (merged + capped in the reduce).
+
+    Entirely integer-coded (Arrow dictionary indices + np.unique): at
+    millions of rows per block, pandas string hashing was the hot spot.
+    """
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "subj_canon": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj_canon": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64()),
+                "prov": pa.array([], pa.list_(pa.string())),
+            }
+        )
+    canon_vocab: dict[str, int] = {}
+    subj_c = _canon_codes(canon_map, batch, "subj", "subj_label", "subj_qid", canon_vocab)
+    obj_c = _canon_codes(canon_map, batch, "obj", "obj_label", "obj_qid", canon_vocab)
+    pred_i, pred_d = _dict_codes(batch.column("pred"))
+    group = (subj_c * len(pred_d) + pred_i) * len(canon_vocab) + obj_c
+    uniq, first_idx, counts = np.unique(group, return_index=True, return_counts=True)
+    canon_arr = np.array(sorted(canon_vocab, key=canon_vocab.get), dtype=object)
+    obj_u = uniq % len(canon_vocab)
+    rest = uniq // len(canon_vocab)
+    pred_u = rest % len(pred_d)
+    subj_u = rest // len(pred_d)
+    docs = batch.column("doc_id").take(pa.array(first_idx)).to_pylist()
+    agg = pd.DataFrame(
+        {
+            "subj_canon": canon_arr[subj_u],
+            "pred": np.array(pred_d, dtype=object)[pred_u],
+            "obj_canon": canon_arr[obj_u],
+            "count": counts.astype(np.int64),
+            "prov": [[d] for d in docs],
+        }
     )
-    agg = agg.reset_index()
-    agg["prov"] = agg["prov"].map(lambda d: [d])
     return pa.table(
         {
             "subj_canon": pa.array(agg["subj_canon"], pa.string()),

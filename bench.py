@@ -59,7 +59,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
     out_root = f"/tmp/kgray_bench/run_{os.getpid()}"
     shutil.rmtree(out_root, ignore_errors=True)
 
-    pool = max(2, int(num_cpus * 0.75))
+    # leave ~4 cores for read/write/shuffle tasks on big hosts, ~25% on
+    # small ones
+    pool = max(2, int(num_cpus * 0.75), num_cpus - 4)
     cfg = KGPipelineConfig(
         ner_concurrency=(pool, pool),  # fixed-size pool: no autoscaling ramp
         link_concurrency=(1, max(1, num_cpus // 8)),

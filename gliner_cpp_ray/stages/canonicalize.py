@@ -267,32 +267,39 @@ def canonize_mentions(batch: pa.Table, canon_map: dict) -> pa.Table:
 
 
 def _mention_partials(batch: pa.Table, canon_map: dict, linker: EntityLinker) -> pa.Table:
-        # combiner: count per (surface, label) with pandas, then resolve
-        # canon once per distinct surface (batch-local vocabulary)
-        df = (
-            pd.DataFrame(
-                {
-                    "surface": batch.column("text").to_pandas(),
-                    "label": batch.column("label").to_pandas(),
-                }
-            )
-            .groupby(["surface", "label"], sort=True)
-            .size()
-            .reset_index(name="count")
-        )
-        canons = []
-        for surface, label in zip(df["surface"], df["label"]):
-            cands = linker.candidates(surface, label)
-            qid = cands[0] if len(cands) == 1 else ""
-            canons.append(canon_of(canon_map, surface, label, qid))
+    # integer-coded combiner: count per (surface, label) via dictionary
+    # codes + np.unique; canon resolution runs once per distinct surface
+    if batch.num_rows == 0:
         return pa.table(
             {
-                "canon_id": pa.array(canons, pa.string()),
-                "surface": pa.array(df["surface"], pa.string()),
-                "label": pa.array(df["label"], pa.string()),
-                "count": pa.array(df["count"].to_numpy(np.int64)),
+                "canon_id": pa.array([], pa.string()),
+                "surface": pa.array([], pa.string()),
+                "label": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64()),
             }
         )
+    si, sd = _dict_codes(batch.column("text"))
+    li, ld = _dict_codes(batch.column("label"))
+    combined = si * len(ld) + li
+    uniq, counts = np.unique(combined, return_counts=True)
+    surfaces, labels, canons = [], [], []
+    for code in uniq:
+        l = int(code) % len(ld)
+        s = int(code) // len(ld)
+        surface, label = sd[s], ld[l]
+        cands = linker.candidates(surface, label)
+        qid = cands[0] if len(cands) == 1 else ""
+        surfaces.append(surface)
+        labels.append(label)
+        canons.append(canon_of(canon_map, surface, label, qid))
+    return pa.table(
+        {
+            "canon_id": pa.array(canons, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "label": pa.array(labels, pa.string()),
+            "count": pa.array(counts.astype(np.int64)),
+        }
+    )
 
 
 class TripleEndpointCanonizer:

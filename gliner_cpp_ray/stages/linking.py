@@ -83,29 +83,41 @@ class EntityLinker:
     def embedding(self, qid: str) -> np.ndarray | None:
         return self._emb.get(qid)
 
-    def _resolve_unambiguous(self, surfaces: list[str], labels: list[str]):
-        """qid per row for the easy cases; None marks an ambiguous surface.
-        Dictionary lookups run once per DISTINCT (surface, label) key —
-        web text repeats surfaces heavily, so this is the fast path."""
-        cache: dict[tuple[str, str], str | None] = {}
-        out: list[str | None] = []
-        for s, l in zip(surfaces, labels):
-            key = (s, l)
-            if key not in cache:
-                c = self.candidates(s, l)
-                cache[key] = "" if not c else (c[0] if len(c) == 1 else None)
-            out.append(cache[key])
-        return out
+    def _resolve_unambiguous(self, batch: pa.Table, s_col: str, l_col: str):
+        """Per-row qid for the easy cases; None marks an ambiguous
+        surface.  Integer-coded: dictionary lookups run once per batch-
+        DISTINCT (surface, label) key — web text repeats surfaces
+        heavily, so the per-row path is a NumPy gather."""
+        import pyarrow.compute as pc
+
+        sdict = pc.dictionary_encode(batch.column(s_col).combine_chunks())
+        ldict = pc.dictionary_encode(batch.column(l_col).combine_chunks())
+        si = np.asarray(sdict.indices, dtype=np.int64)
+        li = np.asarray(ldict.indices, dtype=np.int64)
+        sd = sdict.dictionary.to_pylist()
+        ld = ldict.dictionary.to_pylist()
+        combined = si * len(ld) + li
+        uniq, inverse = np.unique(combined, return_inverse=True)
+        vals = np.empty(len(uniq), dtype=object)
+        for k, code in enumerate(uniq):
+            s, l = sd[int(code) // len(ld)], ld[int(code) % len(ld)]
+            c = self.candidates(s, l)
+            vals[k] = "" if not c else (c[0] if len(c) == 1 else None)
+        return list(vals[inverse])
 
     # -- triples batch: link subj & obj with cross-context -------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            out = batch.append_column("subj_qid", pa.array([], pa.string()))
+            out = out.append_column("obj_qid", pa.array([], pa.string()))
+            return out.append_column("link_score", pa.array([], pa.float32()))
         subj = batch.column("subj").to_pylist()
         obj = batch.column("obj").to_pylist()
         sl = batch.column("subj_label").to_pylist()
         ol = batch.column("obj_label").to_pylist()
-        subj_qid = self._resolve_unambiguous(subj, sl)
-        obj_qid = self._resolve_unambiguous(obj, ol)
+        subj_qid = self._resolve_unambiguous(batch, "subj", "subj_label")
+        obj_qid = self._resolve_unambiguous(batch, "obj", "obj_label")
         score = np.ones(n, dtype=np.float32)
         # slow path only for rows touching an ambiguous surface:
         # resolve the unambiguous side first, use it as re-rank context

@@ -63,10 +63,15 @@ def extract_relations(batch: pa.Table, patterns: dict[str, str] | None = None) -
     key = pc.binary_join_element_wise(
         batch.column("label"), batch.column("gap_next"), batch.column("next_label"), sep
     )
-    # vectorized dict lookup over the (few) distinct keys in the batch
-    keys = pd.Series(key.to_pandas())
-    preds = keys.map(pats)
-    idx = np.flatnonzero(preds.notna().to_numpy())
+    # dictionary-encode, then Python-dict lookup ONLY over the distinct
+    # keys of the batch (no per-row string hashing)
+    enc = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
+    dict_preds = np.array(
+        [pats.get(k) for k in enc.dictionary.to_pylist()], dtype=object
+    )
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    preds_per_row = dict_preds[codes]
+    idx = np.flatnonzero(preds_per_row != None)  # noqa: E711 (object array)
     sel = batch.take(pa.array(idx))
     prob = pc.min_element_wise(sel.column("prob"), sel.column("next_prob"))
     return pa.table(
@@ -74,7 +79,7 @@ def extract_relations(batch: pa.Table, patterns: dict[str, str] | None = None) -
             "doc_id": sel.column("doc_id"),
             "url": sel.column("url"),
             "subj": sel.column("text"),
-            "pred": pa.array(preds.iloc[idx].to_numpy(), pa.string()),
+            "pred": pa.array(preds_per_row[idx], pa.string()),
             "obj": sel.column("next_text"),
             "subj_label": sel.column("label"),
             "obj_label": sel.column("next_label"),

@@ -122,9 +122,10 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     be — at sf0.1's 20k pages the whole pipeline finishes in seconds and
     fixed orchestration latency (job submit, actor spawn, shuffle
     barriers) would dominate the ratio."""
-    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "1000000")
+    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "4000000")
+    repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "2"))
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -140,6 +141,11 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N (BASELINE.md protocol): shields the ratio from
+        # transient host noise
+        return min((run_once(ncpu) for _ in range(repeats)), key=lambda r: r["value"])
 
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -89,3 +89,18 @@ def test_lsh_topk_recall_vs_brute_force(ray_session):
         have = set(approx[approx["query_id"] == qid]["vec_id"])
         recall = len(want & have) / len(want)
         assert recall >= 0.5, f"recall {recall} too low for q{qid}"
+
+
+def test_embedding_near_dup_clusters(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import embedding_near_dup_clusters
+
+    tbl, m = _emb_table(120, 16, seed=2)
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = embedding_near_dup_clusters(
+        ds, np.arange(len(m)), m, threshold=0.999
+    )
+    by_id = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert by_id[3] == by_id[7] == 3  # planted colinear pair
+    assert by_id[10] == 10

@@ -432,6 +432,9 @@ _STOP_SQL = "('the','and','of','a','to','in','is','it','for','on','with')"
 
 
 def oracle_sql():
+    # the KG oracles read the synthetic corpus parquet from /tmp — make
+    # sure it exists even if the driver evaluates SQL before the query
+    ensure_corpus(n_pages_for_sf(_SQL_SF), KG_SEED)
     return oracle_sql_for_corpus(_ORACLE_CORPUS)
 
 

@@ -24,7 +24,6 @@ from dataclasses import dataclass, field
 
 import pyarrow.dataset as pads
 
-from gliner_cpp_ray.sources import world
 from gliner_cpp_ray.stages.canonicalize import (
     build_canon_map,
     canonize_mentions,

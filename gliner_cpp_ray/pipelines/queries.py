@@ -30,11 +30,7 @@ import pyarrow.parquet as pq
 
 from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
 from gliner_cpp_ray.sources.pages import corpus_dir_for, ensure_corpus, n_pages_for_sf
-from gliner_cpp_ray.stages.dedup import (
-    add_content_hash,
-    exact_dedup,
-    minhash_dedup_clusters,
-)
+from gliner_cpp_ray.stages.dedup import exact_dedup, minhash_dedup_clusters
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
 from gliner_cpp_ray.stages.similarity import NearDupScorer, brute_force_topk
 from gliner_cpp_ray.stages.text_analysis import (

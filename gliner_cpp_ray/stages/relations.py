@@ -13,7 +13,6 @@ of SURVEY.md §1.2's struct spans).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -122,7 +122,7 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     be — at sf0.1's 20k pages the whole pipeline finishes in seconds and
     fixed orchestration latency (job submit, actor spawn, shuffle
     barriers) would dominate the ratio."""
-    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "4000000")
+    scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "8000000")
     repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "2"))
 
     def run_once(ncpu: int) -> dict:

@@ -208,11 +208,49 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     """
     from gliner_cpp_ray.state.union_find import UnionFind
 
+    from ray.data.aggregate import Count
+
     signer_kwargs = signer_kwargs or {}
+    # materialize: the signature table is consumed twice (bucket counts,
+    # then the hot-bucket semi-join) and is small relative to the corpus
+    # (num_perm*8B + band keys per doc) — re-signing would double the
+    # dominant cost
     sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=(1, 4)).materialize()
+
+    # Most band buckets are singletons; running the pair-expansion
+    # map_groups over every bucket pays per-group overhead for nothing.
+    # 1) count per bucket (cheap grouped aggregate), 2) broadcast the
+    # (dup-density-bounded) set of COLLIDED buckets, 3) semi-join the
+    # signature rows, 4) pair-expand only the survivors.
+    counts = (
+        sigs.select_columns(["band_id", "band_key"])
+        .repartition(8)
+        .groupby(["band_id", "band_key"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    hot = counts[counts["n"] >= 2]
+    hot_keys = set(
+        zip(hot["band_id"].astype(int), hot["band_key"].astype(np.uint64))
+    )
+    if not hot_keys:
+        all_ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        return pd.DataFrame({"doc_id": all_ids, "cluster_id": all_ids})
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        bids = t.column("band_id").to_numpy(zero_copy_only=False)
+        bkeys = t.column("band_key").to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((int(b), np.uint64(k)) in hot_keys for b, k in zip(bids, bkeys)),
+            dtype=bool,
+            count=len(bids),
+        )
+        return t.filter(pa.array(mask))
+
     cands = (
-        sigs.repartition(8)
+        sigs.map_batches(keep_hot, batch_format="pyarrow")
+        .repartition(8)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_candidate_pairs, batch_format="pandas")
     )

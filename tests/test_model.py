@@ -68,3 +68,30 @@ def test_unicode_byte_offsets_e2e():
     (s,) = out[0]
     assert s.text == "Київ"
     assert text.encode("utf-8")[s.start : s.end].decode("utf-8") == "Київ"
+
+
+def test_lean_and_full_prep_paths_agree():
+    """Skipping ONNX tensor assembly for the stub scorer must not change
+    decoded spans (the decode depends only on tokens + logits)."""
+
+    class FullPathGazetteer(GazetteerScoringModel):
+        needs_encoding = True
+        needs_span_grid = True
+
+    texts = [
+        "Kyiv is the capital of Ukraine.",
+        "Marie Curie was born in Warsaw.",
+        "nothing to see here",
+    ]
+    labels = ["city", "country", "person"]
+    lean = GlinerModel(GazetteerScoringModel(GAZ), GlinerConfig())
+    full = GlinerModel(FullPathGazetteer(GAZ), GlinerConfig())
+    a = lean.inference(texts, labels)
+    b = full.inference(texts, labels)
+    assert [
+        [(s.start, s.end, s.text, s.label, round(s.prob, 6)) for s in doc]
+        for doc in a
+    ] == [
+        [(s.start, s.end, s.text, s.label, round(s.prob, 6)) for s in doc]
+        for doc in b
+    ]

@@ -61,17 +61,22 @@ def test_triples_match_expected_exactly(pipeline_out):
 
 
 def test_linking_resolves_ambiguous_alias(pipeline_out):
+    # "Victoria" is an ambiguous city alias; it appears as the SUBJECT of
+    # located_in sentences and must resolve via the object country
     out, _, corpus = pipeline_out
     linked = _read(out, "linked")
-    vic = linked[linked["obj"] == "Victoria"]
-    if len(vic) == 0:
-        pytest.skip("no Victoria triples at this corpus size")
+    vic = linked[linked["subj"] == "Victoria"]
+    assert len(vic) > 0, "corpus unexpectedly contains no Victoria triples"
     exp = pd.read_parquet(os.path.join(corpus, "expected_triples"))
-    exp_vic = exp[exp["obj"] == "Victoria"].set_index(["doc_id", "subj", "pred"])
+    exp_vic = exp[exp["subj"] == "Victoria"].drop_duplicates(
+        subset=["doc_id", "pred", "obj"]
+    ).set_index(["doc_id", "pred", "obj"])
     for _, row in vic.iterrows():
-        want = exp_vic.loc[(row.doc_id, row.subj, row.pred)]["obj_canon"]
+        want = exp_vic.loc[(row.doc_id, row.pred, row.obj)]["subj_canon"]
         want = want.iloc[0] if hasattr(want, "iloc") else want
-        got_canon = "Victoria (Canada)" if "canada" in row.obj_qid else "Victoria (Australia)"
+        got_canon = (
+            "Victoria (Canada)" if "canada" in row.subj_qid else "Victoria (Australia)"
+        )
         assert got_canon == want
 
 

@@ -123,7 +123,23 @@ def _scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     fixed orchestration latency (job submit, actor spawn, shuffle
     barriers) would dominate the ratio."""
     scaling_pages = os.environ.get("KGRAY_SCALING_PAGES", "8000000")
-    repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "1"))
+
+    # generate the corpus ONCE here at full host parallelism, so the
+    # 8-CPU child doesn't pay a many-minute generation bill
+    import ray
+
+    ray.init(
+        address="local",
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from gliner_cpp_ray.pipelines.queries import KG_SEED
+    from gliner_cpp_ray.sources.pages import ensure_corpus
+
+    ensure_corpus(int(scaling_pages), KG_SEED)
+    ray.shutdown()
 
     def run_once(ncpu: int) -> dict:
         env = dict(

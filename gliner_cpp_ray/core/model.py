@@ -139,13 +139,95 @@ class GazetteerScoringModel:
         return logits.ravel()
 
 
-class OnnxScoringModel:
-    """Real ONNX Runtime session (requires the ``onnxruntime`` wheel)."""
+class EncodedGazetteerScoringModel(GazetteerScoringModel):
+    """Gazetteer stub that CONSUMES the dense ONNX encoding.
+
+    Unlike the base class (which reads token texts and skips tensor
+    assembly), this scorer requires ``build_encoding``/``build_span_grid``
+    and derives its candidate set from the tensors themselves, the way
+    the real model does:
+
+    * spans come from ``span_idx`` rows where ``span_mask`` is set —
+      NOT from re-enumerating the text (so a wrong span grid produces
+      wrong output, which is the point);
+    * per-row word counts are cross-checked against ``text_lengths``
+      and the max 1-based index in ``words_mask`` (so a words_mask
+      layout bug — e.g. marking a prompt subtoken — fails loudly).
+
+    Only the surface lookup still reads ``token_texts``: hash subword
+    ids are irreversible, so no stub can recover strings from
+    ``input_ids`` alone.  Logit layout is identical to the base class
+    (``[B, num_words, max_width, E]`` row-major, decoder.cpp:76-121).
+    """
 
     needs_encoding = True
     needs_span_grid = True
 
-    def __init__(self, model_path: str, model_type: str = SPAN_LEVEL, providers=None):
+    def run(
+        self, batch: EncodedBatch, texts: list[str], entities: list[str]
+    ) -> np.ndarray:
+        if batch.model_type != SPAN_LEVEL:
+            return super().run(batch, texts, entities)
+        if batch.span_idx is None or batch.input_ids.size == 0:
+            raise ValueError(
+                "EncodedGazetteerScoringModel needs the dense encoding; "
+                "prepare_batch was called with build_encoding=False"
+            )
+        B, W, E = batch.batch_size, batch.num_words, len(entities)
+        K = batch.max_width
+        ent_pos = {lbl: i for i, lbl in enumerate(entities)}
+        logits = np.full((B, W, K, E), self.miss_logit, dtype=np.float32)
+        for b in range(B):
+            words = batch.token_texts[b]
+            n_words = int(batch.text_lengths[b, 0])
+            marked = int(batch.words_mask[b].max(initial=0))
+            if marked > n_words:
+                raise ValueError(
+                    f"words_mask marks word index {marked} beyond "
+                    f"text_lengths {n_words} (encoding layout bug)"
+                )
+            for s in np.flatnonzero(batch.span_mask[b]):
+                i, j = batch.span_idx[b, s]
+                i, j = int(i), int(j)
+                hits = self._index.get(words[i]) if i < len(words) else None
+                if not hits:
+                    continue
+                tup = tuple(words[i : j + 1])
+                for t2, label, lg in hits:
+                    e = ent_pos.get(label)
+                    if e is not None and t2 == tup:
+                        logits[b, i, j - i, e] = lg
+        return logits.ravel()
+
+
+class OnnxScoringModel:
+    """ONNX Runtime scoring session.
+
+    Feeds the reference's exact named tensors (model.cpp:59-66) — span
+    mode: ``input_ids, attention_mask, words_mask, text_lengths,
+    span_idx, span_mask``; token mode: the first four — and reads
+    ``logits``.  ``session`` injects a pre-built session object (any
+    object with ``.run(output_names, feeds)``), used by tests to
+    exercise the feed construction without the ``onnxruntime`` wheel;
+    when absent, the wheel is required and the session is built from
+    ``model_path`` with the CPU provider by default (CUDA providers can
+    be passed through ``providers``, mirroring model.cpp:71-77).
+    """
+
+    needs_encoding = True
+    needs_span_grid = True
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        model_type: str = SPAN_LEVEL,
+        providers=None,
+        session=None,
+    ):
+        self.model_type = model_type
+        if session is not None:
+            self._sess = session
+            return
         try:
             import onnxruntime as ort  # type: ignore
         except ImportError as exc:  # pragma: no cover - wheel absent in sandbox
@@ -153,14 +235,13 @@ class OnnxScoringModel:
                 "onnxruntime is not installed; use GazetteerScoringModel "
                 "or install onnxruntime for numeric parity"
             ) from exc
-        self.model_type = model_type
-        self._sess = ort.InferenceSession(
+        self._sess = ort.InferenceSession(  # pragma: no cover - needs wheel
             model_path, providers=providers or ["CPUExecutionProvider"]
         )
 
     def run(
         self, batch: EncodedBatch, texts: list[str], entities: list[str]
-    ) -> np.ndarray:  # pragma: no cover - needs wheel
+    ) -> np.ndarray:
         feeds = {
             "input_ids": batch.input_ids,
             "attention_mask": batch.attention_mask,

@@ -146,9 +146,16 @@ class GlinerProcessor:
                     wmask.extend([0] * len(sub))
                 word_id = 1
                 for sub in per_doc_ids[p]:
-                    wmask.append(word_id)  # first subtoken carries the word index
-                    wmask.extend([0] * (len(sub) - 1))
-                    row_ids.extend(sub)
+                    if sub:  # first subtoken carries the word index
+                        wmask.append(word_id)
+                        wmask.extend([0] * (len(sub) - 1))
+                        row_ids.extend(sub)
+                    # A word that encodes to ZERO subtokens contributes no
+                    # positions; its index mark is simply never written —
+                    # matching the reference, where wordsMasks is indexed
+                    # by token position and an empty encode writes nothing
+                    # (processor.cpp:97-110).  word_id still advances so
+                    # later words keep their 1-based text-word indices.
                     word_id += 1
                 n = len(row_ids)
                 input_ids[p, :n] = row_ids

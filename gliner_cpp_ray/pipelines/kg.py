@@ -25,12 +25,13 @@ from dataclasses import dataclass, field
 import pyarrow.dataset as pads
 
 from gliner_cpp_ray.stages.canonicalize import (
+    add_key_bucket,
     build_canon_map,
     canonize_mentions,
     canonize_triple_endpoints,
     collect_surface_pairs,
-    reduce_edge_group,
-    reduce_node_group,
+    reduce_edge_bucket,
+    reduce_node_bucket,
     rewrite_triples_to_canon,
 )
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
@@ -324,6 +325,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         "doc_id", "subj", "pred", "obj", "subj_label", "obj_label",
         "subj_qid", "obj_qid",
     ]
+    _EDGE_KEY_COLS = ["subj_canon", "pred", "obj_canon"]
     _ENDPOINT_COLS = [
         "subj", "obj", "subj_label", "obj_label", "subj_qid", "obj_qid",
     ]
@@ -335,10 +337,17 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             fn_kwargs={"canon_map": canon_map},
             batch_format="pyarrow",
         )
+        # shuffle on a HASH BUCKET of the triple key, not the key itself:
+        # the reduce then runs once per bucket (vectorized pandas groupby
+        # over every key in it) instead of once per distinct triple —
+        # per-key map_groups was the r1 reducer hotspot
         edges = (
-            partial.repartition(cfg.reduce_partitions)
-            .groupby(["subj_canon", "pred", "obj_canon"])
-            .map_groups(reduce_edge_group, batch_format="pandas")
+            partial.map_batches(
+                lambda df: add_key_bucket(df, _EDGE_KEY_COLS, cfg.reduce_partitions),
+                batch_format="pandas",
+            )
+            .groupby("__bucket")
+            .map_groups(reduce_edge_bucket, batch_format="pandas")
             .sort("subj_canon")
         )
         edges.write_parquet(path)
@@ -365,9 +374,12 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         )
         nodes = (
             partial.union(endpoint_partial)
-            .repartition(cfg.reduce_partitions)
-            .groupby("canon_id")
-            .map_groups(reduce_node_group, batch_format="pandas")
+            .map_batches(
+                lambda df: add_key_bucket(df, ["canon_id"], cfg.reduce_partitions),
+                batch_format="pandas",
+            )
+            .groupby("__bucket")
+            .map_groups(reduce_node_bucket, batch_format="pandas")
             .sort("canon_id")
         )
         nodes.write_parquet(path)

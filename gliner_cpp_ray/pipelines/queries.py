@@ -32,7 +32,13 @@ from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
 from gliner_cpp_ray.sources.pages import corpus_dir_for, ensure_corpus, n_pages_for_sf
 from gliner_cpp_ray.stages.dedup import exact_dedup, minhash_dedup_clusters
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
-from gliner_cpp_ray.stages.similarity import NearDupScorer, brute_force_topk
+from gliner_cpp_ray.stages.similarity import (
+    LshBucketer,
+    NearDupScorer,
+    brute_force_topk,
+    lsh_near_dup_pairs,
+    lsh_topk,
+)
 from gliner_cpp_ray.stages.text_analysis import (
     LangId,
     fingerprints,
@@ -184,6 +190,48 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qm, qids, k=10)
 
 
+# LSH configuration shared by the bucketed queries AND their oracles —
+# the oracle SQL embeds these exact hyperplanes as literals, so the
+# driver verifies the bucketed semantics (codes, hamming prune, band
+# collision) rather than treating LSH as un-checkable.
+_LSH_SEED = 23
+_LSH_DIM = 64  # embeddings testdata dim at every sf
+_ANN_BITS = 16
+_ANN_MAX_HAMMING = 6  # prunes ~77% of candidates (binom(16,.5) tail)
+_NDUP_BITS = 32
+_NDUP_BANDS = 4
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """Bucketed approximate top-10: score only vectors whose 16-bit LSH
+    code is within hamming 6 of the query code — the scale path (the
+    exact ``ann_topk`` is the small-N verify).  Oracle-checked: the SQL
+    replicates the same hyperplanes + hamming filter literally."""
+    tbl = pq.read_table(
+        _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    qmask = pc.less(tbl.column("vec_id"), 8)
+    qtbl = tbl.filter(qmask)
+    qids = np.asarray(qtbl.column("vec_id"))
+    qm = np.stack([np.asarray(x) for x in qtbl.column("embedding").to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(
+        ds, qm, qids, k=10, bits=_ANN_BITS, max_hamming=_ANN_MAX_HAMMING,
+        seed=_LSH_SEED,
+    )
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """Bucketed near-dup pairs: candidates only within shared LSH bands
+    (no broadcast matrix, no all-pairs — the 100 TB shape), cosine-
+    verified at 0.4.  Oracle replicates the band filter literally."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_near_dup_pairs(
+        ds, dim=_LSH_DIM, threshold=0.4, bits=_NDUP_BITS, bands=_NDUP_BANDS,
+        seed=_LSH_SEED,
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Exact all-pairs cosine > 0.4 (a < b; threshold chosen so the
     testdata embeddings — random vectors, max pair cosine ~0.51 — yield a
@@ -210,6 +258,33 @@ def q_embedding_near_dup(sf_dir: str):
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
         )
     return df
+
+
+# ------------------------------------------------------------ multimodal
+
+def q_media_byte_stats(sf_dir: str):
+    """Multimodal plumbing over real driver data: derive an opaque
+    ``binary`` payload column (utf-8 bytes of the document text — the
+    schema/actor shape is identical for image/audio payloads) and run
+    the byte-feature stage with a SMALL batch size, the memory-aware
+    pattern for large binary rows."""
+    from gliner_cpp_ray.stages.multimodal import byte_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        lambda t: byte_stats(t, id_col="doc_id"),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
 
 
 # ---------------------------------------------------------------- events
@@ -334,28 +409,37 @@ def q_order_lineitem_join(sf_dir: str):
 # ----------------------------------------------------------- relational
 
 def q_orders_by_nation(sf_dir: str):
-    """Broadcast hash join: orders ⋈ customer ⋈ nation (small dims)."""
-    from ray.data.aggregate import Count
+    """orders ⋈ customer ⋈ nation with scale-correct movement: orders
+    are PRE-AGGREGATED to one row per custkey (combinable Count — the
+    only corpus-sized shuffle), then bucket-hash-joined against the
+    customer table (also corpus-sized at real TPC-H scale, so it must
+    NOT be a driver-side dict), and only the 25-row nation dim is
+    broadcast."""
+    from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(_sf_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join, broadcast_lookup_join
+
     nat = pq.read_table(_sf_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    nation_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    cust_nation = {
-        c: nation_of[nk]
-        for c, nk in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    nation_of = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
 
-    def attach(t: pa.Table) -> pa.Table:
-        nations = [cust_nation[c] for c in t.column("o_custkey").to_pylist()]
-        return pa.table({"nation": pa.array(nations, pa.string())})
-
+    per_cust = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(per_cust, cust, on="o_custkey", n_buckets=8)
+    with_nation = broadcast_lookup_join(
+        joined, nation_of, key="c_nationkey", out_col="nation"
+    )
     return (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .groupby("nation")
-        .aggregate(Count(alias_name="n_orders"))
+        with_nation.groupby("nation")
+        .aggregate(Sum("n", alias_name="n_orders"))
     )
 
 
@@ -408,8 +492,11 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "minhash_clusters": q_minhash_clusters,
+        "media_byte_stats": q_media_byte_stats,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "top_users_by_value": q_top_users_by_value,
         "events_hourly": q_events_hourly,
         "events_sliding_3h": q_events_sliding_3h,
@@ -427,6 +514,67 @@ def queries():
 _STOP_SQL = "('the','and','of','a','to','in','is','it','for','on','with')"
 
 
+def _lsh_planes(bits: int) -> np.ndarray:
+    return LshBucketer(_LSH_DIM, bits=bits, seed=_LSH_SEED).planes
+
+
+def _bit_exprs(planes: np.ndarray, emb: str = "embedding") -> list[str]:
+    """One 0/1 sign-bit expression per hyperplane, with the plane values
+    as SQL literals — float64 repr round-trips, and the sign of a
+    64-term inner product is far from the float32/float64 noise floor
+    (verified: 100% sign agreement numpy vs DuckDB on the testdata)."""
+    out = []
+    for k in range(planes.shape[1]):
+        lit = "[" + ",".join(repr(float(x)) for x in planes[:, k]) + "]"
+        out.append(
+            f"CASE WHEN list_inner_product({emb}, {lit}) > 0 THEN 1 ELSE 0 END AS b{k}"
+        )
+    return out
+
+
+def _ann_lsh_sql() -> str:
+    planes = _lsh_planes(_ANN_BITS)
+    bits = ", ".join(_bit_exprs(planes))
+    ham = " + ".join(
+        f"CASE WHEN e.b{k} <> q.b{k} THEN 1 ELSE 0 END"
+        for k in range(_ANN_BITS)
+    )
+    return (
+        f"WITH bits AS (SELECT vec_id, embedding, {bits} FROM embeddings), "
+        "q AS (SELECT * FROM bits WHERE vec_id < 8), "
+        "s AS (SELECT q.vec_id AS query_id, e.vec_id, "
+        "list_cosine_similarity(e.embedding, q.embedding) AS score, "
+        f"({ham}) AS ham "
+        "FROM bits e, q WHERE e.vec_id <> q.vec_id) "
+        "SELECT query_id, rank, vec_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+        f"FROM s WHERE ham <= {_ANN_MAX_HAMMING}) WHERE rank <= 10"
+    )
+
+
+def _near_dup_lsh_sql() -> str:
+    planes = _lsh_planes(_NDUP_BITS)
+    bits = ", ".join(_bit_exprs(planes))
+    band_bits = _NDUP_BITS // _NDUP_BANDS
+    bands = " OR ".join(
+        "("
+        + " AND ".join(
+            f"x.b{b * band_bits + k} = y.b{b * band_bits + k}"
+            for k in range(band_bits)
+        )
+        + ")"
+        for b in range(_NDUP_BANDS)
+    )
+    return (
+        f"WITH bits AS (SELECT vec_id, embedding, {bits} FROM embeddings) "
+        "SELECT x.vec_id AS a, y.vec_id AS b "
+        "FROM bits x JOIN bits y ON x.vec_id < y.vec_id "
+        "WHERE list_cosine_similarity(x.embedding, y.embedding) > 0.4 "
+        f"AND ({bands})"
+    )
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -440,6 +588,8 @@ def oracle_sql_for_corpus(corpus_dir: str):
     at; tests reuse this with a smaller corpus)."""
     pages_glob = os.path.join(corpus_dir, "pages", "*.parquet")
     expected_glob = os.path.join(corpus_dir, "expected_triples", "*.parquet")
+    mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
+    endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
         "kg_extracted_text": (
             f"SELECT url, text FROM read_parquet('{pages_glob}')"
@@ -452,10 +602,39 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"FROM read_parquet('{expected_glob}') "
             "GROUP BY subj_canon, pred, obj_canon"
         ),
-        # kg_mentions_by_label / kg_nodes / lang_id / minhash_clusters:
-        # not SQL-expressible (NER model / clustering) -> rows-only check.
+        # closed-form mention/node oracles: the generator records every
+        # injected mention occurrence (expected_mentions) and every
+        # ambiguous context-resolved triple endpoint (expected_endpoints)
+        # — see sources/pages.py MENTIONS_EXPECTED_SCHEMA.
+        "kg_mentions_by_label": (
+            "SELECT label, count(*) AS n_mentions "
+            f"FROM read_parquet('{mentions_glob}') GROUP BY label"
+        ),
+        "kg_nodes": (
+            # node mention_count = context-free mention attributions
+            # (ambiguous surfaces collapse to their NIL surface cluster)
+            # PLUS ambiguous-endpoint registrations from linked triples;
+            # every canon carries exactly one label in this world, so
+            # grouping by (canon_id, label) equals the pipeline's
+            # modal-label reduce.
+            "WITH m AS (SELECT canon_mention AS canon_id, label "
+            f"FROM read_parquet('{mentions_glob}')), "
+            f"e AS (SELECT canon_id, label FROM read_parquet('{endpoints_glob}')), "
+            "u AS (SELECT * FROM m UNION ALL SELECT * FROM e) "
+            "SELECT canon_id, label, count(*) AS mention_count "
+            "FROM u GROUP BY canon_id, label"
+        ),
+        # lang_id / minhash_clusters: not SQL-expressible (heuristic
+        # model / clustering) -> rows-only check.
+        # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
+        # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
+        # materializes as float64 — the driver then hashes 12345.0 vs
+        # Ray's int64 12345 and reports a value mismatch even though the
+        # numbers are identical (CORRECTNESS_r01: doc_stats_by_lang,
+        # top_users_by_value, lineitem_pricing).
         "doc_stats_by_lang": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "dedup_exact_docs": (
@@ -495,9 +674,17 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4"
         ),
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        "media_byte_stats": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "CAST(octet_length(encode(text)) - octet_length(encode("
+            "regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))) AS BIGINT) "
+            "AS n_hi_bytes FROM documents"
+        ),
         "top_users_by_value": (
             "SELECT user_id, count(*) AS n_events, "
-            "sum(CAST(floor(value * 1000000) AS BIGINT)) AS total_micro "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micro "
             "FROM events GROUP BY user_id "
             "ORDER BY total_micro DESC, user_id LIMIT 20"
         ),
@@ -531,7 +718,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "order_lineitem_join": (
             "SELECT o.o_orderpriority, count(*) AS n_items, "
-            "sum(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT)) AS revenue_micro "
+            "CAST(sum(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"
         ),
@@ -551,8 +738,8 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
-            "sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS sum_qty_micro, "
-            "sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS sum_price_micro "
+            "CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_micro, "
+            "CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_price_micro "
             "FROM lineitem WHERE l_quantity < 25.0 "
             "GROUP BY l_returnflag, l_linestatus"
         ),

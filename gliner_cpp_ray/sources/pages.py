@@ -55,6 +55,35 @@ EXPECTED_SCHEMA = pa.schema(
     ]
 )
 
+# one row per injected mention OCCURRENCE on an en page (relation
+# endpoints + mention-only sentences, × the skew repeat factor).
+# ``canon_mention`` is the canon id the CONTEXT-FREE mention
+# canonicalizer must assign: the entity canon when the (surface, label)
+# is unambiguous in the alias dictionary, else the normalized surface
+# (ambiguous mentions form a NIL surface cluster whose display name is
+# the surface itself — see canonicalize.build_canon_map).
+MENTIONS_EXPECTED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("label", pa.string()),
+        ("canon_mention", pa.string()),
+    ]
+)
+
+# one row per AMBIGUOUS triple-endpoint occurrence: the linker resolves
+# these from sentence context, so the node table additionally registers
+# the true entity (canonicalize.TripleEndpointCanonizer).
+ENDPOINTS_EXPECTED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("canon_id", pa.string()),
+        ("surface", pa.string()),
+        ("label", pa.string()),
+    ]
+)
+
 _LANGS = ["en", "de", "uk", "zh", "es"]
 _LANG_P = [0.80, 0.05, 0.05, 0.05, 0.05]
 
@@ -109,7 +138,9 @@ def _relation_sentence(rng: np.random.Generator):
     return sentence, (s, pred, o, sc, oc, subj_label, obj_label)
 
 
-def _mention_sentence(rng: np.random.Generator) -> str:
+def _mention_sentence(rng: np.random.Generator):
+    """Returns (sentence, (surface, label)) — same rng draws as before,
+    so page content is unchanged; only the mention record is new."""
     tmpl, label, kind = world.MENTION_ONLY_TEMPLATES[
         int(rng.integers(0, len(world.MENTION_ONLY_TEMPLATES)))
     ]
@@ -125,7 +156,7 @@ def _mention_sentence(rng: np.random.Generator) -> str:
     else:
         c = sorted(world.COUNTRIES)[int(rng.integers(0, len(world.COUNTRIES)))]
         s = _surface(rng, c, world.COUNTRIES[c])
-    return tmpl.format(**{kind: s})
+    return tmpl.format(**{kind: s}), (s, label)
 
 
 def _filler_sentence(rng: np.random.Generator, lang: str) -> str:
@@ -136,12 +167,17 @@ def _filler_sentence(rng: np.random.Generator, lang: str) -> str:
 
 
 def _page_plan(i: int, seed: int):
-    """Deterministic plan: (lang, title, paragraphs, records, repeat)."""
+    """Deterministic plan:
+    (lang, title, paragraphs, records, mention_records, repeat) where
+    ``mention_records`` lists every injected (surface, label) occurrence
+    per single paragraph pass — relation subj/obj AND mention-only
+    sentences — in sentence order."""
     rng = np.random.default_rng([seed, i])
     lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_P))]
     title = f"Crawl page {i}"
     paragraphs: list[str] = []
     records: list[tuple] = []
+    mention_records: list[tuple[str, str]] = []
     n_para = int(rng.integers(2, 6))
     for _ in range(n_para):
         sents: list[str] = []
@@ -151,15 +187,20 @@ def _page_plan(i: int, seed: int):
                 sent, rec = _relation_sentence(rng)
                 sents.append(sent)
                 records.append(rec)
+                s, _p, o, _sc, _oc, sl, ol = rec
+                mention_records.append((s, sl))
+                mention_records.append((o, ol))
             elif lang == "en" and u < 0.55:
-                sents.append(_mention_sentence(rng))
+                sent, mrec = _mention_sentence(rng)
+                sents.append(sent)
+                mention_records.append(mrec)
             else:
                 sents.append(_filler_sentence(rng, lang))
         paragraphs.append(" ".join(sents))
     repeat = 1
     if rng.random() < 0.005:  # long-tail skew: html 100-300x median
         repeat = int(rng.integers(100, 301))
-    return lang, title, paragraphs, records, repeat
+    return lang, title, paragraphs, records, mention_records, repeat
 
 
 def _render_html(rng: np.random.Generator, title: str, paragraphs: list[str]) -> str:
@@ -188,10 +229,16 @@ def _render_html(rng: np.random.Generator, title: str, paragraphs: list[str]) ->
     return "".join(parts)
 
 
-def make_page_batch(indices: np.ndarray, seed: int) -> pa.Table:
+def _plans(indices: np.ndarray, seed: int):
+    """One _page_plan evaluation per page, shared by all four expected-
+    table builders (generation of large scaling corpora would otherwise
+    pay the plan cost once per table)."""
+    return [(int(i), _page_plan(int(i), seed)) for i in indices]
+
+
+def make_page_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
     urls, ts, htmls, texts, langs = [], [], [], [], []
-    for i in map(int, indices):
-        lang, title, paragraphs, _, repeat = _page_plan(i, seed)
+    for i, (lang, title, paragraphs, _, _, repeat) in (plans or _plans(indices, seed)):
         body_paras = paragraphs * repeat
         rng = np.random.default_rng([seed, i, 1])  # render-only randomness
         html = _render_html(rng, title, body_paras)
@@ -212,10 +259,9 @@ def make_page_batch(indices: np.ndarray, seed: int) -> pa.Table:
     )
 
 
-def make_expected_batch(indices: np.ndarray, seed: int) -> pa.Table:
+def make_expected_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
     cols: dict[str, list] = {f.name: [] for f in EXPECTED_SCHEMA}
-    for i in map(int, indices):
-        lang, _, _, records, repeat = _page_plan(i, seed)
+    for i, (lang, _, _, records, _, repeat) in (plans or _plans(indices, seed)):
         if lang != "en" or not records:
             continue  # pipeline filters to the 'en' allowlist
         url = f"https://example.org/p/{i:08d}"
@@ -234,11 +280,83 @@ def make_expected_batch(indices: np.ndarray, seed: int) -> pa.Table:
     return pa.table(cols, schema=EXPECTED_SCHEMA)
 
 
+_SURFACE_INDEX = None
+
+
+def _surface_index():
+    """(norm_surface, label) -> (is_ambiguous, canon_or_None), built once
+    from the alias dictionary — the SAME source the linker uses, so the
+    expected tables and the pipeline agree by construction."""
+    global _SURFACE_INDEX
+    if _SURFACE_INDEX is None:
+        canons: dict[tuple[str, str], set[str]] = {}
+        for lbl, entries in world.all_surfaces().items():
+            for surface, canon, _qid in entries:
+                canons.setdefault(
+                    (world.normalize_surface(surface), lbl), set()
+                ).add(canon)
+        _SURFACE_INDEX = {
+            k: (len(v) > 1, min(v)) for k, v in canons.items()
+        }
+    return _SURFACE_INDEX
+
+
+def canon_mention_of(surface: str, label: str) -> str:
+    """Context-free canon a mention resolves to (see MENTIONS_EXPECTED_
+    SCHEMA): entity canon when unambiguous, normalized surface when the
+    alias dictionary offers several candidates (NIL surface cluster)."""
+    norm = world.normalize_surface(surface)
+    hit = _surface_index().get((norm, label))
+    if hit is None or hit[0]:
+        return norm
+    return hit[1]
+
+
+def is_ambiguous_surface(surface: str, label: str) -> bool:
+    hit = _surface_index().get((world.normalize_surface(surface), label))
+    return bool(hit and hit[0])
+
+
+def make_expected_mentions_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
+    cols: dict[str, list] = {f.name: [] for f in MENTIONS_EXPECTED_SCHEMA}
+    for i, (lang, _, _, _, mention_records, repeat) in (plans or _plans(indices, seed)):
+        if lang != "en" or not mention_records:
+            continue
+        url = f"https://example.org/p/{i:08d}"
+        did = doc_id_of(url)
+        for _ in range(repeat):
+            for surface, label in mention_records:
+                cols["doc_id"].append(did)
+                cols["url"].append(url)
+                cols["text"].append(surface)
+                cols["label"].append(label)
+                cols["canon_mention"].append(canon_mention_of(surface, label))
+    return pa.table(cols, schema=MENTIONS_EXPECTED_SCHEMA)
+
+
+def make_expected_endpoints_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
+    cols: dict[str, list] = {f.name: [] for f in ENDPOINTS_EXPECTED_SCHEMA}
+    for i, (lang, _, _, records, _, repeat) in (plans or _plans(indices, seed)):
+        if lang != "en" or not records:
+            continue
+        url = f"https://example.org/p/{i:08d}"
+        did = doc_id_of(url)
+        for _ in range(repeat):
+            for s, _pred, o, sc, oc, sl, ol in records:
+                for surface, label, canon in ((s, sl, sc), (o, ol, oc)):
+                    if is_ambiguous_surface(surface, label):
+                        cols["doc_id"].append(did)
+                        cols["canon_id"].append(canon)
+                        cols["surface"].append(surface)
+                        cols["label"].append(label)
+    return pa.table(cols, schema=ENDPOINTS_EXPECTED_SCHEMA)
+
+
 # --- corpus materialization ---------------------------------------------
 
 # bump when generator/world semantics change: stale cached corpora under
 # /tmp would otherwise silently disagree with the code that reads them
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
 def corpus_dir_for(n_pages: int, seed: int = 7, root: str = "/tmp/kgray_corpus") -> str:
@@ -261,6 +379,8 @@ def ensure_corpus(
     expected_dir = os.path.join(out, "expected_triples")
     os.makedirs(pages_dir, exist_ok=True)
     os.makedirs(expected_dir, exist_ok=True)
+    os.makedirs(os.path.join(out, "expected_mentions"), exist_ok=True)
+    os.makedirs(os.path.join(out, "expected_endpoints"), exist_ok=True)
     shard = rows_per_file
     bounds = [(lo, min(lo + shard, n_pages)) for lo in range(0, n_pages, shard)]
 
@@ -292,12 +412,23 @@ def ensure_corpus(
 
 def _write_shard(lo: int, hi: int, seed: int, pages_dir: str, expected_dir: str) -> None:
     idx = np.arange(lo, hi, dtype=np.int64)
+    plans = _plans(idx, seed)
     pq.write_table(
-        make_page_batch(idx, seed), os.path.join(pages_dir, f"part-{lo:08d}.parquet")
+        make_page_batch(idx, seed, plans),
+        os.path.join(pages_dir, f"part-{lo:08d}.parquet"),
     )
     pq.write_table(
-        make_expected_batch(idx, seed),
+        make_expected_batch(idx, seed, plans),
         os.path.join(expected_dir, f"part-{lo:08d}.parquet"),
+    )
+    root = os.path.dirname(pages_dir)
+    pq.write_table(
+        make_expected_mentions_batch(idx, seed, plans),
+        os.path.join(root, "expected_mentions", f"part-{lo:08d}.parquet"),
+    )
+    pq.write_table(
+        make_expected_endpoints_batch(idx, seed, plans),
+        os.path.join(root, "expected_endpoints", f"part-{lo:08d}.parquet"),
     )
 
 

@@ -89,13 +89,28 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
     rt = right.map_batches(lambda t: padder(t, 1), batch_format="pyarrow")
 
     out_cols = lcols + rcols
+    # The union null-pads each side's missing columns, and pandas
+    # upcasts int64-with-nulls to float64 inside the merge group — so
+    # integer columns must be restored to (nullable) Int64 on the way
+    # out, or every downstream aggregate silently goes float and
+    # hash-diverges from an integer oracle.
+    int_cols = {n for n, t in types if pa.types.is_integer(t)}
+
+    def _restore_ints(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c in int_cols and df[c].dtype.kind == "f":
+                df[c] = df[c].astype("Int64")
+        return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == 0, lcols]
         rg = g.loc[g["__side"] == 1, [on, *rcols]]
         if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame(columns=out_cols)
-        return lg.merge(rg, on=on, how=how)
+            return pd.DataFrame(
+                {c: pd.Series(dtype="Int64" if c in int_cols else "object")
+                 for c in out_cols}
+            )
+        return _restore_ints(lg.merge(rg, on=on, how=how))
 
     return (
         lt.union(rt)

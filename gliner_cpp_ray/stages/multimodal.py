@@ -95,6 +95,34 @@ class MediaFeatureStage:
         )
 
 
+def byte_stats(batch: pa.Table, id_col: str = "media_id",
+               payload_col: str = "payload") -> pa.Table:
+    """Opaque-binary feature extraction: total bytes (vectorized Arrow
+    kernel) + high-bit byte count (``np.frombuffer`` per payload,
+    zero-copy — the same access pattern a codec/histogram stage uses).
+    SQL-expressible, so the binary-column plumbing gets a driver
+    oracle."""
+    import pyarrow.compute as pc
+
+    payloads = batch.column(payload_col)
+    n_bytes = pc.binary_length(payloads).cast(pa.int64())
+    hi = np.fromiter(
+        (
+            int((np.frombuffer(p, dtype=np.uint8) >= 128).sum())
+            for p in payloads.to_pylist()
+        ),
+        dtype=np.int64,
+        count=batch.num_rows,
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_bytes": n_bytes,
+            "n_hi_bytes": pa.array(hi),
+        }
+    )
+
+
 class FrameSampleStage:
     """Actor-pool explode stage: one output row per sampled frame."""
 

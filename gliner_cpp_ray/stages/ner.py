@@ -32,6 +32,7 @@ import pyarrow as pa
 
 from gliner_cpp_ray.config import GlinerConfig, SPAN_LEVEL
 from gliner_cpp_ray.core.model import (
+    EncodedGazetteerScoringModel,
     GazetteerScoringModel,
     GlinerModel,
     OnnxScoringModel,
@@ -76,6 +77,11 @@ class GlinerNERStage:
         max_words_per_model_batch: int = 2048,
         onnx_path: str | None = None,
         tokenizer_json: str | None = None,
+        # "gazetteer": lean stub reading token texts (default bench path);
+        # "encoded": stub that assembles AND consumes the dense ONNX
+        # tensors (words_mask/span grid validated by consumption — the
+        # fidelity path, ~the real model's prep cost without weights)
+        scorer: str = "gazetteer",
     ):
         self.labels = labels or list(world.NER_LABELS)
         self.threshold = threshold
@@ -88,7 +94,12 @@ class GlinerNERStage:
             scoring = OnnxScoringModel(onnx_path, model_type)
             subword = HFSubwordTokenizer(tokenizer_json)
         else:
-            scoring = GazetteerScoringModel(gazetteer or world.ner_gazetteer())
+            cls = (
+                EncodedGazetteerScoringModel
+                if scorer == "encoded"
+                else GazetteerScoringModel
+            )
+            scoring = cls(gazetteer or world.ner_gazetteer())
             subword = HashSubwordTokenizer()
         self.model = GlinerModel(scoring, cfg, subword)
 

@@ -241,3 +241,95 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         concurrency=(1, 4),
     )
     return reduce_topk(partial.to_pandas(), k)
+
+
+class LshBandExploder:
+    """Adds band keys and EXPLODES each row to one row per band:
+    ``(band:int32, key:int64, id, embedding)``.  ``bits`` total
+    hyperplane bits split into ``bands`` contiguous bands — near
+    vectors agree on all bits of at least one band with high
+    probability; random pairs share a band with probability ≈
+    bands / 2^(bits/bands)."""
+
+    def __init__(self, dim: int, bits: int = 32, bands: int = 4, seed: int = 23,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        assert bits % bands == 0
+        self.bucketer = LshBucketer(dim, bits, seed, col)
+        self.bands = bands
+        self.band_bits = bits // bands
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = self.bucketer.code_of(
+            _embedding_matrix(batch, self.col)
+        ).astype(np.uint64)
+        mask = np.uint64((1 << self.band_bits) - 1)
+        parts = []
+        for b in range(self.bands):
+            key = ((codes >> np.uint64(b * self.band_bits)) & mask).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(batch), b, np.int32)),
+                        "key": pa.array(key),
+                        self.id_col: batch.column(self.id_col),
+                        self.col: batch.column(self.col),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def _bucket_pairs(g: pd.DataFrame, threshold: float, id_col: str,
+                  col: str) -> pd.DataFrame:
+    """All-pairs cosine within one (band, key) bucket; emits a < b."""
+    g = g.drop_duplicates(id_col)
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    ids = g[id_col].to_numpy()
+    m = _normalize(np.stack(g[col].to_numpy()))
+    sims = m @ m.T
+    ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+    a = np.minimum(ids[ii], ids[jj])
+    b = np.maximum(ids[ii], ids[jj])
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+
+def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
+                       bands: int = 4, seed: int = 23, id_col: str = "vec_id",
+                       col: str = "embedding"):
+    """Bucketed embedding near-dup: candidate pairs are generated ONLY
+    within shared LSH band buckets (shuffle on the band key), then
+    cosine-verified — the scale path that never broadcasts the corpus
+    or compares all pairs.  Returns a Dataset of distinct (a, b) pairs
+    with cosine > threshold that share ≥ 1 band.
+
+    Semantics note: this is an approximation of exact all-pairs — at
+    cosine ≈ 0.9+ a true near-dup shares a band with p ≈ 1 - (1 -
+    0.97^8)^4 ≈ 0.999, while random pairs collide at ≈ 4/256.  The
+    driver oracle replicates the band filter literally (same
+    hyperplanes in SQL), so the check verifies the BUCKETED semantics
+    exactly rather than hiding the approximation.  At true scale add
+    the collided-bucket prefilter used by MinHash (dedup.py) to skip
+    singleton buckets."""
+    from ray.data.aggregate import Count
+
+    exploded = ds.map_batches(
+        LshBandExploder,
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "bands": bands,
+                               "seed": seed, "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    pairs = exploded.groupby(["band", "key"]).map_groups(
+        lambda g: _bucket_pairs(g, threshold, id_col, col),
+        batch_format="pandas",
+    )
+    # a pair found in several bands must count once
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["a", "b"])
+    )

@@ -44,28 +44,48 @@ def quality_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
     """Quality-signal counts per document: characters, alpha chars,
     digits, whitespace tokens, stopword tokens.  Quality ratios
     (alpha/len, stop/tokens, mean token length) are derivable downstream;
-    integers keep oracle comparison exact."""
-    texts = batch.column(text_col).to_pylist()
-    n_chars = np.empty(len(texts), np.int64)
-    n_alpha = np.empty(len(texts), np.int64)
-    n_digit = np.empty(len(texts), np.int64)
-    n_token = np.empty(len(texts), np.int64)
-    n_stop = np.empty(len(texts), np.int64)
-    for i, t in enumerate(texts):
-        n_chars[i] = len(t)
-        n_alpha[i] = sum(c.isalpha() for c in t)
-        n_digit[i] = sum(c.isdigit() for c in t)
-        toks = _WS.split(t.strip()) if t.strip() else []
-        n_token[i] = len(toks)
-        n_stop[i] = sum(w.lower() in _STOPWORDS for w in toks)
+    integers keep oracle comparison exact.
+
+    Fully vectorized via pyarrow.compute, and pinned to the ORACLE's
+    character classes — explicit ASCII ``[A-Za-z]`` / ``[0-9]`` and RE2
+    ``\\s`` (pyarrow and DuckDB both compile regexes with RE2, so the
+    definitions agree on every input, not just ASCII testdata; the old
+    Python ``c.isalpha()`` loop diverged on non-ASCII letters)."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_alpha = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^A-Za-z]", "")
+    ).cast(pa.int64())
+    n_digit = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^0-9]", "")
+    ).cast(pa.int64())
+
+    trimmed = pc.utf8_trim_whitespace(text)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    zero = pa.scalar(0, pa.int64())
+    empty = pc.equal(trimmed, "")
+    n_token = pc.if_else(empty, zero, pc.list_value_length(toks).cast(pa.int64()))
+
+    # stopword hits: flatten token lists once, lowercase, membership via
+    # a vectorized is_in, then re-aggregate per row with bincount
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    hits = pc.is_in(
+        pc.utf8_lower(flat), value_set=pa.array(sorted(_STOPWORDS), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    n_stop_np = np.bincount(
+        parents[hits], minlength=batch.num_rows
+    ).astype(np.int64)
+    n_stop = pc.if_else(empty, zero, pa.array(n_stop_np))
+
     return pa.table(
         {
             id_col: batch.column(id_col),
-            "n_chars": pa.array(n_chars),
-            "n_alpha": pa.array(n_alpha),
-            "n_digit": pa.array(n_digit),
-            "n_tokens": pa.array(n_token),
-            "n_stopwords": pa.array(n_stop),
+            "n_chars": n_chars,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_tokens": n_token,
+            "n_stopwords": n_stop,
         }
     )
 

@@ -57,11 +57,21 @@ def mark_done(path: str, manifest: dict) -> None:
 
 def run_stage(path: str, manifest: dict, producer) -> dict:
     """Run ``producer(path)`` (which must write parquet under ``path``)
-    unless the stage is already checkpointed.  Returns the manifest."""
+    unless the stage is already checkpointed WITH the same config
+    fingerprint.  A checkpoint written under a different config (e.g.
+    changed lang allowlist or batch size) is stale — silently reusing it
+    would return outputs of a different pipeline — so it is discarded
+    and the stage re-runs.  Returns the manifest."""
     mpath = os.path.join(path, "manifest.json")
     if is_done(path):
-        with open(mpath) as f:
-            return json.load(f)
+        try:
+            with open(mpath) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = None
+        if prev is not None and prev.get("config") == manifest.get("config"):
+            return prev
+        shutil.rmtree(path, ignore_errors=True)
     prepare_dir(path)
     t0 = time.perf_counter()
     extra = producer(path) or {}

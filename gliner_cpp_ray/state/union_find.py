@@ -32,8 +32,17 @@ class UnionFind:
     def union(self, a, b) -> None:
         ra, rb = self.find(a), self.find(b)
         if ra != rb:
-            # deterministic: smaller representative wins
-            lo, hi = (ra, rb) if repr(ra) <= repr(rb) else (rb, ra)
+            # deterministic: smaller representative wins.  Compare the
+            # values DIRECTLY so int keys order numerically — repr()
+            # ordering would make the root of {9, 10} be 10, breaking
+            # the "cluster_id = min member" contract of the dedup
+            # clusterers.  Fall back to repr only for keys that aren't
+            # mutually orderable (never the case for homogeneous int or
+            # tuple-of-str node sets).
+            try:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            except TypeError:
+                lo, hi = (ra, rb) if repr(ra) <= repr(rb) else (rb, ra)
             self.parent[hi] = lo
 
     def components(self) -> dict:

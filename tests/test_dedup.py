@@ -57,7 +57,7 @@ def test_minhash_clusters_ray(ray_session):
     import ray.data as rd
 
     ds = rd.from_arrow(_docs())
-    clusters = minhash_dedup_clusters(ds, threshold=0.7)
+    clusters = minhash_dedup_clusters(ds, threshold=0.7).to_pandas()
     by_id = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     # all three near/exact dups in one cluster rooted at min id 0
     assert by_id[0] == by_id[1] == by_id[2] == 0

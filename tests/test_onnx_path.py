@@ -1,0 +1,218 @@
+"""A9/A10 coverage without the onnxruntime wheel.
+
+``FakeOrtSession`` stands in for ``Ort::Session`` and VALIDATES the
+feed contract of the reference session — input names, dtypes and
+shapes exactly as bound in /root/reference/src/gliner_structs.cpp:28-35
+and named in /root/reference/src/model.cpp:59-66 — then returns logits
+that are a deterministic function of ``span_idx``/``span_mask``, so the
+full prepare → feed → run → decode chain is exercised end-to-end and a
+feed-layout bug changes the decoded output.
+
+Also: the encoded gazetteer scorer (consumes the dense tensors) must
+produce byte-identical mentions to the lean gazetteer scorer through
+the full GlinerModel path — the words_mask / span-grid layout is
+thereby validated by CONSUMPTION, not only by unit goldens.
+"""
+
+import numpy as np
+import pytest
+
+from gliner_cpp_ray.config import SPAN_LEVEL, TOKEN_LEVEL, GlinerConfig
+from gliner_cpp_ray.core.model import (
+    EncodedGazetteerScoringModel,
+    GazetteerScoringModel,
+    GlinerModel,
+    OnnxScoringModel,
+)
+from gliner_cpp_ray.core.subword import HashSubwordTokenizer
+
+SPAN_FEEDS = [
+    # (name, dtype, rank) — src/model.cpp:59-63 + gliner_structs.cpp:28-35
+    ("input_ids", np.int64, 2),
+    ("attention_mask", np.int64, 2),
+    ("words_mask", np.int64, 2),
+    ("text_lengths", np.int64, 2),  # [B, 1]
+    ("span_idx", np.int64, 3),  # [B, num_spans, 2]
+    ("span_mask", np.bool_, 2),
+]
+TOKEN_FEEDS = SPAN_FEEDS[:4]  # src/model.cpp:64-66
+
+
+class FakeOrtSession:
+    """Validates the exact ORT feed contract, returns derived logits."""
+
+    def __init__(self, model_type=SPAN_LEVEL, hit_logit=4.0, miss_logit=-8.0,
+                 n_entities=1):
+        self.model_type = model_type
+        self.hit = hit_logit
+        self.miss = miss_logit
+        self.n_entities = n_entities
+        self.last_feeds = None
+
+    def run(self, output_names, feeds):
+        assert output_names == ["logits"]
+        spec = SPAN_FEEDS if self.model_type == SPAN_LEVEL else TOKEN_FEEDS
+        assert list(feeds) == [n for n, _, _ in spec], f"feed names {list(feeds)}"
+        B = feeds["input_ids"].shape[0]
+        for name, dtype, rank in spec:
+            arr = feeds[name]
+            assert arr.dtype == dtype, f"{name}: {arr.dtype} != {dtype}"
+            assert arr.ndim == rank, f"{name}: rank {arr.ndim} != {rank}"
+            assert arr.shape[0] == B, f"{name}: batch dim {arr.shape}"
+        assert feeds["text_lengths"].shape[1] == 1
+        assert feeds["attention_mask"].shape == feeds["input_ids"].shape
+        assert feeds["words_mask"].shape == feeds["input_ids"].shape
+        self.last_feeds = {k: v.copy() for k, v in feeds.items()}
+        if self.model_type == TOKEN_LEVEL:
+            W = int(feeds["text_lengths"].max(initial=0))
+            return [np.full((3, B, W, self.n_entities), self.miss, np.float32)]
+        # span mode: hit every masked span whose (start + width) is even —
+        # a pure function of the span grid, so the decoder output below
+        # pins the grid layout
+        span_idx = feeds["span_idx"]
+        span_mask = feeds["span_mask"]
+        S = span_idx.shape[1]
+        # grid layout: S = num_words * max_width with num_words =
+        # max(text_lengths) over the batch (processor.cpp:123)
+        W = int(feeds["text_lengths"].max(initial=0))
+        K = S // W
+        logits = np.full((B, W, K, self.n_entities), self.miss, np.float32)
+        for b in range(B):
+            for s in np.flatnonzero(span_mask[b]):
+                i, j = int(span_idx[b, s, 0]), int(span_idx[b, s, 1])
+                if (i + (j - i)) % 2 == 0:
+                    logits[b, i, j - i, 0] = self.hit
+        return [logits]
+
+
+def _model(model_type=SPAN_LEVEL, max_width=4):
+    sess = FakeOrtSession(model_type)
+    scoring = OnnxScoringModel(model_type=model_type, session=sess)
+    cfg = GlinerConfig(max_width=max_width, model_type=model_type)
+    return GlinerModel(scoring, cfg, HashSubwordTokenizer()), sess
+
+
+def test_span_feed_contract_and_decode():
+    model, sess = _model()
+    texts = ["alpha beta gamma", "delta epsilon"]
+    out = model.inference(texts, ["thing"], threshold=0.5)
+    # the fake scores (start + width) even spans: for doc 0 (3 words,
+    # max_width 4) hits are width-0 spans at words 0/2 and width-2 span
+    # at 0 and width-1 at word 1 -> greedy flat keeps leftmost longest
+    assert sess.last_feeds is not None
+    got = [[(s.start, s.end, s.text) for s in doc] for doc in out]
+    # doc0: span (0, w=2) covers 'alpha beta gamma' (prob equal for all
+    # hits; sequential greedy resolves overlaps in generation order:
+    # (0,0) vs (0,2) -> higher-or-equal prob keeps PREV (0,0), then
+    # (1,1) conflicts equal-prob keeps (0,0)... replicating the literal
+    # reference pass via our decoder), doc1: (0,0) and (1,1) hits, only
+    # (0,0) survives flat overlap vs nothing — both words kept (disjoint)
+    # Rather than hand-derive, pin against the independently-computed
+    # candidate set + the literal-C++-transcription oracle decoder:
+    from tests.oracle_decoder import OSpan, greedy_search_oracle
+
+    prob = float(1.0 / (1.0 + np.exp(-4.0)))
+    for b, text in enumerate(texts):
+        words = text.split()
+        n = len(words)
+        starts, ends = [], []
+        pos = 0
+        for w in words:
+            starts.append(pos)
+            ends.append(pos + len(w))
+            pos += len(w) + 1
+        cands = []
+        for i in range(n):  # candidate order = flat logit scan order
+            for wdt in range(min(4, n - i)):
+                j = i + wdt
+                if (i + wdt) % 2 == 0:
+                    cands.append(
+                        OSpan(starts[i], ends[j],
+                              text[starts[i]: ends[j]], "thing", prob)
+                    )
+        expected = greedy_search_oracle(cands, flat_ner=True, multi_label=False)
+        assert got[b] == [(s.start, s.end, s.text) for s in expected]
+
+
+def test_token_feed_contract():
+    model, sess = _model(model_type=TOKEN_LEVEL)
+    out = model.inference(["alpha beta"], ["thing"])
+    assert out == [[]]  # all-miss logits decode to nothing
+    assert list(sess.last_feeds) == [n for n, _, _ in TOKEN_FEEDS]
+
+
+def test_feed_reflects_words_mask_layout():
+    """The fed words_mask must mark ONLY first subtokens of text words
+    (prompt region zero), pinning processor.cpp:97-103 at the feed."""
+    sess = FakeOrtSession(n_entities=2)
+    model = GlinerModel(
+        OnnxScoringModel(session=sess), GlinerConfig(max_width=4),
+        HashSubwordTokenizer(),
+    )
+    model.inference(["hello world"], ["city", "person"])
+    wm = sess.last_feeds["words_mask"][0]
+    marks = wm[wm > 0]
+    assert marks.tolist() == [1, 2]  # 1-based text word indices, in order
+    ids = sess.last_feeds["input_ids"][0]
+    att = sess.last_feeds["attention_mask"][0]
+    assert ids[0] == 1  # CLS
+    n = int(att.sum())
+    assert ids[n - 1] == 2  # SEP directly after last subtoken
+    assert (wm[:1] == 0).all()
+
+
+class _ZeroSubwordTokenizer(HashSubwordTokenizer):
+    """Encodes the word 'ø' to ZERO subtokens (real HF tokenizers can do
+    this for some normalizer configs) — regression for the words_mask
+    overflow the reference tolerates (processor.cpp:97-110)."""
+
+    def encode(self, word):
+        if word == "ø":
+            return []
+        return super().encode(word)
+
+
+def test_zero_subtoken_word_keeps_layout_consistent():
+    scoring = OnnxScoringModel(session=FakeOrtSession())
+    cfg = GlinerConfig(max_width=4)
+    model = GlinerModel(scoring, cfg, _ZeroSubwordTokenizer())
+    out = model.inference(["alpha ø beta"], ["thing"])  # must not raise
+    sess_wm = model.scoring._sess.last_feeds["words_mask"][0]
+    marks = sess_wm[sess_wm > 0]
+    # word 2 ('ø') contributed no subtoken, so its mark is never written;
+    # neighbors keep their 1-based indices
+    assert marks.tolist() == [1, 3]
+    assert isinstance(out[0], list)
+
+
+def test_encoded_scorer_matches_lean_scorer_e2e():
+    gaz = {
+        "city": ["Kyiv", "New York"],
+        "person": ["Marie Curie"],
+    }
+    texts = [
+        "Marie Curie visited New York and Kyiv.",
+        "nothing to see here",
+        "New York New York",
+    ]
+    cfg = GlinerConfig(max_width=8)
+    lean = GlinerModel(GazetteerScoringModel(gaz), cfg, HashSubwordTokenizer())
+    enc = GlinerModel(
+        EncodedGazetteerScoringModel(gaz), cfg, HashSubwordTokenizer()
+    )
+    a = lean.inference(texts, ["city", "person"])
+    b = enc.inference(texts, ["city", "person"])
+    assert a == b
+    assert a[0] and a[2]
+
+
+def test_encoded_scorer_requires_encoding():
+    enc = EncodedGazetteerScoringModel({"city": ["Kyiv"]})
+    cfg = GlinerConfig()
+    model = GlinerModel(GazetteerScoringModel({"city": ["Kyiv"]}), cfg,
+                        HashSubwordTokenizer())
+    batch = model.processor.prepare_batch(
+        ["Kyiv"], ["city"], build_encoding=False, build_span_grid=True
+    )
+    with pytest.raises(ValueError):
+        enc.run(batch, ["Kyiv"], ["city"])

@@ -49,13 +49,26 @@ def _as_df(result) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by value — but keep dtypes: the
+    driver's compare hashes raw values, so an int64 12345 on the Ray
+    side vs a float64 12345.0 from a DuckDB HUGEINT must FAIL here too
+    (round-1 regression: the old harness normalized dtypes and missed
+    three oracle-side HUGEINT artifacts the driver then flagged)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_hash_equivalent(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind mismatch {got[c].dtype} vs {want[c].dtype}"
+            " (the driver hashes raw values — int vs float is a hash fail)"
+        )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 ORACLES = oracle_sql_for_corpus(corpus_dir_for(n_pages_for_sf(SF_DIR), KG_SEED))
@@ -75,7 +88,7 @@ def test_query_matches_oracle(ray_session, name):
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    _assert_hash_equivalent(name, got, want)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

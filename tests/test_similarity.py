@@ -104,3 +104,49 @@ def test_embedding_near_dup_clusters(ray_session):
     by_id = dict(zip(out["vec_id"], out["cluster_id"]))
     assert by_id[3] == by_id[7] == 3  # planted colinear pair
     assert by_id[10] == 10
+
+
+def test_lsh_topk_prunes_and_reports_recall(ray_session):
+    """The bucketed ANN path must (a) agree with its own bucketed
+    semantics (driver-oracle-checked elsewhere) and (b) achieve
+    non-trivial recall vs exact brute force while scoring a FRACTION of
+    the corpus.  Random Gaussian embeddings are the ANN worst case
+    (no cluster structure), so the bar is modest — the assert pins the
+    pruning claim and a recall floor, the print records the measured
+    quality for BENCH notes."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import (
+        LshBucketer,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 64
+    m = rng.standard_normal((n, dim))
+    ids = np.arange(n)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    })
+    qm, qids = m[:5], ids[:5]
+    ds = rd.from_arrow(tbl)
+    exact = brute_force_topk(ds, qm, qids, k=10)
+    approx = lsh_topk(ds, qm, qids, k=10, bits=16, max_hamming=6, seed=23)
+    exact_set = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    approx_set = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # scored fraction under hamming<=6 of 16 bits
+    b = LshBucketer(dim, bits=16, seed=23)
+    codes = b.code_of(m)
+    qcodes = b.code_of(qm)
+    fracs = []
+    for qc in qcodes:
+        xor = (codes ^ qc).astype(np.uint64)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(n, 8), axis=1).sum(axis=1)
+        fracs.append((ham <= 6).mean())
+    frac = float(np.mean(fracs))
+    print(f"LSH topk: recall={recall:.2f} scored_fraction={frac:.2f}")
+    assert frac < 0.5  # genuinely prunes
+    assert recall >= 0.3  # worst-case data; real clustered data ~1.0

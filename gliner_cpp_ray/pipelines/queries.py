@@ -175,6 +175,15 @@ def q_minhash_clusters(sf_dir: str):
     return minhash_dedup_clusters(ds, threshold=0.8)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (rows-only: blake2-based signature
+    is not SQL-expressible; correctness unit-tested in tests/test_dedup)."""
+    from gliner_cpp_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_ann_topk(sf_dir: str):
@@ -492,6 +501,7 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "minhash_clusters": q_minhash_clusters,
+        "simhash_pairs": q_simhash_pairs,
         "media_byte_stats": q_media_byte_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -530,6 +540,37 @@ def _bit_exprs(planes: np.ndarray, emb: str = "embedding") -> list[str]:
             f"CASE WHEN list_inner_product({emb}, {lit}) > 0 THEN 1 ELSE 0 END AS b{k}"
         )
     return out
+
+
+def _lang_id_sql() -> str:
+    """SQL transcription of stages.text_analysis.LangId — both sides use
+    RE2 regex semantics and integer arithmetic, so the heuristic is
+    exactly oracle-checkable."""
+    from gliner_cpp_ray.stages.text_analysis import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    hit_cols = []
+    for lang in langs:
+        words = ",".join("'" + w + "'" for w in sorted(_LANG_PROFILES[lang]))
+        hit_cols.append(
+            "len(list_filter(string_split_regex(lower(sample), '\\s+'), "
+            f"x -> x IN ({words}))) AS h_{lang}"
+        )
+    maxh = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    # strict-> over sorted langs == first (lexically smallest) argmax
+    pick = " ".join(
+        f"WHEN h_{lang} = {maxh} THEN '{lang}'" for lang in langs
+    )
+    return (
+        "WITH s AS (SELECT doc_id, substr(text, 1, 2000) AS sample FROM documents), "
+        "h AS (SELECT doc_id, "
+        "length(regexp_replace(sample, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk, "
+        "greatest(1, length(sample)) AS slen, "
+        + ", ".join(hit_cols)
+        + " FROM s) "
+        "SELECT doc_id, CASE WHEN 5 * cjk > slen THEN 'zh' "
+        f"WHEN {maxh} = 0 THEN 'und' {pick} END AS pred_lang FROM h"
+    )
 
 
 def _ann_lsh_sql() -> str:
@@ -624,8 +665,9 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT canon_id, label, count(*) AS mention_count "
             "FROM u GROUP BY canon_id, label"
         ),
-        # lang_id / minhash_clusters: not SQL-expressible (heuristic
-        # model / clustering) -> rows-only check.
+        "lang_id": _lang_id_sql(),
+        # minhash_clusters: not SQL-expressible (hash-based clustering)
+        # -> rows-only check.
         # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
         # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
         # materializes as float64 — the driver then hashes 12345.0 vs

@@ -366,3 +366,61 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")
+
+
+def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Pairs within one (band, key) bucket with Hamming <= max_hamming."""
+    g = g.drop_duplicates("doc_id")
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    ids = g["doc_id"].to_numpy()
+    hs = g["simhash"].to_numpy().astype(np.uint64)
+    xor = hs[:, None] ^ hs[None, :]
+    ham = np.unpackbits(
+        xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2
+    ).sum(axis=2)
+    ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+    a = np.minimum(ids[ii], ids[jj]).astype(np.int64)
+    b = np.maximum(ids[ii], ids[jj]).astype(np.int64)
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """SimHash near-dup: 64-bit signatures banded into 4x16-bit keys
+    (any pair within Hamming 3 shares at least one band by pigeonhole),
+    candidate pairs generated only within shared band buckets, verified
+    by exact Hamming distance.  Same shuffle shape as MinHash banding;
+    returns a Dataset of distinct (a, b) pairs."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = add_simhash(t, text_col)
+        parts = []
+        for band in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(t.num_rows, band, np.int32)),
+                        "key": t.column(f"simhash_b{band}"),
+                        "doc_id": t.column(id_col),
+                        "simhash": t.column("simhash"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(
+            lambda g: _simhash_bucket_pairs(g, max_hamming),
+            batch_format="pandas",
+        )
+    )
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["a", "b"])
+    )

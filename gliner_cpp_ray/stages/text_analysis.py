@@ -120,21 +120,30 @@ class LangId:
 
     Stateful stage (profiles compiled once per actor); emits
     ``pred_lang`` with "zh" for CJK-dominant text, else the profile with
-    the most stopword hits ("und" = undetermined)."""
+    the most stopword hits ("und" = undetermined).
+
+    Every rule is pinned to an exactly SQL-replicable definition so the
+    driver can oracle-check the heuristic (see queries._lang_id_sql):
+    sample = first 2000 CHARACTERS; tokens = RE2-``\\s`` whitespace
+    split of the lowercased sample (ASCII whitespace — NOT Python
+    ``\\w``, whose unicode word classes RE2 lacks); zh iff
+    ``5 * cjk_chars > max(1, len(sample))`` (integer arithmetic, no
+    float 0.2); ties pick the lexically smallest language (strict ``>``
+    over the sorted profile names)."""
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-        self.word_re = re.compile(r"\w+", re.UNICODE)
+        self.ws_re = re.compile(r"[\t\n\f\r ]+")  # RE2 \s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = []
         for t in batch.column("text").to_pylist():
             sample = t[:2000]
             cjk = sum("一" <= c <= "鿿" for c in sample)
-            if cjk > 0.2 * max(1, len(sample)):
+            if 5 * cjk > max(1, len(sample)):
                 preds.append("zh")
                 continue
-            words = [w.lower() for w in self.word_re.findall(sample)]
+            words = self.ws_re.split(sample.lower())
             best, best_hits = "und", 0
             for lang in sorted(self.profiles):
                 hits = sum(w in self.profiles[lang] for w in words)

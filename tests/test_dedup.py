@@ -80,3 +80,20 @@ def test_add_simhash_bands():
     for band in range(4):
         key = out.column(f"simhash_b{band}")[0].as_py()
         assert key == (h >> (16 * band)) & 0xFFFF
+
+
+def test_simhash_near_dup_pairs_ray(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = rd.from_arrow(_docs())
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    # doc 2 is an exact dup of doc 0 (hamming 0) and must be found via
+    # band collision; doc 1 is a near-dup whose hamming may exceed 3
+    assert (0, 2) in got
+    # verified: every reported pair is within the hamming budget
+    texts = _docs().column("text").to_pylist()
+    for a, b in got:
+        assert hamming64(simhash64(texts[a]), simhash64(texts[b])) <= 3

@@ -94,8 +94,13 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("KGRAY_SKIP_SECONDARY"):
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
+        timed("simhash_pairs", q.q_simhash_pairs)
         timed("token_counts", q.q_token_counts)
+        timed("lang_id", q.q_lang_id)
         timed("ann_topk", q.q_ann_topk)
+        timed("ann_topk_lsh", q.q_ann_topk_lsh)
+        timed("embedding_near_dup_lsh", q.q_embedding_near_dup_lsh)
+        timed("media_byte_stats", q.q_media_byte_stats)
         timed("events_hourly", q.q_events_hourly)
         timed("lineitem_pricing", q.q_lineitem_pricing)
 

@@ -46,7 +46,7 @@ def cmd_inference(args) -> int:
     model_type = TOKEN_LEVEL if args.token_level else SPAN_LEVEL
     cfg = GlinerConfig(max_width=args.max_width, model_type=model_type)
     if args.onnx:
-        scoring = OnnxScoringModel(args.onnx, model_type)
+        scoring = OnnxScoringModel(args.onnx, model_type, device_id=args.device)
         subword = HFSubwordTokenizer(args.tokenizer)
     else:
         scoring = GazetteerScoringModel(world.ner_gazetteer())
@@ -110,6 +110,11 @@ def main(argv=None) -> int:
     pi.add_argument("--token-level", action="store_true")
     pi.add_argument("--onnx", help="path to model.onnx (real GLiNER weights)")
     pi.add_argument("--tokenizer", help="path to tokenizer.json")
+    pi.add_argument(
+        "--device", type=int, default=-1,
+        help="CUDA device id for the ONNX session; -1 = CPU "
+             "(reference inference_gpu.cpp / model.cpp:71-77)",
+    )
     pi.set_defaults(fn=cmd_inference)
 
     pk = sub.add_parser("kg", help="run the full KG pipeline")

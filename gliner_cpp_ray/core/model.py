@@ -200,6 +200,18 @@ class EncodedGazetteerScoringModel(GazetteerScoringModel):
         return logits.ravel()
 
 
+def providers_for_device(device_id: int = -1) -> list:
+    """Execution-provider list for a device id, mirroring the
+    reference's ctor switch (model.cpp:71-77): ``device_id >= 0``
+    selects the CUDA provider bound to that device, else CPU."""
+    if device_id >= 0:
+        return [
+            ("CUDAExecutionProvider", {"device_id": device_id}),
+            "CPUExecutionProvider",
+        ]
+    return ["CPUExecutionProvider"]
+
+
 class OnnxScoringModel:
     """ONNX Runtime scoring session.
 
@@ -223,11 +235,14 @@ class OnnxScoringModel:
         model_type: str = SPAN_LEVEL,
         providers=None,
         session=None,
+        device_id: int = -1,
     ):
         self.model_type = model_type
         if session is not None:
             self._sess = session
             return
+        if providers is None:
+            providers = providers_for_device(device_id)
         try:
             import onnxruntime as ort  # type: ignore
         except ImportError as exc:  # pragma: no cover - wheel absent in sandbox
@@ -236,7 +251,7 @@ class OnnxScoringModel:
                 "or install onnxruntime for numeric parity"
             ) from exc
         self._sess = ort.InferenceSession(  # pragma: no cover - needs wheel
-            model_path, providers=providers or ["CPUExecutionProvider"]
+            model_path, providers=providers
         )
 
     def run(

@@ -244,7 +244,15 @@ def q_embedding_near_dup_lsh(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     """Exact all-pairs cosine > 0.4 (a < b; threshold chosen so the
     testdata embeddings — random vectors, max pair cosine ~0.51 — yield a
-    non-degenerate result)."""
+    non-degenerate result).
+
+    This is deliberately the SMALL-N VERIFY path: exact all-pairs needs
+    the reference matrix somewhere, so it is read once driver-side and
+    `ray.put` into the object store (one shared copy, zero-copy reads
+    per actor — not re-pickled per task).  The 100 TB path is
+    ``embedding_near_dup_lsh``, which needs no reference matrix at all."""
+    import ray
+
     tbl = pq.read_table(
         _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
@@ -254,8 +262,8 @@ def q_embedding_near_dup(sf_dir: str):
     pairs = ds.map_batches(
         NearDupScorer,
         fn_constructor_kwargs={
-            "ref_ids": ref_ids,
-            "ref_matrix": ref,
+            "ref_ids": ray.put(ref_ids),
+            "ref_matrix": ray.put(ref),
             "threshold": 0.4,
         },
         batch_format="pyarrow",

@@ -77,6 +77,11 @@ class GlinerNERStage:
         max_words_per_model_batch: int = 2048,
         onnx_path: str | None = None,
         tokenizer_json: str | None = None,
+        # device selection for the ONNX path (model.cpp:71-77): >= 0
+        # selects the CUDA provider on that device; at cluster scale
+        # pair with map_batches(num_gpus=...) so Ray schedules the
+        # actor onto a GPU node
+        device_id: int = -1,
         # "gazetteer": lean stub reading token texts (default bench path);
         # "encoded": stub that assembles AND consumes the dense ONNX
         # tensors (words_mask/span grid validated by consumption — the
@@ -91,7 +96,7 @@ class GlinerNERStage:
         self.max_words_per_model_batch = max_words_per_model_batch
         cfg = GlinerConfig(max_width=max_width, model_type=model_type)
         if onnx_path is not None:
-            scoring = OnnxScoringModel(onnx_path, model_type)
+            scoring = OnnxScoringModel(onnx_path, model_type, device_id=device_id)
             subword = HFSubwordTokenizer(tokenizer_json)
         else:
             cls = (

@@ -26,6 +26,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _resolve_broadcast(x):
+    """Accept a plain array or a ``ray.put`` ObjectRef — constructor args
+    arrive per actor, so large broadcast sides should be put once into
+    the object store and fetched zero-copy here."""
+    try:
+        import ray
+
+        if isinstance(x, ray.ObjectRef):
+            return ray.get(x)
+    except ImportError:  # pragma: no cover
+        pass
+    return x
+
+
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if arr.num_chunks == 1:
@@ -42,8 +56,8 @@ class BruteForceTopK:
     def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                  id_col: str = "vec_id", col: str = "embedding",
                  exclude_self: bool = True):
-        self.q = _normalize(queries)  # [Q, D]
-        self.query_ids = np.asarray(query_ids)
+        self.q = _normalize(_resolve_broadcast(queries))  # [Q, D]
+        self.query_ids = np.asarray(_resolve_broadcast(query_ids))
         self.k = k
         self.id_col = id_col
         self.col = col
@@ -106,8 +120,8 @@ class NearDupScorer:
     def __init__(self, ref_ids: np.ndarray, ref_matrix: np.ndarray,
                  threshold: float = 0.95, id_col: str = "vec_id",
                  col: str = "embedding"):
-        self.ref_ids = np.asarray(ref_ids)
-        self.ref = _normalize(ref_matrix)
+        self.ref_ids = np.asarray(_resolve_broadcast(ref_ids))
+        self.ref = _normalize(_resolve_broadcast(ref_matrix))
         self.threshold = threshold
         self.id_col = id_col
         self.col = col

@@ -216,3 +216,12 @@ def test_encoded_scorer_requires_encoding():
     )
     with pytest.raises(ValueError):
         enc.run(batch, ["Kyiv"], ["city"])
+
+
+def test_providers_for_device():
+    from gliner_cpp_ray.core.model import providers_for_device
+
+    assert providers_for_device(-1) == ["CPUExecutionProvider"]
+    cuda = providers_for_device(1)
+    assert cuda[0] == ("CUDAExecutionProvider", {"device_id": 1})
+    assert cuda[-1] == "CPUExecutionProvider"

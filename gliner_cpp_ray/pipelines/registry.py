@@ -107,12 +107,24 @@ def _register_builtins() -> None:
     register_stage("quality_counts", quality_counts, batch_format="pyarrow")
     register_stage("fingerprints", fingerprints, batch_format="pyarrow")
     register_stage("lang_id", LangId, batch_format="pyarrow", concurrency=(1, 4))
+    from gliner_cpp_ray.stages.multimodal import byte_stats
+    from gliner_cpp_ray.stages.similarity import LshBucketer
+
+    register_stage("media_byte_stats", byte_stats, batch_format="pyarrow",
+                   batch_size=64)
     register_stage(
         "media_features",
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 4),
+    )
+    register_stage(
+        "lsh_code",
+        LshBucketer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"dim": 64},
     )
     register_stage(
         "frame_sample",

@@ -270,7 +270,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         # linker (no actor-pool spin-up; see linking.default_linker)
         linked = triples.map_batches(link_triples, batch_format="pyarrow")
         linked.write_parquet(path, min_rows_per_file=200_000)
-        return {"input": "mentions"}
+        return {"input": "mentions", "dataset_stats": _trim_stats(linked)}
 
     # --- stage 3: canonicalization map --------------------------------
     canon_dir = os.path.join(out_root, "canon")
@@ -356,7 +356,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             .sort("subj_canon")
         )
         edges.write_parquet(path)
-        return {"input": "linked"}
+        return {"input": "linked", "dataset_stats": _trim_stats(edges)}
 
 
 
@@ -389,7 +389,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
             .sort("canon_id")
         )
         nodes.write_parquet(path)
-        return {"input": "mentions"}
+        return {"input": "mentions", "dataset_stats": _trim_stats(nodes)}
 
     run_pair(
         [

@@ -212,3 +212,90 @@ def test_pipeline_with_fully_filtered_corpus(ray_session, corpus_dir, tmp_path_f
     assert summary["mentions"]["rows"] == 0
     for stage in ["linked", "canon", "edges", "nodes"]:
         assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+
+
+def test_token_level_ner_stage_matches_oracle(ray_session, corpus_dir):
+    """A12 end-to-end: the token-level decode path through the REAL Ray
+    stage must equal the literal decoder.cpp transcription run per doc.
+
+    (Token and SPAN mode genuinely diverge on this corpus BY REFERENCE
+    SEMANTICS: the stub gazetteer emits exactly-equal logits at every
+    hit, the token end-scan's `continue` skips under-threshold ends
+    without consulting the inside score (decoder.cpp:160-165), so
+    repeated same-entity occurrences yield spanning candidates whose
+    running-mean prob can exceed the single-mention prob by one float
+    ulp and win the order-sensitive greedy.  A real model's distinct
+    scores never tie like this; the C++ would behave identically on the
+    stub scores — hence the oracle, not span mode, is the parity bar.)"""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gliner_cpp_ray.config import GlinerConfig, TOKEN_LEVEL
+    from gliner_cpp_ray.core.model import GazetteerScoringModel
+    from gliner_cpp_ray.core.processor import GlinerProcessor
+    from gliner_cpp_ray.core.subword import HashSubwordTokenizer
+    from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, build_mentions
+    from gliner_cpp_ray.sources import world
+    from tests.oracle_decoder import token_decode_oracle
+
+    files = sorted(
+        os.path.join(corpus_dir, "pages", f)
+        for f in os.listdir(os.path.join(corpus_dir, "pages"))
+    )[:1]
+
+    def read_small():
+        ds = rd.read_parquet(files, columns=["url", "html", "lang"])
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t.column("lang"), "en"),
+                    pc.less(pc.binary_length(t.column("html")), 20_000),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    cfg_tok = KGPipelineConfig(
+        ner_kwargs={"model_type": TOKEN_LEVEL}, ner_concurrency=(1, 2)
+    )
+    key = ["doc_id", "start", "end", "text", "label"]
+    tok_df = (
+        build_mentions(read_small(), cfg_tok).to_pandas()[key]
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(tok_df) > 0
+
+    # oracle side: same gazetteer scorer, literal C++ decode, one doc at
+    # a time (batch membership does not affect decoding)
+    from gliner_cpp_ray.stages.html_to_text import html_to_docs
+    import pyarrow.parquet as pq_mod
+
+    pages = pq_mod.read_table(files[0], columns=["url", "html", "lang"])
+    pages = pages.filter(
+        pc.and_(
+            pc.equal(pages.column("lang"), "en"),
+            pc.less(pc.binary_length(pages.column("html")), 20_000),
+        )
+    )
+    docs = html_to_docs(pages)
+    cfg = GlinerConfig(max_width=12, model_type=TOKEN_LEVEL)
+    proc = GlinerProcessor(cfg, HashSubwordTokenizer())
+    scorer = GazetteerScoringModel(world.ner_gazetteer())
+    labels = list(world.NER_LABELS)
+    rows = []
+    for did, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        batch = proc.prepare_batch(
+            [text], labels, build_encoding=False, build_span_grid=False
+        )
+        logits = scorer.run(batch, [text], labels)
+        toks = list(zip(batch.token_starts[0].tolist(), batch.token_ends[0].tolist()))
+        decoded = token_decode_oracle(
+            logits, [text], labels, [toks], batch.num_words
+        )[0]
+        rows += [(did, s.start, s.end, s.text, s.label) for s in decoded]
+    oracle_df = (
+        pd.DataFrame(rows, columns=key).sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tok_df, oracle_df)

@@ -423,6 +423,103 @@ def q_order_lineitem_join(sf_dir: str):
     )
 
 
+def q_events_asof_order(sf_dir: str):
+    """Backward as-of join (custom non-equi operator): each event is
+    matched to its user's most recent order with ``o_orderdate <= ts``
+    (ties on date broken by max ``o_orderkey``), then aggregated per
+    matched order priority.  ``sum_orderkey`` checksums exactly WHICH
+    order matched every event, so the per-row as-of semantics are
+    hash-verified, not just the counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import asof_join_bucketed
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join_bucketed(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        tiebreak="o_orderkey", n_buckets=16,
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_events"),
+        Sum("o_orderkey", alias_name="sum_orderkey"),
+        Sum("value_micro", alias_name="sum_value_micro"),
+    )
+
+
+def q_events_in_order_window(sf_dir: str):
+    """Interval (range) join: events falling inside each order's 2-day
+    activity window ``[2024-01-01 + (o_orderkey % 28) days, +2 days)``
+    for the same user — a deterministic window derivation that puts the
+    1995-2001 order dates inside the 2024 event month, so the non-equi
+    predicate is selective rather than empty.  Both sides corpus-sized,
+    co-partitioned by user hash (one shuffle per side)."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import interval_join_bucketed
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        day_us = np.int64(86_400_000_000)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        lo = base + ((k % 28) * day_us).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "win_lo": pa.array(lo),
+                "win_hi": pa.array(lo + (2 * day_us).astype("timedelta64[us]")),
+            }
+        )
+
+    wins = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        windows, batch_format="pyarrow"
+    )
+    joined = interval_join_bucketed(
+        ev, wins, key="user_id", point_col="ts", lo_col="win_lo",
+        hi_col="win_hi", n_buckets=16,
+    )
+    return joined.groupby("o_orderkey").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_micro", alias_name="sum_value_micro"),
+    )
+
+
 # ----------------------------------------------------------- relational
 
 def q_orders_by_nation(sf_dir: str):
@@ -524,6 +621,8 @@ def queries():
         "events_by_type_salted": q_events_by_type_salted,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
+        "events_asof_order": q_events_asof_order,
+        "events_in_order_window": q_events_in_order_window,
         "orders_by_nation": q_orders_by_nation,
         "lineitem_pricing": q_lineitem_pricing,
     }
@@ -771,6 +870,26 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "events_asof_order": (
+            "WITH m AS (SELECT e.event_id, e.value, o.o_orderkey, "
+            "o.o_orderpriority, row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "FROM events e JOIN orders o ON e.user_id = o.o_custkey "
+            "AND o.o_orderdate <= e.ts) "
+            "SELECT o_orderpriority, count(*) AS n_events, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey, "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM m WHERE rn = 1 GROUP BY o_orderpriority"
+        ),
+        "events_in_order_window": (
+            "SELECT o.o_orderkey, count(*) AS n_events, "
+            "CAST(sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM orders o JOIN events e "
+            "ON e.user_id = o.o_custkey "
+            "AND e.ts >= TIMESTAMP '2024-01-01' + (o.o_orderkey % 28) * INTERVAL 1 DAY "
+            "AND e.ts < TIMESTAMP '2024-01-01' + (o.o_orderkey % 28) * INTERVAL 1 DAY "
+            "+ INTERVAL 2 DAY GROUP BY o.o_orderkey"
         ),
         "event_sessions": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN "

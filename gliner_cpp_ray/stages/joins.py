@@ -11,6 +11,10 @@
   and keeps B and skew handling explicit.
 * ``broadcast_semi_join`` / ``broadcast_anti_join`` — key-set broadcast,
   vectorized ``is_in`` filter.  No shuffle.
+* ``asof_join_bucketed`` / ``interval_join_bucketed`` — non-equi joins
+  Ray Data has no native operator for, composed from the same
+  bucket-shuffle plan: co-partition by key hash, merge per bucket with a
+  sorted ``merge_asof`` / equi-merge + between-filter.
 
 Skew note: a hot join key floods one bucket; the fix is salting the
 probe side and replicating the build side per salt (see stages/skew.py
@@ -116,6 +120,130 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
         lt.union(rt)
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _pad_union_by_bucket(left, right, key: str, n_buckets: int):
+    """Shared shuffle plan for the non-equi joins: bucket both sides on
+    the (integer) join key, null-pad each side to the common schema with
+    a ``__side`` marker, and union.  Callers group by ``__bucket`` and
+    merge per group — ONE shuffle per side, co-locating every row of a
+    key in a single bucket group (the partitioning assumption all the
+    bucketed joins rely on).
+
+    Returns ``(unioned, lcols, rcols, int_cols)``.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != key]
+    types = list(zip(lschema.names, lschema.types))
+    types += [(c, t) for c, t in zip(rschema.names, rschema.types) if c != key]
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        t = add_bucket(t, key, n_buckets)
+        n = t.num_rows
+        arrays, names = [], []
+        for name, typ in types:
+            names.append(name)
+            if name in t.schema.names:
+                arrays.append(t.column(name))
+            else:
+                arrays.append(pa.nulls(n, typ))
+        names += ["__bucket", "__side"]
+        arrays += [t.column("__bucket"), pa.array(np.full(n, side, np.int8))]
+        return pa.table(dict(zip(names, arrays)))
+
+    lt = left.map_batches(lambda t: pad(t, 0), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: pad(t, 1), batch_format="pyarrow")
+    int_cols = {n for n, t in types if pa.types.is_integer(t)}
+    return lt.union(rt), lcols, rcols, int_cols
+
+
+def _restore_int_dtypes(df: pd.DataFrame, int_cols: set) -> pd.DataFrame:
+    # the union null-pads each side's missing columns and pandas upcasts
+    # int64-with-nulls to float64 — restore nullable Int64 so downstream
+    # aggregates stay integer and hash-match integer oracles
+    for c in df.columns:
+        if c in int_cols and df[c].dtype.kind == "f":
+            df[c] = df[c].astype("Int64")
+    return df
+
+
+def asof_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
+                       tiebreak: str, n_buckets: int = 16):
+    """Distributed backward as-of join (an operator Ray Data lacks):
+    for each left row, attach the right row with the largest
+    ``right_ts <= left_ts`` for the same ``key`` — ties on ``right_ts``
+    broken by the largest ``tiebreak`` value.
+
+    Semantics match pandas ``merge_asof(direction="backward")`` and the
+    SQL window form ``row_number() OVER (PARTITION BY left_row ORDER BY
+    right_ts DESC, tiebreak DESC) = 1``.  Inner semantics: left rows
+    with no match are dropped.
+
+    Partitioning assumption: all rows of a key land in one hash bucket
+    (see ``_pad_union_by_bucket``); within a bucket the merge sorts both
+    sides by timestamp, so cost is O(bucket log bucket), never all-pairs.
+    """
+    unioned, lcols, rcols, int_cols = _pad_union_by_bucket(
+        left, right, key, n_buckets
+    )
+    out_cols = lcols + rcols
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, lcols].sort_values(left_ts)
+        rg = g.loc[g["__side"] == 1, [key, *rcols]].sort_values(
+            [right_ts, tiebreak]
+        )
+        if lg.empty or rg.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="Int64" if c in int_cols else "object")
+                 for c in out_cols}
+            )
+        # rg sorted by (ts, tiebreak): merge_asof takes the LAST row with
+        # right_ts <= left_ts per group, i.e. max-ts then max-tiebreak
+        m = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m.dropna(subset=[right_ts])  # inner semantics
+        return _restore_int_dtypes(m[out_cols], int_cols)
+
+    return (
+        unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    )
+
+
+def interval_join_bucketed(points, intervals, key: str, point_col: str,
+                           lo_col: str, hi_col: str, n_buckets: int = 16):
+    """Distributed interval (range) join: inner-join each point row to
+    every interval row of the same ``key`` with ``lo <= point < hi``.
+
+    Both sides may be corpus-sized; they are co-partitioned by hashing
+    ``key`` (one shuffle per side), and each bucket group does a
+    vectorized equi-merge on ``key`` followed by a between-filter — so
+    per-bucket cost is O(matching key pairs), not bucket².  Half-open
+    ``[lo, hi)`` matches the SQL ``p >= lo AND p < hi``.
+    """
+    unioned, pcols, icols, int_cols = _pad_union_by_bucket(
+        points, intervals, key, n_buckets
+    )
+    out_cols = pcols + icols
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g.loc[g["__side"] == 0, pcols]
+        ig = g.loc[g["__side"] == 1, [key, *icols]]
+        if pg.empty or ig.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="Int64" if c in int_cols else "object")
+                 for c in out_cols}
+            )
+        m = pg.merge(ig, on=key, how="inner")
+        m = m[(m[point_col] >= m[lo_col]) & (m[point_col] < m[hi_col])]
+        return _restore_int_dtypes(m[out_cols], int_cols)
+
+    return (
+        unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
     )
 
 

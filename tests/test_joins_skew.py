@@ -141,3 +141,79 @@ def test_bucketed_join_matches_native_dataset_join(ray_session, sides):
     a = ours[cols].astype("int64").sort_values(cols).reset_index(drop=True)
     b = native[cols].astype("int64").sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture
+def temporal_sides():
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 150
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n_l),
+            "ts": base + rng.integers(0, 10**9, n_l).astype("timedelta64[us]"),
+            "lv": rng.integers(0, 1000, n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 35, n_r),
+            # coarse grid so equal right timestamps occur (tie-break path)
+            "rts": base
+            + (rng.integers(0, 100, n_r) * 10**7).astype("timedelta64[us]"),
+            "rid": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def test_asof_join_matches_window_oracle(ray_session, temporal_sides):
+    """Backward as-of with max-tiebreak semantics, vs a quadratic oracle:
+    for each left row, the right row with max (rts, rid) among rts<=ts."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import asof_join_bucketed
+
+    left, right = temporal_sides
+    got = asof_join_bucketed(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        key="k", left_ts="ts", right_ts="rts", tiebreak="rid", n_buckets=6,
+    ).to_pandas()
+
+    rows = []
+    for _, lr in left.iterrows():
+        cand = right[(right["k"] == lr["k"]) & (right["rts"] <= lr["ts"])]
+        if cand.empty:
+            continue
+        best = cand.sort_values(["rts", "rid"]).iloc[-1]
+        rows.append((lr["k"], lr["ts"], lr["lv"], best["rts"], best["rid"]))
+    want = pd.DataFrame(rows, columns=["k", "ts", "lv", "rts", "rid"])
+    cols = ["k", "ts", "lv", "rts", "rid"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(got) > 100  # selective but non-trivial
+
+
+def test_interval_join_matches_quadratic_oracle(ray_session, temporal_sides):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import interval_join_bucketed
+
+    left, right = temporal_sides
+    intervals = right.rename(columns={"rts": "lo"}).copy()
+    intervals["hi"] = intervals["lo"] + np.timedelta64(3 * 10**7, "us")
+    got = interval_join_bucketed(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(intervals).repartition(3),
+        key="k", point_col="ts", lo_col="lo", hi_col="hi", n_buckets=5,
+    ).to_pandas()
+
+    want = left.merge(intervals, on="k", how="inner")
+    want = want[(want["ts"] >= want["lo"]) & (want["ts"] < want["hi"])]
+    cols = ["k", "ts", "lv", "lo", "hi", "rid"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(got) > 10

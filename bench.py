@@ -102,6 +102,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("embedding_near_dup_lsh", q.q_embedding_near_dup_lsh)
         timed("media_byte_stats", q.q_media_byte_stats)
         timed("events_hourly", q.q_events_hourly)
+        timed("events_asof_order", q.q_events_asof_order)
+        timed("events_in_order_window", q.q_events_in_order_window)
         timed("lineitem_pricing", q.q_lineitem_pricing)
 
     result = {

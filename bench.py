@@ -99,6 +99,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("lang_id", q.q_lang_id)
         timed("ann_topk", q.q_ann_topk)
         timed("ann_topk_lsh", q.q_ann_topk_lsh)
+        timed("ann_topk_ivf", q.q_ann_topk_ivf)
         timed("embedding_near_dup_lsh", q.q_embedding_near_dup_lsh)
         timed("media_byte_stats", q.q_media_byte_stats)
         timed("events_hourly", q.q_events_hourly)

@@ -347,3 +347,117 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
         .aggregate(Count(alias_name="__n"))
         .select_columns(["a", "b"])
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int = 8,
+                     n_iter: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means over a (small, driver-pulled) sample:
+    init = the first ``n_centroids`` sample rows, ``n_iter`` fixed
+    iterations, ties in assignment -> lowest centroid index (stable
+    ``argmin``), empty cells keep their previous centroid.  No RNG, no
+    convergence test — the same sample always yields the same centroids,
+    which is what lets the DuckDB oracle replicate the index as literals.
+    """
+    m = np.asarray(sample, dtype=np.float64)
+    cent = m[:n_centroids].copy()
+    for _ in range(n_iter):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = m[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid (squared-L2) cell per row; ties -> lowest cell."""
+    d = ((np.asarray(m, dtype=np.float64)[:, None, :]
+          - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+class IvfTopK:
+    """Per-batch IVF partial top-k: assign each batch row to its
+    nearest-centroid cell, and score it ONLY against the queries whose
+    ``n_probe`` nearest cells include that cell.  The centroid matrix
+    (tiny) and query matrix are broadcast; with C cells and P probes the
+    stage scores ~P/C of the corpus per query instead of all of it —
+    the IVF scale path next to ``LshTopK``'s hamming-pruned one.
+    """
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray,
+                 centroids: np.ndarray, n_probe: int = 3, k: int = 10,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        q_raw = np.asarray(_resolve_broadcast(queries), dtype=np.float64)
+        self.centroids = np.asarray(_resolve_broadcast(centroids), np.float64)
+        self.q = _normalize(q_raw)
+        self.query_ids = np.asarray(_resolve_broadcast(query_ids))
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+        # probe cells per query: n_probe nearest centroids (distance
+        # asc, cell asc on ties — matches the oracle's ORDER BY d, cell)
+        d = ((q_raw[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        self.cell_queries: dict[int, np.ndarray] = {}
+        for qi in range(order.shape[0]):
+            for c in order[qi]:
+                self.cell_queries.setdefault(int(c), []).append(qi)
+        self.cell_queries = {
+            c: np.asarray(v, dtype=np.int64)
+            for c, v in self.cell_queries.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        raw = _embedding_matrix(batch, self.col)
+        cells = assign_cells(raw, self.centroids)
+        m = _normalize(raw)
+        out_q, out_v, out_s = [], [], []
+        for cell in np.unique(cells):
+            qidx = self.cell_queries.get(int(cell))
+            if qidx is None:
+                continue
+            rows = np.nonzero(cells == cell)[0]
+            sims = m[rows] @ self.q[qidx].T  # [R, Qc]
+            k = min(self.k + 1, len(rows))  # +1 covers self-exclusion
+            for j, qi in enumerate(qidx):
+                col = sims[:, j]
+                top = (
+                    np.argpartition(-col, k - 1)[:k]
+                    if k < len(rows) else np.arange(len(rows))
+                )
+                for r in top:
+                    if ids[rows[r]] == self.query_ids[qi]:
+                        continue
+                    out_q.append(self.query_ids[qi])
+                    out_v.append(ids[rows[r]])
+                    out_s.append(col[r])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+             centroids: np.ndarray, k: int = 10, n_probe: int = 3,
+             **stage_kwargs) -> pd.DataFrame:
+    """IVF approximate top-k (see ``IvfTopK``); same output contract as
+    ``brute_force_topk``: (query_id, rank, vec_id)."""
+    partial = ds.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={
+            "queries": queries, "query_ids": query_ids,
+            "centroids": centroids, "n_probe": n_probe, "k": k,
+            **stage_kwargs,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return reduce_topk(partial.to_pandas(), k)

@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from gliner_cpp_ray.stages.similarity import (
@@ -150,3 +151,49 @@ def test_lsh_topk_prunes_and_reports_recall(ray_session):
     print(f"LSH topk: recall={recall:.2f} scored_fraction={frac:.2f}")
     assert frac < 0.5  # genuinely prunes
     assert recall >= 0.3  # worst-case data; real clustered data ~1.0
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_cells(ray_session):
+    """IVF must equal brute force restricted to the probed cells, and
+    centroid training must be deterministic."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import (
+        assign_cells,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    m = rng.normal(size=(n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    cent = kmeans_centroids(m[:128], n_centroids=4, n_iter=5)
+    assert np.array_equal(cent, kmeans_centroids(m[:128], 4, 5))  # deterministic
+
+    qids = ids[:3]
+    qm = m[:3]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+        }
+    )
+    got = ivf_topk(
+        rd.from_arrow(tbl).repartition(4), qm, qids, cent, k=5, n_probe=2
+    )
+
+    # oracle: cosine top-5 over rows whose cell is among the query's 2
+    # nearest centroids, excluding self
+    cells = assign_cells(m, cent)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi, qid in enumerate(qids):
+        d = ((qm[qi][None, :] - cent) ** 2).sum(axis=1)
+        probe = set(np.argsort(d, kind="stable")[:2])
+        mask = np.array([c in probe for c in cells]) & (ids != qid)
+        sims = mn[mask] @ mn[qid]
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -sims))[:5]
+        want = list(cand_ids[order])
+        have = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert have == want

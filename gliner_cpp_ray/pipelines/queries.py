@@ -186,15 +186,26 @@ def q_simhash_pairs(sf_dir: str):
 
 # ------------------------------------------------------------ embeddings
 
+def _query_vectors(sf_dir: str, n: int = 8):
+    """The n query vectors (vec_id < n) via row-group predicate
+    pushdown — the driver never loads the full embedding column."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(_sf_path(sf_dir, "embeddings"))
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n
+    )
+    ids = np.asarray(t.column("vec_id"))
+    order = np.argsort(ids, kind="stable")
+    qm = np.stack(
+        [np.asarray(x) for x in t.column("embedding").to_pylist()]
+    )[order]
+    return ids[order], qm
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors vec_id < 8."""
-    tbl = pq.read_table(
-        _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    )
-    qmask = pc.less(tbl.column("vec_id"), 8)
-    qtbl = tbl.filter(qmask)
-    qids = np.asarray(qtbl.column("vec_id"))
-    qm = np.stack([np.asarray(x) for x in qtbl.column("embedding").to_pylist()])
+    qids, qm = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return brute_force_topk(ds, qm, qids, k=10)
 
@@ -216,13 +227,7 @@ def q_ann_topk_lsh(sf_dir: str):
     code is within hamming 6 of the query code — the scale path (the
     exact ``ann_topk`` is the small-N verify).  Oracle-checked: the SQL
     replicates the same hyperplanes + hamming filter literally."""
-    tbl = pq.read_table(
-        _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    )
-    qmask = pc.less(tbl.column("vec_id"), 8)
-    qtbl = tbl.filter(qmask)
-    qids = np.asarray(qtbl.column("vec_id"))
-    qm = np.stack([np.asarray(x) for x in qtbl.column("embedding").to_pylist()])
+    qids, qm = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(
         ds, qm, qids, k=10, bits=_ANN_BITS, max_hamming=_ANN_MAX_HAMMING,

@@ -452,6 +452,22 @@ def q_events_by_type_salted(sf_dir: str):
     return salted_group_count(ds, "event_type", n_salts=8)
 
 
+_KMV_K = 64
+
+
+def q_distinct_users_kmv(sf_dir: str):
+    """KMV (bottom-k) distinct-count sketch over ``events.user_id`` —
+    the mergeable-sketch operator: per-batch k-min partials, one tiny
+    driver merge (k hashes per block cross the wire, nothing else).
+    The md5 hash and the pure-int64 estimator are replicated in the
+    oracle SQL, so the APPROXIMATE estimate itself is hash-checked."""
+    from gliner_cpp_ray.stages.sketches import kmv_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = kmv_distinct_count(ds, "user_id", k=_KMV_K)
+    return pd.DataFrame({"k": [_KMV_K], "estimate": [est]}).astype("int64")
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash split; emits per-split counts."""
     from ray.data.aggregate import Count
@@ -691,6 +707,7 @@ def queries():
         "max_order_by_cust": q_max_order_by_cust,
         "distinct_event_types": q_distinct_event_types,
         "events_by_type_salted": q_events_by_type_salted,
+        "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
         "events_asof_order": q_events_asof_order,
@@ -979,6 +996,17 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "events_by_type_salted": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "distinct_users_kmv": (
+            "WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv "
+            "FROM events), "
+            "n AS (SELECT count(*) AS cnt FROM h), "
+            "kth AS (SELECT CAST(concat('0x', substr(hv, 1, 8)) AS BIGINT) "
+            "AS v FROM h ORDER BY hv LIMIT 1 OFFSET 63) "
+            "SELECT CAST(64 AS BIGINT) AS k, "
+            "CAST(CASE WHEN (SELECT cnt FROM n) < 64 THEN (SELECT cnt FROM n) "
+            "ELSE 63 * 4294967296 // (SELECT v FROM kth) END AS BIGINT) "
+            "AS estimate"
         ),
         "train_test_split": (
             "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "

@@ -1,0 +1,49 @@
+"""KMV distinct-count sketch: mergeability + accuracy + exact-below-k."""
+
+import numpy as np
+import pandas as pd
+
+from gliner_cpp_ray.stages.sketches import (
+    _kmv_hashes,
+    kmv_distinct_count,
+    kmv_estimate_from_hashes,
+)
+
+
+def test_exact_when_under_k():
+    hs = _kmv_hashes(range(40), 64)
+    assert kmv_estimate_from_hashes(hs, 64) == 40
+
+
+def test_estimate_within_tolerance():
+    # bottom-k standard error ~ 1/sqrt(k-2) ~ 13% at k=64
+    true_n = 5000
+    hs = _kmv_hashes(range(true_n), 64)
+    est = kmv_estimate_from_hashes(hs, 64)
+    assert abs(est - true_n) / true_n < 0.35
+
+
+def test_merge_equals_single_pass():
+    """Union of per-partition partials == one-pass sketch (mergeability:
+    the property that makes it a map_batches + tiny-reduce operator)."""
+    values = list(range(3000))
+    whole = kmv_estimate_from_hashes(_kmv_hashes(values, 64), 64)
+    parts = []
+    for i in range(7):
+        parts.extend(_kmv_hashes(values[i::7], 64))
+    assert kmv_estimate_from_hashes(parts, 64) == whole
+
+
+def test_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"user_id": np.arange(2000) % 700})
+    ds = rd.from_pandas(df).repartition(6)
+    est = kmv_distinct_count(ds, "user_id", k=64)
+    local = kmv_estimate_from_hashes(
+        _kmv_hashes((np.arange(2000) % 700).tolist(), 64), 64
+    )
+    assert est == local == 968  # deterministic (an unlucky-but-fixed
+    # +38% draw at n=700: bottom-k stderr is ~13% at k=64, and this
+    # particular md5 draw sits at 2.9 sigma — pinned exactly since the
+    # sketch has no RNG)

@@ -101,6 +101,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("ann_topk_lsh", q.q_ann_topk_lsh)
         timed("ann_topk_ivf", q.q_ann_topk_ivf)
         timed("embedding_near_dup_lsh", q.q_embedding_near_dup_lsh)
+        timed("embedding_dup_components", q.q_embedding_dup_components)
         timed("media_byte_stats", q.q_media_byte_stats)
         timed("distinct_users_kmv", q.q_distinct_users_kmv)
         timed("events_hourly", q.q_events_hourly)

@@ -312,6 +312,22 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     )
 
 
+def q_embedding_dup_components(sf_dir: str):
+    """Distributed connected components (min-label propagation,
+    ``stages/graph.py``) over the LSH near-dup pair graph — the scale
+    path for component labeling when the pair list outgrows the driver
+    union-find.  Oracle: a recursive CTE computing the same min-label
+    fixpoint over the identical (hyperplane-literal) pair set."""
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = lsh_near_dup_pairs(
+        ds, dim=_LSH_DIM, threshold=0.4, bits=_NDUP_BITS, bands=_NDUP_BANDS,
+        seed=_LSH_SEED,
+    )
+    return cc_label_propagation(pairs.select_columns(["a", "b"]))
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Exact all-pairs cosine > 0.4 (a < b; threshold chosen so the
     testdata embeddings — random vectors, max pair cosine ~0.51 — yield a
@@ -700,6 +716,7 @@ def queries():
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_dup_components": q_embedding_dup_components,
         "top_users_by_value": q_top_users_by_value,
         "events_hourly": q_events_hourly,
         "events_sliding_3h": q_events_sliding_3h,
@@ -859,6 +876,24 @@ def _near_dup_lsh_sql() -> str:
     )
 
 
+def _dup_components_sql() -> str:
+    """Connected components of the LSH near-dup pair graph via a
+    recursive CTE: enumerate every label reachable from each node, keep
+    the min — the SQL fixpoint equivalent of min-label propagation."""
+    pairs = _near_dup_lsh_sql()
+    return (
+        "WITH RECURSIVE pairs AS (" + pairs + "), "
+        "nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs), "
+        "adj AS (SELECT a AS node, b AS nbr FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "cc AS (SELECT node, node AS label FROM nodes "
+        "UNION SELECT adj.node, cc.label FROM cc "
+        "JOIN adj ON cc.node = adj.nbr) "
+        "SELECT node, CAST(min(label) AS BIGINT) AS label "
+        "FROM cc GROUP BY node"
+    )
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -962,6 +997,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        "embedding_dup_components": _dup_components_sql(),
         "media_byte_stats": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "CAST(octet_length(encode(text)) - octet_length(encode("

@@ -1,0 +1,109 @@
+"""Distributed connected components via min-label propagation.
+
+The KG pipeline's canonicalization union-find runs on the DRIVER over a
+vocabulary-bounded edge list (state/union_find.py) — the right tool
+when the edge list reduces.  This module is the scale path for edge
+lists that do NOT reduce (e.g. near-dup graphs over 10^12 docs whose
+pair list exceeds driver memory): iterative min-label propagation
+expressed purely in Ray Data operators.
+
+Algorithm: ``label(u) ← min(label(u), min over neighbors v of
+label(v))`` to fixpoint.  Each round is one bucketed hash join (labels
+onto the adjacency, co-partitioned by node hash) + one groupby-min —
+two shuffles of the (node, label) table, never the raw rows behind it.
+Convergence needs O(component diameter) rounds; near-dup graphs are
+dense clusters with tiny diameters, so 3-5 rounds typically suffice
+(the O(log d) hash-to-min variant from the MapReduce-CC literature
+trades per-round volume for fewer rounds; this implementation keeps
+per-round volume linear in |E|).
+
+Fixpoint detection is driver-side but O(1) data: labels only ever
+decrease, so the SUM of labels is a strictly decreasing progress
+measure — equal sums across rounds ⇒ converged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _undirected_adjacency(edges_ds, a_col: str = "a", b_col: str = "b"):
+    """(a, b) edge list → both-direction (node, nbr) rows plus self
+    loops, so min-over-neighbors includes the node's own label."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column(b_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b, a, b])
+        nbr = np.concatenate([b, a, a, b])  # self loops: (a,a), (b,b)
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "nbr": pa.array(nbr, pa.int64())}
+        )
+
+    return edges_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
+                         max_rounds: int = 32, n_buckets: int = 16):
+    """Connected components of an undirected int-keyed edge list.
+
+    Returns a ``ray.data.Dataset`` of ``(node, label)`` with
+    ``label = min node id of the component`` — the same contract as the
+    driver union-find (``state/union_find.py``), pinned equal in tests.
+
+    Raises ``RuntimeError`` if ``max_rounds`` is hit before the
+    fixpoint (pathological diameter — raise the bound or switch to the
+    hash-to-min variant).
+    """
+    from ray.data.aggregate import Min
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    adj = _undirected_adjacency(edges_ds, a_col, b_col).materialize()
+    # round 0: label(u) = min neighbor (self loop ⇒ includes u)
+    labels = (
+        adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur_sum = int(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {"s": pa.array(
+                        [int(np.sum(t.column("label").to_numpy(zero_copy_only=False)))],
+                        pa.int64(),
+                    )}
+                ),
+                batch_format="pyarrow",
+            ).sum("s")
+        )
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+        # nbr-side labels onto adjacency, then min per node
+        nbr_labels = labels.map_batches(
+            lambda t: t.rename_columns(["nbr", "nbr_label"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(
+            _rename(adj, {"node": "keep_node", "nbr": "nbr"}),
+            nbr_labels,
+            on="nbr",
+            n_buckets=n_buckets,
+        )
+        labels = (
+            _rename(joined, {"keep_node": "node"})
+            .groupby("node")
+            .aggregate(Min("nbr_label", alias_name="label"))
+        ).materialize()
+    raise RuntimeError(
+        f"cc_label_propagation did not converge in {max_rounds} rounds"
+    )
+
+
+def _rename(ds, mapping: dict):
+    return ds.map_batches(
+        lambda t: t.rename_columns([mapping.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow",
+    )

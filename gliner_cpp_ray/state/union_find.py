@@ -8,8 +8,10 @@ vocabulary (≈ entity count × alias count), which stays small even at
 PAPERS.md: BTS ICDE'24 reserves distributed union-find for edge lists
 that do NOT reduce; ours does).
 
-For a hypothetical non-reducing workload, ``label_propagation_round``
-sketches the alternating groupby(min-label) path the same API would use.
+For a non-reducing workload (pair lists that outgrow driver memory),
+``stages/graph.py:cc_label_propagation`` is the distributed min-label
+path with the same ``node -> min component id`` contract, pinned equal
+to this class in tests/test_graph.py.
 """
 
 from __future__ import annotations

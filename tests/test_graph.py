@@ -1,0 +1,55 @@
+"""Distributed CC (min-label propagation) vs the driver union-find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gliner_cpp_ray.state.union_find import connected_components
+
+
+def _check(edges, ray_session, max_rounds=32):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+    df = pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    got = (
+        cc_label_propagation(rd.from_pandas(df).repartition(3),
+                             max_rounds=max_rounds)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    want = connected_components(edges)
+    # union-find roots are min-ids (union picks the smaller rep), so the
+    # two contracts line up exactly
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_cc_two_triangles_and_bridge(ray_session):
+    _check([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)], ray_session)
+
+
+def test_cc_separate_components_and_singletons_via_self_edges(ray_session):
+    _check([(5, 6), (7, 7), (20, 21), (21, 22), (23, 22)], ray_session)
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(3)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 120, size=(150, 2))]
+    _check(edges, ray_session)
+
+
+def test_cc_path_graph_needs_diameter_rounds(ray_session):
+    # a 12-node path: min label walks one hop per round
+    _check([(i, i + 1) for i in range(11)], ray_session, max_rounds=16)
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+    df = pd.DataFrame([(i, i + 1) for i in range(10)], columns=["a", "b"])
+    with pytest.raises(RuntimeError):
+        cc_label_propagation(rd.from_pandas(df), max_rounds=2)

@@ -468,6 +468,16 @@ def q_events_by_type_salted(sf_dir: str):
     return salted_group_count(ds, "event_type", n_salts=8)
 
 
+def q_docs_sample_by_lang(sf_dir: str):
+    """Deterministic stratified sample: the 20 hash-rank-smallest docs
+    per language — per-stratum caps for a training mix, stable across
+    runs/partitionings, exactly reproducible in SQL."""
+    from gliner_cpp_ray.stages.skew import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id"])
+    return stratified_sample(ds, "lang", "doc_id", n_per_stratum=20)
+
+
 _KMV_K = 64
 
 
@@ -724,6 +734,7 @@ def queries():
         "max_order_by_cust": q_max_order_by_cust,
         "distinct_event_types": q_distinct_event_types,
         "events_by_type_salted": q_events_by_type_salted,
+        "docs_sample_by_lang": q_docs_sample_by_lang,
         "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
@@ -1032,6 +1043,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "events_by_type_salted": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "docs_sample_by_lang": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20"
         ),
         "distinct_users_kmv": (
             "WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv "

@@ -69,3 +69,57 @@ def train_test_split(ds, id_col: str, train_pct: int = 80):
         return t.append_column("split", pa.array(_split_of(ids, th)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int,
+                      n_buckets: int = 16):
+    """Deterministic per-stratum sample: the ``n`` rows of each stratum
+    with the smallest ``md5(str(id))`` — a hash-rank sample, so
+    membership is a pure function of (stratum, id): stable across runs,
+    partitionings and cluster sizes, and exactly reproducible in SQL
+    (``row_number() OVER (PARTITION BY stratum ORDER BY md5(id), id)``).
+
+    The per-stratum cap is the real webtext use case (e.g. at most N
+    documents per language in a training mix).  Movement: one shuffle
+    of (stratum-hash-bucket) groups; each bucket group holds whole
+    strata, and a per-batch top-n combiner BEFORE the shuffle would cap
+    per-bucket volume at tasks·n rows for corpus-scale strata."""
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return t.append_column("__h", pa.array(hs, pa.string()))
+
+    def combiner(t: pa.Table) -> pa.Table:
+        # per-batch top-n per stratum: bounds shuffle volume at
+        # (batches × strata × n) rows regardless of corpus size
+        df = t.to_pandas()
+        df = (
+            df.sort_values([stratum_col, "__h", id_col])
+            .groupby(stratum_col, sort=False)
+            .head(n_per_stratum)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def take_n(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.sort_values([stratum_col, "__h", id_col])
+            .groupby(stratum_col, sort=False)
+            .head(n_per_stratum)
+            .drop(columns=["__h", "__bucket"])
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+
+    return (
+        ds.map_batches(add_rank_key, batch_format="pyarrow")
+        .map_batches(combiner, batch_format="pyarrow")
+        .repartition(max(n_buckets, 8))
+        .map_batches(
+            lambda df: add_key_bucket(df, [stratum_col], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(take_n, batch_format="pandas")
+    )

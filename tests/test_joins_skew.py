@@ -217,3 +217,36 @@ def test_interval_join_matches_quadratic_oracle(ray_session, temporal_sides):
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(got) > 10
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.skew import stratified_sample
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "de", "uk"], 500, p=[0.7, 0.2, 0.1]),
+            "doc_id": np.arange(500, dtype=np.int64),
+        }
+    )
+    out1 = stratified_sample(
+        rd.from_pandas(df).repartition(5), "lang", "doc_id", 15
+    ).to_pandas()
+    out2 = stratified_sample(
+        rd.from_pandas(df).repartition(11), "lang", "doc_id", 15
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["lang", "doc_id"]].to_numpy()))
+    assert key(out1) == key(out2)  # partitioning-independent
+    sizes = out1.groupby("lang").size()
+    assert (sizes <= 15).all() and sizes["en"] == 15
+    # membership = hash-rank smallest per stratum (the SQL contract)
+    for lang, g in df.groupby("lang"):
+        want = sorted(
+            g["doc_id"], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:15]
+        got = sorted(out1.loc[out1["lang"] == lang, "doc_id"])
+        assert got == sorted(want)

@@ -478,6 +478,20 @@ def q_docs_sample_by_lang(sf_dir: str):
     return stratified_sample(ds, "lang", "doc_id", n_per_stratum=20)
 
 
+def q_order_price_quantiles(sf_dir: str):
+    """Approximate p50/p90/p99 of ``o_totalprice`` via a fixed-bin
+    distributed histogram (combinable per-batch partials; only 64 bin
+    rows reach the driver).  Reported as integer bin indices so the
+    approximate estimate itself hash-matches the SQL replica."""
+    from gliner_cpp_ray.stages.sketches import histogram_quantile_bins
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return histogram_quantile_bins(
+        ds, "o_totalprice", lo=0.0, hi=512_000.0, n_bins=64,
+        q_pcts=(50, 90, 99),
+    )
+
+
 _KMV_K = 64
 
 
@@ -735,6 +749,7 @@ def queries():
         "distinct_event_types": q_distinct_event_types,
         "events_by_type_salted": q_events_by_type_salted,
         "docs_sample_by_lang": q_docs_sample_by_lang,
+        "order_price_quantiles": q_order_price_quantiles,
         "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
@@ -1043,6 +1058,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "events_by_type_salted": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "order_price_quantiles": (
+            "WITH t AS (SELECT count(*) AS total FROM orders), "
+            "b AS (SELECT CAST(least(greatest(floor(o_totalprice / 8000.0), "
+            "0), 63) AS BIGINT) AS bin FROM orders), "
+            "c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin), "
+            "cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cn FROM c) "
+            "SELECT CAST(q.q_pct AS BIGINT) AS q_pct, "
+            "(SELECT min(bin) FROM cum WHERE cn >= "
+            "(q.q_pct * (SELECT total FROM t) + 99) // 100) AS bin, "
+            "(SELECT total FROM t) AS total "
+            "FROM (VALUES (50), (90), (99)) AS q(q_pct)"
         ),
         "docs_sample_by_lang": (
             "SELECT lang, doc_id FROM ("

@@ -73,3 +73,71 @@ def kmv_distinct_count(ds, col: str, k: int = _K_DEFAULT) -> int:
     )
     merged = partial.to_pandas()["h"].tolist()
     return kmv_estimate_from_hashes(merged, k)
+
+
+class HistogramPartial:
+    """Per-batch fixed-bin histogram partial: one (bin, n) row per
+    non-empty bin.  Fixed edges (``lo + i·w``) make partials combinable
+    with a plain Sum — and make the binning an exact SQL expression, so
+    the quantile ESTIMATE is oracle-checkable despite being approximate.
+    """
+
+    def __init__(self, col: str, lo: float, hi: float, n_bins: int):
+        self.col = col
+        self.lo = float(lo)
+        self.w = (float(hi) - float(lo)) / n_bins
+        self.n_bins = n_bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch.column(self.col).to_numpy(zero_copy_only=False).astype(
+            "float64"
+        )
+        bins = np.clip(
+            np.floor((v - self.lo) / self.w), 0, self.n_bins - 1
+        ).astype("int64")
+        counts = np.bincount(bins, minlength=self.n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+
+def histogram_quantile_bins(ds, col: str, lo: float, hi: float,
+                            n_bins: int = 64, q_pcts=(50, 90, 99)):
+    """Approximate quantiles as BIN INDICES: for each q, the smallest
+    bin whose cumulative count reaches ``ceil(q% · total)``.
+
+    Distributed shape: per-batch histogram partials (≤ n_bins rows per
+    task — combinable), one small groupby-sum, and only n_bins rows
+    reach the driver; nothing scales with the corpus.  Reporting the
+    integer bin index (resolution (hi-lo)/n_bins) rather than an
+    interpolated float keeps the Ray/SQL comparison exact.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        HistogramPartial,
+        fn_constructor_kwargs={"col": col, "lo": lo, "hi": hi, "n_bins": n_bins},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    bins = (
+        partial.groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()
+    ).sort_values("bin")
+    total = int(bins["n"].sum())
+    cum = bins["n"].cumsum()
+    out_q, out_bin = [], []
+    for q in q_pcts:
+        # integer ceil(q% of total) — bit-exact vs the SQL oracle
+        need = (q * total + 99) // 100
+        idx = int(bins.loc[cum >= need, "bin"].iloc[0])
+        out_q.append(int(q))
+        out_bin.append(idx)
+    return pd.DataFrame(
+        {"q_pct": out_q, "bin": out_bin, "total": [total] * len(out_q)}
+    ).astype("int64")

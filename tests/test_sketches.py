@@ -47,3 +47,28 @@ def test_distributed_matches_local(ray_session):
     # +38% draw at n=700: bottom-k stderr is ~13% at k=64, and this
     # particular md5 draw sits at 2.9 sigma — pinned exactly since the
     # sketch has no RNG)
+
+
+def test_histogram_quantile_bins(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import histogram_quantile_bins
+
+    rng = np.random.default_rng(12)
+    vals = rng.uniform(0, 1000, 4000)
+    df = pd.DataFrame({"v": vals})
+    out = histogram_quantile_bins(
+        rd.from_pandas(df).repartition(6), "v", lo=0.0, hi=1000.0,
+        n_bins=50, q_pcts=(50, 90, 99),
+    )
+    # partitioning-independent (combinable partials)
+    out2 = histogram_quantile_bins(
+        rd.from_pandas(df).repartition(13), "v", lo=0.0, hi=1000.0,
+        n_bins=50, q_pcts=(50, 90, 99),
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    assert out["total"].tolist() == [4000] * 3
+    # bin index must bracket the exact quantile (bin width = 20)
+    for q_pct, bin_idx in zip(out["q_pct"], out["bin"]):
+        exact = np.quantile(vals, q_pct / 100)
+        assert bin_idx * 20 <= exact + 20 and (bin_idx + 1) * 20 >= exact - 20

@@ -106,6 +106,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("distinct_users_kmv", q.q_distinct_users_kmv)
         timed("docs_sample_by_lang", q.q_docs_sample_by_lang)
         timed("order_price_quantiles", q.q_order_price_quantiles)
+        timed("term_doc_frequency", q.q_term_doc_frequency)
         timed("events_hourly", q.q_events_hourly)
         timed("events_asof_order", q.q_events_asof_order)
         timed("events_in_order_window", q.q_events_in_order_window)

@@ -478,6 +478,16 @@ def q_docs_sample_by_lang(sf_dir: str):
     return stratified_sample(ds, "lang", "doc_id", n_per_stratum=20)
 
 
+def q_term_doc_frequency(sf_dir: str):
+    """Top-50 terms by document frequency (df desc, term asc) — the
+    combinable inverted-index / TF-IDF vocabulary building block; raw
+    tokens never leave the workers, only per-batch (term, df) partials."""
+    from gliner_cpp_ray.stages.text_analysis import term_doc_frequency
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_doc_frequency(ds, top_k=50)
+
+
 def q_order_price_quantiles(sf_dir: str):
     """Approximate p50/p90/p99 of ``o_totalprice`` via a fixed-bin
     distributed histogram (combinable per-batch partials; only 64 bin
@@ -750,6 +760,7 @@ def queries():
         "events_by_type_salted": q_events_by_type_salted,
         "docs_sample_by_lang": q_docs_sample_by_lang,
         "order_price_quantiles": q_order_price_quantiles,
+        "term_doc_frequency": q_term_doc_frequency,
         "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
@@ -1058,6 +1069,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "events_by_type_salted": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "term_doc_frequency": (
+            "WITH toks AS (SELECT DISTINCT doc_id, lower(t.tok) AS term "
+            "FROM documents, unnest(string_split_regex(trim(text), '\\s+')) "
+            "AS t(tok) WHERE trim(text) <> '') "
+            "SELECT term, count(*) AS df FROM toks GROUP BY term "
+            "ORDER BY df DESC, term LIMIT 50"
         ),
         "order_price_quantiles": (
             "WITH t AS (SELECT count(*) AS total FROM orders), "

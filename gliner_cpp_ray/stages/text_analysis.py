@@ -12,6 +12,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -156,3 +157,45 @@ class LangId:
                 "pred_lang": pa.array(preds, pa.string()),
             }
         )
+
+
+def term_doc_frequency_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch document-frequency partial: (term, df) counting each
+    term ONCE per document — the combinable first phase of a corpus DF
+    table / TF-IDF vocabulary / inverted-index build.  Tokenization is
+    pinned to ``token_counts``'s SQL-matchable definition (RE2 ``\\s+``
+    split of trimmed text), lowercased."""
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    df = pd.DataFrame(
+        {"doc": parents, "term": flat.to_pandas()}
+    )
+    df = df[nonempty[df["doc"].to_numpy()]]
+    per_doc = df.drop_duplicates()
+    counts = per_doc.groupby("term", sort=False).size()
+    return pa.table(
+        {
+            "term": pa.array(counts.index, pa.string()),
+            "df": pa.array(counts.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def term_doc_frequency(ds, text_col: str = "text", top_k: int = 50):
+    """Corpus document-frequency table, top_k by (df desc, term asc).
+
+    Shape: vectorized per-batch partials (one row per distinct term per
+    batch — vocabulary-bounded), one groupby-sum shuffle of the partial
+    table, and a sort of the vocabulary-sized result.  The raw token
+    stream never crosses the wire."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda t: term_doc_frequency_partial(t, text_col),
+        batch_format="pyarrow",
+    )
+    agg = partial.groupby("term").aggregate(Sum("df", alias_name="df"))
+    return agg.sort(["df", "term"], descending=[True, False]).limit(top_k)

@@ -50,3 +50,30 @@ def test_langid():
         )
     )
     assert out.column("pred_lang").to_pylist() == ["en", "de", "es", "zh"]
+
+
+def test_term_doc_frequency_counts_once_per_doc(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.text_analysis import term_doc_frequency
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                "cat cat cat dog",     # cat counted ONCE here
+                "cat bird",
+                "Dog dog DOG",          # lowercased, once
+                "   ",                  # empty after trim -> no terms
+            ],
+        }
+    )
+    out = (
+        term_doc_frequency(rd.from_pandas(df).repartition(3), top_k=10)
+        .to_pandas()
+    )
+    got = dict(zip(out["term"], out["df"]))
+    assert got == {"cat": 2, "dog": 2, "bird": 1}
+    # deterministic order: df desc, term asc
+    assert out["term"].tolist() == ["cat", "dog", "bird"]

@@ -287,7 +287,6 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     # signature rows, 4) pair-expand only the survivors.
     counts = (
         sigs.select_columns(["band_id", "band_key"])
-        .repartition(8)
         .groupby(["band_id", "band_key"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()
@@ -322,7 +321,6 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
 
     cands = (
         sigs.map_batches(keep_hot, batch_format="pyarrow")
-        .repartition(8)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_candidate_pairs, batch_format="pandas")
     )

@@ -133,6 +133,22 @@ def _register_builtins() -> None:
         batch_size=32,
         concurrency=(1, 4),
     )
+    from gliner_cpp_ray.stages.sketches import HistogramPartial, KmvPartial
+    from gliner_cpp_ray.stages.text_analysis import term_doc_frequency_partial
+
+    register_stage(
+        "kmv_partial", KmvPartial, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"col": "doc_id"},
+    )
+    register_stage(
+        "histogram_partial", HistogramPartial, batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"col": "value", "lo": 0.0, "hi": 1.0,
+                               "n_bins": 64},
+    )
+    register_stage(
+        "term_df_partial", term_doc_frequency_partial, batch_format="pyarrow",
+    )
 
 
 _register_builtins()

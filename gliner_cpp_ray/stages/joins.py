@@ -34,27 +34,52 @@ _KNUTH = np.uint64(2654435761)
 
 def add_bucket(batch: pa.Table, key: str, n_buckets: int,
                out_col: str = "__bucket") -> pa.Table:
-    """Deterministic hash bucket for an integer key (wrapping uint64
-    multiply — overflow-safe, stable across processes)."""
-    v = batch.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    h = (v.astype(np.uint64) * _KNUTH) >> np.uint64(16)
+    """Deterministic hash bucket for a join key.
+
+    Integer keys: wrapping uint64 multiply (overflow-safe, stable
+    across processes).  Any other type (string, date, …): vectorized
+    ``pd.util.hash_pandas_object`` (fixed internal hash key — the same
+    process-stable hash the KG edge reduce buckets with)."""
+    col = batch.column(key)
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = v.astype(np.uint64) * _KNUTH >> np.uint64(16)
+    else:
+        h = pd.util.hash_pandas_object(
+            col.to_pandas(), index=False
+        ).to_numpy()
     bucket = (h % np.uint64(n_buckets)).astype(np.int64)
     return batch.append_column(out_col, pa.array(bucket))
 
 
+
+def _as_arrow_type(t) -> pa.DataType:
+    """Normalize a ``ray.data.Schema`` type entry to Arrow: for
+    arrow-block datasets it already IS a ``pa.DataType``, but for
+    pandas-block datasets Ray reports numpy dtypes (and bare ``object``
+    for strings)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object or getattr(t, "kind", None) == "O":
+        return pa.string()
+    return pa.from_numpy_dtype(t)
+
+
 def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
                        how: str = "inner", suffix: str = "_r"):
-    """Partitioned hash join of two Datasets on an integer key column.
+    """Partitioned hash join of two Datasets on a key column (integer
+    fast path; string/other types bucket via the process-stable pandas
+    hash).
 
     ``how`` in {"inner", "left"}.  Right-side columns that collide with
     left names (other than ``on``) are renamed with ``suffix`` first.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    lschema = left.schema()  # ray.data.Schema: .names + arrow .types
+    lschema = left.schema()  # ray.data.Schema: .names + .types
     rschema = right.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = {n: _as_arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
     rename = {
         c: c + suffix for c in rschema.names if c != on and c in set(lcols)
     }
@@ -65,7 +90,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
             batch_format="pyarrow",
         )
         rschema = right.schema()
-    rtypes = dict(zip(rschema.names, rschema.types))
+    rtypes = {n: _as_arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
     rcols = [c for c in rschema.names if c != on]
 
     # common schema: on + left columns + right columns (+ side marker)
@@ -133,8 +158,12 @@ def _pad_union_by_bucket(left, right, key: str, n_buckets: int):
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != key]
-    types = list(zip(lschema.names, lschema.types))
-    types += [(c, t) for c, t in zip(rschema.names, rschema.types) if c != key]
+    types = [(n, _as_arrow_type(t)) for n, t in zip(lschema.names, lschema.types)]
+    types += [
+        (c, _as_arrow_type(t))
+        for c, t in zip(rschema.names, rschema.types)
+        if c != key
+    ]
 
     def pad(t: pa.Table, side: int) -> pa.Table:
         t = add_bucket(t, key, n_buckets)

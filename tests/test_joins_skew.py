@@ -250,3 +250,22 @@ def test_stratified_sample_deterministic_and_capped(ray_session):
         )[:15]
         got = sorted(out1.loc[out1["lang"] == lang, "doc_id"])
         assert got == sorted(want)
+
+
+def test_bucketed_join_on_string_key(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {"k": ["alpha", "beta", "gamma", "beta"], "lv": [1, 2, 3, 4]}
+    )
+    right = pd.DataFrame({"k": ["beta", "gamma", "delta"], "rv": [20, 30, 40]})
+    got = bucketed_hash_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right).repartition(2),
+        on="k", n_buckets=4,
+    ).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        _sorted(got, cols), _sorted(want, cols), check_dtype=False
+    )

@@ -200,6 +200,62 @@ class EncodedGazetteerScoringModel(GazetteerScoringModel):
         return logits.ravel()
 
 
+class DebugOrtSession:
+    """Wheel-free stand-in for an ``onnxruntime.InferenceSession`` that
+    VALIDATES the reference feed contract — input names, dtypes and
+    ranks exactly as bound by ``src/gliner_structs.cpp:28-35`` and named
+    in ``src/model.cpp:59-66`` — then returns logits that are a pure
+    function of the span grid (span mode: hit where ``start + width``
+    is even) or all-miss (token mode).  Importable from the library so
+    Ray actors can build it via ``GlinerNERStage(session_factory=
+    DebugOrtSession)`` without the test suite on their path; any
+    feed-layout bug changes the decoded output."""
+
+    _SPAN_FEEDS = [
+        ("input_ids", "int64", 2),
+        ("attention_mask", "int64", 2),
+        ("words_mask", "int64", 2),
+        ("text_lengths", "int64", 2),
+        ("span_idx", "int64", 3),
+        ("span_mask", "bool", 2),
+    ]
+
+    def __init__(self, model_type: str = SPAN_LEVEL, hit_logit: float = 4.0,
+                 miss_logit: float = -8.0, n_entities: int = 1):
+        self.model_type = model_type
+        self.hit = hit_logit
+        self.miss = miss_logit
+        self.n_entities = n_entities
+
+    def run(self, output_names, feeds):
+        import numpy as np
+
+        assert output_names == ["logits"]
+        spec = (
+            self._SPAN_FEEDS
+            if self.model_type == SPAN_LEVEL
+            else self._SPAN_FEEDS[:4]
+        )
+        assert list(feeds) == [n for n, _, _ in spec], list(feeds)
+        B = feeds["input_ids"].shape[0]
+        for name, dtype, rank in spec:
+            arr = feeds[name]
+            assert arr.dtype == np.dtype(dtype), (name, arr.dtype)
+            assert arr.ndim == rank and arr.shape[0] == B, (name, arr.shape)
+        W = int(feeds["text_lengths"].max(initial=0))
+        if self.model_type != SPAN_LEVEL:
+            return [np.full((3, B, W, self.n_entities), self.miss, np.float32)]
+        span_idx, span_mask = feeds["span_idx"], feeds["span_mask"]
+        K = span_idx.shape[1] // W
+        logits = np.full((B, W, K, self.n_entities), self.miss, np.float32)
+        for b in range(B):
+            for s in np.flatnonzero(span_mask[b]):
+                i, j = int(span_idx[b, s, 0]), int(span_idx[b, s, 1])
+                if (i + (j - i)) % 2 == 0:
+                    logits[b, i, j - i, 0] = self.hit
+        return [logits]
+
+
 def providers_for_device(device_id: int = -1) -> list:
     """Execution-provider list for a device id, mirroring the
     reference's ctor switch (model.cpp:71-77): ``device_id >= 0``

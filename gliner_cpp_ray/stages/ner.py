@@ -87,6 +87,10 @@ class GlinerNERStage:
         # tensors (words_mask/span grid validated by consumption — the
         # fidelity path, ~the real model's prep cost without weights)
         scorer: str = "gazetteer",
+        # test seam for the ONNX path without the onnxruntime wheel: a
+        # zero-arg callable building the session INSIDE the actor (a
+        # live Ort session must never be pickled across processes)
+        session_factory=None,
     ):
         self.labels = labels or list(world.NER_LABELS)
         self.threshold = threshold
@@ -95,7 +99,12 @@ class GlinerNERStage:
         self.docs_per_model_batch = docs_per_model_batch
         self.max_words_per_model_batch = max_words_per_model_batch
         cfg = GlinerConfig(max_width=max_width, model_type=model_type)
-        if onnx_path is not None:
+        if session_factory is not None:
+            scoring = OnnxScoringModel(
+                model_type=model_type, session=session_factory()
+            )
+            subword = HFSubwordTokenizer(tokenizer_json)
+        elif onnx_path is not None:
             scoring = OnnxScoringModel(onnx_path, model_type, device_id=device_id)
             subword = HFSubwordTokenizer(tokenizer_json)
         else:

@@ -19,6 +19,7 @@ import pytest
 
 from gliner_cpp_ray.config import SPAN_LEVEL, TOKEN_LEVEL, GlinerConfig
 from gliner_cpp_ray.core.model import (
+    DebugOrtSession,
     EncodedGazetteerScoringModel,
     GazetteerScoringModel,
     GlinerModel,
@@ -265,3 +266,59 @@ def test_real_tokenizer_json_feeds_real_vocab_ids(tmp_path):
     assert [i for i in ids if i in (12, 13)] == [12, 13]
     assert ids.count(11) == 1 and ids.count(10) == 1
     assert all(s.text for doc in out for s in doc)
+
+
+def test_ner_actor_pool_runs_tokenizer_json_and_session_contract(
+    ray_session, tmp_path
+):
+    """The full Ray actor-pool NER stage (not just GlinerModel) running
+    the wheel-free tokenizer.json loader + the exact ONNX feed contract
+    via session_factory — A2/A3/A9/A10 composed inside map_batches."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.ner import GlinerNERStage
+
+    vocab = {
+        "[UNK]": 0, "alpha": 10, "beta": 11, "gam": 12, "##ma": 13,
+    }
+    spec = {
+        "normalizer": {"type": "Lowercase"},
+        "model": {
+            "type": "WordPiece", "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##", "vocab": vocab,
+        },
+    }
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(spec))
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d2"],
+            "url": ["u1", "u2"],
+            "text": ["alpha beta gamma", "beta gamma"],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = ds.map_batches(
+        GlinerNERStage,
+        fn_constructor_kwargs={
+            "labels": ["thing"],
+            "max_width": 4,
+            "tokenizer_json": str(path),
+            # package-importable factory: Ray actors deserialize it by
+            # module reference, so a test-module lambda would fail
+            "session_factory": DebugOrtSession,
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    # the fake session hits (start+width)-even spans; both docs must
+    # produce mentions, and the mention text must slice from the source
+    assert len(out) > 0
+    assert set(out["doc_id"]) == {"d1", "d2"}
+    for _, r in out.iterrows():
+        src = df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+        assert src[r["start"]: r["end"]] == r["text"]

@@ -68,10 +68,26 @@ class HFSubwordTokenizer:
             from tokenizers import Tokenizer  # type: ignore
 
             self._tok = Tokenizer.from_file(tokenizer_json_path)
+            self.backend = "tokenizers"
         except ImportError:
+            import warnings
+
             from gliner_cpp_ray.core.subword_json import PureSubwordTokenizer
 
             self._pure = PureSubwordTokenizer(tokenizer_json_path)
+            self.backend = "pure-python"
+            # parity-sensitive runs need a signal about which encoder ran:
+            # the pure path applies SentencePiece Precompiled normalizers
+            # as identity and lacks byte-fallback, so ids can diverge from
+            # HF on non-ASCII input (warn once per process, not per actor
+            # call — Python dedupes by message/module/lineno by default)
+            warnings.warn(
+                "tokenizers wheel not installed: falling back to the "
+                "pure-Python subword encoder (inspect .backend); non-ASCII "
+                "Unigram inputs may diverge from HF semantics",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self._memo: dict[str, list[int]] = {}
 
     def encode(self, word: str) -> list[int]:

@@ -772,6 +772,10 @@ def queries():
 
 
 _STOP_SQL = "('the','and','of','a','to','in','is','it','for','on','with')"
+# trim pinned to the SAME RE2 expression the Ray stages use
+# (stages/text_analysis._TRIM_RE) — DuckDB trim() strips spaces only and
+# diverges on tab/newline-edged text
+_TRIM_SQL = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
 
 
 def _lsh_planes(bits: int) -> np.ndarray:
@@ -1000,20 +1004,21 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
         "token_counts": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
-            "FROM documents"
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents) "
+            "SELECT doc_id, CASE WHEN t = '' THEN 0 ELSE "
+            "len(string_split_regex(t, '\\s+')) END AS n_tokens FROM tt"
         ),
         "text_quality": (
+            f"WITH tt AS (SELECT doc_id, text, {_TRIM_SQL} AS t FROM documents) "
             "SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
             "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
-            "CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            "CASE WHEN t = '' THEN 0 ELSE "
+            "len(string_split_regex(t, '\\s+')) END AS n_tokens, "
+            "CASE WHEN t = '' THEN 0 ELSE "
+            "len(list_filter(string_split_regex(t, '\\s+'), "
             f"x -> lower(x) IN {_STOP_SQL})) END AS n_stopwords "
-            "FROM documents"
+            "FROM tt"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
@@ -1071,9 +1076,10 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "term_doc_frequency": (
-            "WITH toks AS (SELECT DISTINCT doc_id, lower(t.tok) AS term "
-            "FROM documents, unnest(string_split_regex(trim(text), '\\s+')) "
-            "AS t(tok) WHERE trim(text) <> '') "
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) "
+            "AS x(tok) WHERE t <> '') "
             "SELECT term, count(*) AS df FROM toks GROUP BY term "
             "ORDER BY df DESC, term LIMIT 50"
         ),

@@ -242,18 +242,34 @@ class ClusterAssigner:
     def __init__(self, comp_ref, id_col: str = "doc_id"):
         import ray
 
-        self.comp = (
+        comp = (
             ray.get(comp_ref) if isinstance(comp_ref, ray.ObjectRef) else comp_ref
+        )
+        # sorted-key arrays for a pure-int64 searchsorted lookup — a
+        # pandas ``.map`` would round-trip misses through float64 NaN and
+        # silently corrupt ids above 2^53
+        self.keys = np.fromiter(sorted(comp), dtype=np.int64, count=len(comp))
+        self.vals = np.fromiter(
+            (comp[k] for k in sorted(comp)), dtype=np.int64, count=len(comp)
         )
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pandas()
-        mapped = ids.map(self.comp).fillna(ids).astype("int64")
+        ids = batch.column(self.id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(self.keys):
+            idx = np.clip(
+                np.searchsorted(self.keys, ids), 0, len(self.keys) - 1
+            )
+            hit = self.keys[idx] == ids
+            mapped = np.where(hit, self.vals[idx], ids)
+        else:
+            mapped = ids
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "cluster_id": pa.array(mapped.to_numpy(), pa.int64()),
+                "cluster_id": pa.array(mapped, pa.int64()),
             }
         )
 

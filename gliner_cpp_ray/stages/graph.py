@@ -65,6 +65,10 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
     labels = (
         adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
     ).materialize()
+    if labels.count() == 0:
+        # empty edge list ⇒ empty labeling (Dataset.sum over an empty
+        # dataset returns None, so the fixpoint loop must not run)
+        return labels
     prev_sum = None
     for _ in range(max_rounds):
         cur_sum = int(
@@ -77,6 +81,7 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
                 ),
                 batch_format="pyarrow",
             ).sum("s")
+            or 0
         )
         if cur_sum == prev_sum:
             return labels

@@ -128,14 +128,19 @@ def histogram_quantile_bins(ds, col: str, lo: float, hi: float,
     )
     bins = (
         partial.groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()
-    ).sort_values("bin")
-    total = int(bins["n"].sum())
+    )
+    if "bin" not in bins.columns:  # empty input drops the aggregate schema
+        bins = pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    bins = bins.sort_values("bin")
+    total = int(bins["n"].sum()) if len(bins) else 0
     cum = bins["n"].cumsum()
     out_q, out_bin = [], []
     for q in q_pcts:
-        # integer ceil(q% of total) — bit-exact vs the SQL oracle
+        # integer ceil(q% of total) — bit-exact vs the SQL oracle;
+        # an empty input has no bin to report: emit -1 (stable schema)
         need = (q * total + 99) // 100
-        idx = int(bins.loc[cum >= need, "bin"].iloc[0])
+        idx = int(bins.loc[cum >= need, "bin"].iloc[0]) if total else -1
         out_q.append(int(q))
         out_bin.append(idx)
     return pd.DataFrame(

@@ -17,6 +17,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
+# Tokenization trim, pinned to ONE definition on both sides of the
+# oracle: RE2 ``\s`` (pyarrow and DuckDB both compile with RE2, so the
+# class is identical).  ``pc.utf8_trim_whitespace`` trims UNICODE
+# whitespace while DuckDB ``trim()`` strips spaces only — either choice
+# silently diverges from the other side on tab/newline/NBSP-edged text.
+_TRIM_RE = r"^\s+|\s+$"
+
+
+def _re2_trim(col):
+    return pc.replace_substring_regex(col, _TRIM_RE, "")
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "for", "on", "with",
 }
@@ -32,8 +42,8 @@ _LANG_PROFILES = {
 
 def token_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Whitespace token count (SQL-matchable definition):
-    ``len(split(trim(text), r"\\s+"))`` with empty text counting 0."""
-    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    ``len(split(re2_trim(text), r"\\s+"))`` with empty text counting 0."""
+    trimmed = _re2_trim(batch.column(text_col))
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     n = pc.list_value_length(toks).cast(pa.int64())
     empty = pc.equal(trimmed, "")
@@ -61,7 +71,7 @@ def quality_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
         pc.replace_substring_regex(text, "[^0-9]", "")
     ).cast(pa.int64())
 
-    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed = _re2_trim(text)
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     zero = pa.scalar(0, pa.int64())
     empty = pc.equal(trimmed, "")
@@ -164,8 +174,8 @@ def term_doc_frequency_partial(batch: pa.Table, text_col: str = "text") -> pa.Ta
     term ONCE per document — the combinable first phase of a corpus DF
     table / TF-IDF vocabulary / inverted-index build.  Tokenization is
     pinned to ``token_counts``'s SQL-matchable definition (RE2 ``\\s+``
-    split of trimmed text), lowercased."""
-    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    split of RE2-trimmed text), lowercased."""
+    trimmed = _re2_trim(batch.column(text_col))
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     flat = pc.utf8_lower(pc.list_flatten(toks))
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)

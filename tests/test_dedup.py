@@ -97,3 +97,20 @@ def test_simhash_near_dup_pairs_ray(ray_session):
     texts = _docs().column("text").to_pylist()
     for a, b in got:
         assert hamming64(simhash64(texts[a]), simhash64(texts[b])) <= 3
+
+
+def test_cluster_assigner_preserves_ids_above_2_53():
+    """The component lookup must stay pure int64: a pandas ``.map``
+    round-trips misses through float64 and corrupts ids above 2^53."""
+    from gliner_cpp_ray.stages.dedup import ClusterAssigner
+
+    big = (1 << 53) + 1  # not float64-representable
+    huge = (1 << 62) + 3
+    comp = {big: 7, 5: 3}
+    stage = ClusterAssigner(comp)
+    out = stage(pa.table({"doc_id": pa.array([big, huge, 5, 6], pa.int64())}))
+    assert out.column("doc_id").to_pylist() == [big, huge, 5, 6]
+    assert out.column("cluster_id").to_pylist() == [7, huge, 3, 6]
+    # empty map: identity
+    out2 = ClusterAssigner({})(pa.table({"doc_id": pa.array([huge], pa.int64())}))
+    assert out2.column("cluster_id").to_pylist() == [huge]

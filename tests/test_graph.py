@@ -53,3 +53,16 @@ def test_cc_nonconvergence_raises(ray_session):
     df = pd.DataFrame([(i, i + 1) for i in range(10)], columns=["a", "b"])
     with pytest.raises(RuntimeError):
         cc_label_propagation(rd.from_pandas(df), max_rounds=2)
+
+
+def test_cc_empty_edge_list(ray_session):
+    """Zero pairs (plausible at small corpora / tight thresholds) must
+    yield an empty labeling, not a TypeError from sum-over-empty."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    out = cc_label_propagation(rd.from_pandas(empty))
+    assert out.count() == 0

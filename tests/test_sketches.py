@@ -72,3 +72,16 @@ def test_histogram_quantile_bins(ray_session):
     for q_pct, bin_idx in zip(out["q_pct"], out["bin"]):
         exact = np.quantile(vals, q_pct / 100)
         assert bin_idx * 20 <= exact + 20 and (bin_idx + 1) * 20 >= exact - 20
+
+
+def test_histogram_quantile_bins_empty_input(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import histogram_quantile_bins
+
+    empty = pd.DataFrame({"v": pd.Series(dtype="float64")})
+    out = histogram_quantile_bins(
+        rd.from_pandas(empty), "v", lo=0.0, hi=100.0, n_bins=10,
+    )
+    assert out["bin"].tolist() == [-1, -1, -1]
+    assert out["total"].tolist() == [0, 0, 0]

@@ -52,6 +52,29 @@ def test_langid():
     assert out.column("pred_lang").to_pylist() == ["en", "de", "es", "zh"]
 
 
+def test_trim_definition_matches_duckdb_oracle():
+    """The token/quality counters and their SQL oracles must share ONE
+    trim definition (RE2 ``^\\s+|\\s+$``): tab/newline-edged text used
+    to produce an extra empty token on the DuckDB ``trim()`` side."""
+    import duckdb
+
+    texts = ["\tcat dog\n", "  x ", "\n\n", "a\tb", "", " the end\t"]
+    out = token_counts(tbl(texts))
+    con = duckdb.connect()
+    con.register("documents", tbl(texts))
+    sql = con.execute(
+        "WITH tt AS (SELECT doc_id, "
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t FROM documents) "
+        "SELECT CASE WHEN t = '' THEN 0 ELSE "
+        "len(string_split_regex(t, '\\s+')) END AS n FROM tt ORDER BY doc_id"
+    ).fetchall()
+    assert out.column("n_tokens").to_pylist() == [r[0] for r in sql]
+    assert out.column("n_tokens").to_pylist() == [2, 1, 0, 2, 0, 2]
+    q = quality_counts(tbl(texts))
+    assert q.column("n_tokens").to_pylist() == [2, 1, 0, 2, 0, 2]
+    assert q.column("n_stopwords").to_pylist() == [0, 0, 0, 0, 0, 1]
+
+
 def test_term_doc_frequency_counts_once_per_doc(ray_session):
     import pandas as pd
     import ray.data as rd

@@ -23,6 +23,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PRIME = np.uint64((1 << 61) - 1)
 
@@ -274,6 +275,34 @@ class ClusterAssigner:
         )
 
 
+class _HotBucketFilter:
+    """Broadcast semi-join of signature rows against the collided-bucket
+    key set: per band, a vectorized ``searchsorted`` membership test
+    against a sorted uint64 key array (exact — no packing/truncation).
+    The key map is ``ray.put`` once and read zero-copy per actor."""
+
+    def __init__(self, hot_ref):
+        import ray
+
+        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        self.hot = {int(b): np.asarray(v, np.uint64) for b, v in hot.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bids = t.column("band_id").to_numpy(zero_copy_only=False)
+        bkeys = t.column("band_key").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        mask = np.zeros(len(bids), dtype=bool)
+        for b in np.unique(bids):
+            arr = self.hot.get(int(b))
+            if arr is None or not len(arr):
+                continue
+            sel = bids == b
+            idx = np.clip(np.searchsorted(arr, bkeys[sel]), 0, len(arr) - 1)
+            mask[sel] = arr[idx] == bkeys[sel]
+        return t.filter(pa.array(mask))
+
+
 def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | None = None):
     """Dataset(doc_id, text) -> Dataset (doc_id, cluster_id).
 
@@ -298,23 +327,25 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
 
     # Most band buckets are singletons; running the pair-expansion
     # map_groups over every bucket pays per-group overhead for nothing.
-    # 1) count per bucket (cheap grouped aggregate), 2) broadcast the
-    # (dup-density-bounded) set of COLLIDED buckets, 3) semi-join the
-    # signature rows, 4) pair-expand only the survivors.
-    counts = (
+    # 1) count per bucket (cheap grouped aggregate), 2) filter n >= 2
+    # DISTRIBUTIVELY so only the collided keys — bounded by true dup
+    # density, never the ≈ docs×bands singleton rows — reach the driver,
+    # 3) broadcast them, 4) semi-join the signature rows and pair-expand
+    # only the survivors.
+    import ray
+
+    hot = (
         sigs.select_columns(["band_id", "band_key"])
         .groupby(["band_id", "band_key"])
         .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
-    )
-    hot = counts[counts["n"] >= 2]
-    hot_keys = set(
-        zip(hot["band_id"].astype(int), hot["band_key"].astype(np.uint64))
     )
 
     def assign(comp: dict):
-        import ray
-
         return ds.select_columns(["doc_id"]).map_batches(
             ClusterAssigner,
             fn_constructor_kwargs={"comp_ref": ray.put(comp)},
@@ -322,21 +353,21 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
             concurrency=(1, 4),
         )
 
-    if not hot_keys:
+    if hot.empty:
         return assign({})
 
-    def keep_hot(t: pa.Table) -> pa.Table:
-        bids = t.column("band_id").to_numpy(zero_copy_only=False)
-        bkeys = t.column("band_key").to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            ((int(b), np.uint64(k)) in hot_keys for b, k in zip(bids, bkeys)),
-            dtype=bool,
-            count=len(bids),
-        )
-        return t.filter(pa.array(mask))
+    hot_by_band = {
+        int(b): np.sort(g["band_key"].to_numpy(np.uint64))
+        for b, g in hot.groupby("band_id")
+    }
 
     cands = (
-        sigs.map_batches(keep_hot, batch_format="pyarrow")
+        sigs.map_batches(
+            _HotBucketFilter,
+            fn_constructor_kwargs={"hot_ref": ray.put(hot_by_band)},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_candidate_pairs, batch_format="pandas")
     )

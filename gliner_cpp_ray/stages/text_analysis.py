@@ -143,28 +143,47 @@ class LangId:
     over the sorted profile names)."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-        self.ws_re = re.compile(r"[\t\n\f\r ]+")  # RE2 \s
+        self.langs = sorted(_LANG_PROFILES)
+        # one sorted Arrow value-set per profile, built once per actor
+        self.profile_sets = {
+            lang: pa.array(sorted(_LANG_PROFILES[lang]), pa.string())
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            sample = t[:2000]
-            cjk = sum("一" <= c <= "鿿" for c in sample)
-            if 5 * cjk > max(1, len(sample)):
-                preds.append("zh")
-                continue
-            words = self.ws_re.split(sample.lower())
-            best, best_hits = "und", 0
-            for lang in sorted(self.profiles):
-                hits = sum(w in self.profiles[lang] for w in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        # fully vectorized (the per-row/per-word Python loop measured 2 s
+        # at sf0.1 vs ~0.5 s for this shape on the same column): slice
+        # the 2000-codepoint sample, count CJK via one RE2 count, flatten
+        # tokens once, one is_in + bincount per profile
+        sample = pc.utf8_slice_codeunits(batch.column("text"), 0, 2000)
+        slen = pc.utf8_length(sample).to_numpy(zero_copy_only=False)
+        cjk = pc.count_substring_regex(
+            sample, "[一-鿿]"
+        ).to_numpy(zero_copy_only=False)
+        zh = 5 * cjk > np.maximum(1, slen)
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(sample), r"[\t\n\f\r ]+"  # RE2 \s
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hits = np.zeros((batch.num_rows, len(self.langs)), np.int64)
+        for j, lang in enumerate(self.langs):
+            m = pc.is_in(
+                flat, value_set=self.profile_sets[lang]
+            ).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.bincount(parents[m], minlength=batch.num_rows)
+
+        # argmax returns the FIRST max == the strict-> scan over sorted
+        # langs (ties pick the lexically smallest); zero hits -> "und"
+        best = hits.argmax(axis=1) if len(self.langs) else np.zeros(0, int)
+        pred = np.asarray(self.langs, dtype=object)[best]
+        pred = np.where(hits.max(axis=1, initial=0) > 0, pred, "und")
+        pred = np.where(zh, "zh", pred)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array(preds, pa.string()),
+                "pred_lang": pa.array(pred, pa.string()),
             }
         )
 

@@ -10,9 +10,12 @@ workloads"):
 * ``sliding_counts`` — overlapping windows built FROM the tumbling
   aggregate: each event contributes to ``span/step`` buckets, so the
   slide runs over the (tiny) bucket table, never over raw events;
-* ``session_counts`` — per-key gap-based sessions via
-  ``groupby(key).map_groups`` over ts-sorted groups (the ordering
-  assumption: one group = one key, sorted here, not globally).
+* ``session_counts`` — per-key gap-based sessions, bucketed by key
+  hash: one ``groupby(bucket).map_groups`` whose reduce sorts the WHOLE
+  bucket by (key, ts) and counts session starts with one vectorized
+  diff pass — never one-row-per-key pandas frames (the reducer
+  anti-pattern; see canonicalize.reduce_edge_bucket for the same
+  shape on the KG edge stream).
 
 All emit integer columns for exact oracle comparison.
 """
@@ -62,16 +65,57 @@ def sliding_counts(ds, ts_col: str = "ts", step_s: int = 3600,
     return out[out["n_window"] > 0].reset_index(drop=True)
 
 
+def sessions_per_key_reference(g: pd.DataFrame, key_col: str, ts_col: str,
+                               gap_s: int) -> int:
+    """Reference semantics for ONE key (documentation + test oracle):
+    sessions = 1 + number of sorted-ts gaps exceeding ``gap_s``."""
+    ts = g[ts_col].sort_values().to_numpy()
+    gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+    return 1 + int((gaps > gap_s * US).sum())
+
+
 def session_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
-                   gap_s: int = 1800):
-    """-> Dataset(key, n_sessions): sessions split at > gap_s gaps."""
+                   gap_s: int = 1800, n_buckets: int | None = None):
+    """-> Dataset(key, n_sessions): sessions split at > gap_s gaps.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n = 1 + int((gaps > gap_s * US).sum())
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], "n_sessions": np.array([n], np.int64)}
+    Scale shape: rows are hash-bucketed by key (ONE shuffle,
+    cluster-sized bucket count from stages/sizing.py), and each bucket
+    group is reduced with a single vectorized pass — sort by (key, ts),
+    diff the timestamps, mark session starts where the key changes OR
+    the gap exceeds ``gap_s``, then a C-level groupby-sum per key.  At
+    millions of users this does no per-key Python; cost is
+    O(bucket log bucket)."""
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not len(g):
+            return pd.DataFrame(
+                {key_col: keys, "n_sessions": np.zeros(0, np.int64)}
+            )
+        new_start = np.empty(len(g), dtype=bool)
+        new_start[0] = True
+        new_start[1:] = (keys[1:] != keys[:-1]) | (
+            ts[1:] - ts[:-1] > gap_s * US
         )
+        out = (
+            pd.DataFrame({key_col: keys, "n_sessions": new_start.astype(np.int64)})
+            .groupby(key_col, sort=False, as_index=False)["n_sessions"]
+            .sum()
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

@@ -72,7 +72,7 @@ def test_trim_definition_matches_duckdb_oracle():
     assert out.column("n_tokens").to_pylist() == [2, 1, 0, 2, 0, 2]
     q = quality_counts(tbl(texts))
     assert q.column("n_tokens").to_pylist() == [2, 1, 0, 2, 0, 2]
-    assert q.column("n_stopwords").to_pylist() == [0, 0, 0, 0, 0, 1]
+    assert q.column("n_stopwords").to_pylist() == [0, 0, 0, 1, 0, 1]  # "a", "the"
 
 
 def test_term_doc_frequency_counts_once_per_doc(ray_session):

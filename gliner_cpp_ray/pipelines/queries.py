@@ -176,8 +176,12 @@ def q_minhash_clusters(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash banded near-dup pairs (rows-only: blake2-based signature
-    is not SQL-expressible; correctness unit-tested in tests/test_dedup)."""
+    """SimHash banded near-dup pairs.  The word hash is md5-u64 (first
+    8 digest bytes, big-endian) precisely so the DuckDB oracle can
+    replicate the 64-bit signature — per-occurrence ±1 bit votes,
+    banding and the Hamming verify — bit-exactly in SQL
+    (``_simhash_sql``), turning this from a rows-only check into a full
+    hash-matched one."""
     from gliner_cpp_ray.stages.dedup import simhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -917,6 +921,45 @@ def _near_dup_lsh_sql() -> str:
     )
 
 
+def _simhash_sql() -> str:
+    """Literal SQL replica of the SimHash pipeline (stages/dedup.py):
+    RE2-``\\s`` tokenization (empties dropped), md5-u64 word hash,
+    per-OCCURRENCE ±1 votes per bit, signature bit k set iff the vote
+    sum is positive, pairs kept iff Hamming <= 3 AND they share one of
+    the four 16-bit bands (the bucketed candidate-generation semantics
+    — redundant given pigeonhole at Hamming 3, but verified literally).
+    Empty-token docs get signature 0 via the LEFT JOIN + NULL-vote-0."""
+    accs = ", ".join(
+        f"coalesce(sum(CASE WHEN hv IS NULL THEN 0 "
+        f"WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END), 0) AS a{k}"
+        for k in range(64)
+    )
+    sim = " + ".join(
+        f"CASE WHEN a{k} > 0 THEN CAST({1 << k} AS UBIGINT) "
+        "ELSE CAST(0 AS UBIGINT) END"
+        for k in range(64)
+    )
+    bands = " OR ".join(
+        f"((x.sim >> {16 * b}) & 65535) = ((y.sim >> {16 * b}) & 65535)"
+        for b in range(4)
+    )
+    return (
+        "WITH toks AS (SELECT d.doc_id, x.tok AS w FROM documents d, "
+        "unnest(list_filter(string_split_regex(d.text, '\\s+'), "
+        "x -> x <> '')) AS x(tok)), "
+        "h AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS hv "
+        "FROM toks), "
+        f"acc AS (SELECT d.doc_id, {accs} FROM documents d "
+        "LEFT JOIN h USING (doc_id) GROUP BY d.doc_id), "
+        f"sh AS (SELECT doc_id, {sim} AS sim FROM acc) "
+        "SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y "
+        "ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.sim, y.sim)) <= 3 "
+        f"AND ({bands})"
+    )
+
+
 def _dup_components_sql() -> str:
     """Connected components of the LSH near-dup pair graph via a
     recursive CTE: enumerate every label reachable from each node, keep
@@ -985,8 +1028,9 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM u GROUP BY canon_id, label"
         ),
         "lang_id": _lang_id_sql(),
-        # minhash_clusters: not SQL-expressible (hash-based clustering)
-        # -> rows-only check.
+        "simhash_pairs": _simhash_sql(),
+        # minhash_clusters: not SQL-expressible (the blake2-based
+        # signature family has no SQL equivalent) -> rows-only check.
         # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
         # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
         # materializes as float64 — the driver then hashes 12345.0 vs

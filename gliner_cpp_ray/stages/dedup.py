@@ -384,11 +384,29 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
 
 # --- SimHash -------------------------------------------------------------
 
+import re as _re
+
+_SIMHASH_WS = _re.compile(r"[\t\n\f\r ]+")  # RE2 \s — pinned to the oracle
+
+
+def _md5_u64(word: str) -> int:
+    """Word hash for SimHash: first 8 bytes of md5, big-endian — chosen
+    because it is SQL-expressible (``CAST(concat('0x', substr(md5(w),
+    1, 16)) AS UBIGINT)``), which is what lets the DuckDB oracle
+    replicate the whole signature bit-exactly."""
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
+    """64-bit SimHash over whitespace tokens — reference semantics for
+    ONE text (tests + oracle documentation; the batch path is the
+    vectorized ``add_simhash``).  Every word OCCURRENCE votes ±1 per
+    bit; output bit k set iff the vote sum is positive."""
     acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = _stable_u64(w.encode())
+    for w in _SIMHASH_WS.split(text):
+        if not w:
+            continue
+        h = np.uint64(_md5_u64(w))
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0
@@ -397,10 +415,37 @@ def simhash64(text: str) -> int:
     return out
 
 
-def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = np.array(
-        [simhash64(t) for t in batch.column(text_col).to_pylist()], dtype=np.uint64
+def _simhash_batch(texts: pa.ChunkedArray | pa.Array, n_rows: int) -> np.ndarray:
+    """Vectorized batch SimHash: tokenize once with Arrow kernels, md5
+    only the BATCH-DISTINCT vocabulary, then accumulate all ±1 bit votes
+    with one segmented reduce over the (sorted) token->doc mapping."""
+    toks = pc.split_pattern_regex(texts, r"[\t\n\f\r ]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parents = parents[nonempty]
+    if not len(parents):
+        return np.zeros(n_rows, np.uint64)
+    words = pd.Series(flat.to_pandas().to_numpy()[nonempty])
+    codes, uniq = pd.factorize(words, sort=False)
+    h = np.fromiter(
+        (_md5_u64(w) for w in uniq), dtype=np.uint64, count=len(uniq)
     )
+    bits = (
+        (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int64)
+    votes = 2 * bits - 1  # [U, 64] of ±1
+    # parents is nondecreasing (list_parent_indices order) -> segment sum
+    starts = np.concatenate([[0], np.nonzero(np.diff(parents))[0] + 1])
+    seg_sums = np.add.reduceat(votes[codes], starts, axis=0)  # [S, 64]
+    acc = np.zeros((n_rows, 64), np.int64)
+    acc[parents[starts]] = seg_sums
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return ((acc > 0).astype(np.uint64) * weights).sum(axis=1)
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = _simhash_batch(batch.column(text_col), batch.num_rows)
     out = batch.append_column("simhash", pa.array(hs, pa.uint64()))
     # 4 bands x 16 bits: near-dups (Hamming<=3) share at least one band
     for band in range(4):

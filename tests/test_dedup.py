@@ -114,3 +114,28 @@ def test_cluster_assigner_preserves_ids_above_2_53():
     # empty map: identity
     out2 = ClusterAssigner({})(pa.table({"doc_id": pa.array([huge], pa.int64())}))
     assert out2.column("cluster_id").to_pylist() == [huge]
+
+
+def test_simhash_batch_matches_reference_and_sql_oracle():
+    """The vectorized batch SimHash must equal the one-text reference
+    AND the DuckDB transcription (md5-u64 votes, bit votes, banding)."""
+    import duckdb
+
+    texts = [
+        "the cat sat", "the cat sat on the mat", "the cat sat",
+        "completely different words here", "", "  \t ", "一 二 三 四",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = add_simhash(t).column("simhash").to_pylist()
+    assert got == [simhash64(x) for x in texts]
+
+    from gliner_cpp_ray.pipelines.queries import _simhash_sql
+
+    sql = _simhash_sql()
+    # reuse only the signature CTEs: project sh
+    sig_sql = sql[: sql.index("SELECT x.doc_id")] + (
+        "SELECT doc_id, sim FROM sh ORDER BY doc_id"
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    assert [int(r[1]) for r in con.execute(sig_sql).fetchall()] == got

@@ -46,8 +46,13 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
         flat = arr.chunk(0)
     else:
         flat = arr.combine_chunks()
-    values = np.asarray(flat.values, dtype=np.float64)
-    return values.reshape(len(batch), -1)
+    if hasattr(flat, "values"):  # list<float> layout (parquet tables)
+        values = np.asarray(flat.values, dtype=np.float64)
+        return values.reshape(len(batch), -1)
+    # Ray ArrowTensorArray extension layout (from_pandas/ndarray cells)
+    return np.asarray(
+        flat.to_numpy(zero_copy_only=False), dtype=np.float64
+    ).reshape(len(batch), -1)
 
 
 class BruteForceTopK:
@@ -379,9 +384,56 @@ def assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return d.argmin(axis=1)
 
 
+def probe_cells_for_queries(queries: np.ndarray, centroids: np.ndarray,
+                            n_probe: int) -> np.ndarray:
+    """Per-query probe cells: the ``n_probe`` nearest centroids
+    (distance asc, cell asc on ties — matches the oracle's ORDER BY
+    d, cell).  Returns an [Q, n_probe] int array."""
+    q_raw = np.asarray(queries, dtype=np.float64)
+    d = ((q_raw[:, None, :] - np.asarray(centroids, np.float64)[None, :, :])
+         ** 2).sum(axis=2)
+    return np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+
+
+class CellAssigner:
+    """Adds the nearest-centroid ``cell`` column — the one-off index
+    build stage (see ``build_ivf_index``)."""
+
+    def __init__(self, centroids, col: str = "embedding"):
+        self.centroids = np.asarray(_resolve_broadcast(centroids), np.float64)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells = assign_cells(
+            _embedding_matrix(batch, self.col), self.centroids
+        )
+        return batch.append_column("cell", pa.array(cells.astype(np.int64)))
+
+
+def build_ivf_index(ds, centroids: np.ndarray, index_dir: str,
+                    **write_kwargs) -> None:
+    """One-off cell-partitioned materialization of the corpus: assign
+    every row its nearest-centroid cell and write Parquet PARTITIONED BY
+    cell.  This is what makes IVF an inverted file at 100 TB — probes
+    then prune the READ (only ~n_probe/n_cells of the corpus leaves
+    storage per query wave), not just the scoring.  Train offline,
+    assign once, probe many."""
+    import ray
+
+    ds.map_batches(
+        CellAssigner,
+        fn_constructor_kwargs={
+            "centroids": ray.put(np.asarray(centroids, np.float64))
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).write_parquet(index_dir, partition_cols=["cell"], **write_kwargs)
+
+
 class IvfTopK:
     """Per-batch IVF partial top-k: assign each batch row to its
-    nearest-centroid cell, and score it ONLY against the queries whose
+    nearest-centroid cell (or reuse a precomputed ``cell`` column from
+    the partitioned index), and score it ONLY against the queries whose
     ``n_probe`` nearest cells include that cell.  The centroid matrix
     (tiny) and query matrix are broadcast; with C cells and P probes the
     stage scores ~P/C of the corpus per query instead of all of it —
@@ -398,10 +450,7 @@ class IvfTopK:
         self.k = k
         self.id_col = id_col
         self.col = col
-        # probe cells per query: n_probe nearest centroids (distance
-        # asc, cell asc on ties — matches the oracle's ORDER BY d, cell)
-        d = ((q_raw[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        order = probe_cells_for_queries(q_raw, self.centroids, n_probe)
         self.cell_queries: dict[int, np.ndarray] = {}
         for qi in range(order.shape[0]):
             for c in order[qi]:
@@ -414,7 +463,15 @@ class IvfTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         raw = _embedding_matrix(batch, self.col)
-        cells = assign_cells(raw, self.centroids)
+        if "cell" in batch.schema.names:
+            # partitioned-index path: the cell is already materialized
+            # (possibly as a hive-partition dictionary column)
+            cell_col = batch.column("cell")
+            if pa.types.is_dictionary(cell_col.type):
+                cell_col = cell_col.cast(pa.string())
+            cells = cell_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            cells = assign_cells(raw, self.centroids)
         m = _normalize(raw)
         out_q, out_v, out_s = [], [], []
         for cell in np.unique(cells):
@@ -445,11 +502,66 @@ class IvfTopK:
         )
 
 
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray,
+                     query_ids: np.ndarray, centroids: np.ndarray,
+                     k: int = 10, n_probe: int = 3,
+                     id_col: str = "vec_id", col: str = "embedding",
+                     ) -> pd.DataFrame:
+    """IVF top-k over a cell-partitioned index (``build_ivf_index``):
+    computes the probed cell set for the query wave and READS ONLY
+    those partition directories — unprobed cells never leave storage
+    (pruning by path selection, the unambiguous form of hive-partition
+    pruning).  Output contract identical to ``ivf_topk`` (which remains
+    the no-index streaming fallback)."""
+    import os
+
+    import ray.data as rd
+
+    order = probe_cells_for_queries(queries, centroids, n_probe)
+    probed = sorted({int(c) for c in order.ravel()})
+    parts = []
+    for c in probed:
+        path = os.path.join(index_dir, f"cell={c}")
+        if not os.path.isdir(path):  # empty cell — nothing was written
+            continue
+        parts.append(
+            rd.read_parquet(path).map_batches(
+                # ensure the partition column survives: Ray's hive
+                # partitioning usually restores it from the path; append
+                # the per-directory constant only if it did not
+                lambda t, c=c: t if "cell" in t.schema.names
+                else t.append_column(
+                    "cell", pa.array(np.full(t.num_rows, c, np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if not parts:
+        return reduce_topk(
+            pd.DataFrame(columns=["query_id", "vec_id", "score"]), k
+        )
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    partial = ds.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={
+            "queries": queries, "query_ids": query_ids,
+            "centroids": centroids, "n_probe": n_probe, "k": k,
+            "id_col": id_col, "col": col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return reduce_topk(partial.to_pandas(), k)
+
+
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
              centroids: np.ndarray, k: int = 10, n_probe: int = 3,
              **stage_kwargs) -> pd.DataFrame:
     """IVF approximate top-k (see ``IvfTopK``); same output contract as
-    ``brute_force_topk``: (query_id, rank, vec_id)."""
+    ``brute_force_topk``: (query_id, rank, vec_id).  Streaming no-index
+    form: every row is read and cell-assigned per query wave — use
+    ``build_ivf_index`` + ``ivf_topk_indexed`` when the corpus is
+    queried more than once."""
     partial = ds.map_batches(
         IvfTopK,
         fn_constructor_kwargs={

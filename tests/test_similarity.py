@@ -197,3 +197,50 @@ def test_ivf_topk_matches_bruteforce_on_probed_cells(ray_session):
         want = list(cand_ids[order])
         have = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
         assert have == want
+
+
+def test_ivf_indexed_matches_streaming_and_prunes_read(ray_session, tmp_path):
+    """The cell-partitioned index path must return EXACTLY the streaming
+    IVF result while reading only probed cells."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+        probe_cells_for_queries,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 16
+    m = rng.standard_normal((n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(m)})
+    cent = kmeans_centroids(m[:200], n_centroids=6)
+    qm, qids = m[:2], np.arange(2)
+
+    ds = rd.from_pandas(df).repartition(4)
+    want = ivf_topk(ds, qm, qids, cent, k=5, n_probe=1)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_pandas(df).repartition(4), cent, idx)
+    got = ivf_topk_indexed(idx, qm, qids, cent, k=5, n_probe=1)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    # pruning: the probed partition directories hold strictly fewer rows
+    # than the full index — the indexed path reads only those dirs
+    import os
+
+    import pyarrow.dataset as pads
+
+    probed = sorted({int(c) for c in
+                     probe_cells_for_queries(qm, cent, 1).ravel()})
+    full_rows = pads.dataset(idx, partitioning="hive").count_rows()
+    probed_rows = sum(
+        pads.dataset(os.path.join(idx, f"cell={c}")).count_rows()
+        for c in probed
+        if os.path.isdir(os.path.join(idx, f"cell={c}"))
+    )
+    assert 0 < probed_rows < full_rows

@@ -85,15 +85,20 @@ class KGPipelineConfig:
     max_block_bytes: int = 4 * 1024 * 1024
     # partition count for the post-combiner shuffles (edge/node/pair
     # groupbys).  The combiner inside map_batches already reduced these
-    # streams to (distinct keys x blocks) rows, so a handful of
-    # partitions suffices at bench scale; raise proportionally to
-    # cluster size for 10^12-doc runs.
-    reduce_partitions: int = 8
+    # streams to (distinct keys x blocks) rows.  None = derive from
+    # cluster size (stages/sizing.py) so the constant scales with the
+    # cluster instead of binding at 100x data.
+    reduce_partitions: int | None = None
     # run independent stage pairs (linked||canon, edges||nodes) as two
     # concurrently-executing Datasets.  None = auto: only when the
     # cluster has >= 16 CPUs — on small clusters two competing streaming
     # executors thrash each other.
     concurrent_stages: bool | None = None
+
+    def resolved_reduce_partitions(self) -> int:
+        from gliner_cpp_ray.stages.sizing import default_reduce_partitions
+
+        return default_reduce_partitions(self.reduce_partitions)
 
     def fingerprint(self) -> dict:
         return {
@@ -280,7 +285,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         mentions = read_stage("mentions", MENTIONS_SCHEMA, columns=["text", "label"])
         pairs = mentions.map_batches(collect_surface_pairs, batch_format="pyarrow")
         distinct = (
-            pairs.repartition(cfg.reduce_partitions)
+            pairs.repartition(cfg.resolved_reduce_partitions())
             .groupby(["norm_surface", "label", "qid"])
             .count()
         )
@@ -346,9 +351,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         # handful of blocks, not hundreds of slivers — measured 10x on
         # the stage wall time at 2M pages.
         edges = (
-            partial.repartition(cfg.reduce_partitions)
+            partial.repartition(cfg.resolved_reduce_partitions())
             .map_batches(
-                lambda df: add_key_bucket(df, _EDGE_KEY_COLS, cfg.reduce_partitions),
+                lambda df: add_key_bucket(df, _EDGE_KEY_COLS, cfg.resolved_reduce_partitions()),
                 batch_format="pandas",
             )
             .groupby("__bucket")
@@ -379,9 +384,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         )
         nodes = (
             partial.union(endpoint_partial)
-            .repartition(cfg.reduce_partitions)
+            .repartition(cfg.resolved_reduce_partitions())
             .map_batches(
-                lambda df: add_key_bucket(df, ["canon_id"], cfg.reduce_partitions),
+                lambda df: add_key_bucket(df, ["canon_id"], cfg.resolved_reduce_partitions()),
                 batch_format="pandas",
             )
             .groupby("__bucket")

@@ -39,6 +39,7 @@ from gliner_cpp_ray.stages.similarity import (
     lsh_near_dup_pairs,
     lsh_topk,
 )
+from gliner_cpp_ray.stages.sizing import default_concurrency
 from gliner_cpp_ray.stages.text_analysis import (
     LangId,
     fingerprints,
@@ -166,7 +167,7 @@ def q_text_quality(sf_dir: str):
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=default_concurrency()
     )
 
 
@@ -391,7 +392,7 @@ def q_embedding_near_dup(sf_dir: str):
             "threshold": 0.4,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     df = pairs.select_columns(["a", "b"]).to_pandas()
     if df.empty:  # keep a stable schema even when no pair clears threshold
@@ -587,7 +588,7 @@ def q_order_lineitem_join(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, on="o_orderkey", n_buckets=16)
+    joined = bucketed_hash_join(li, orders, on="o_orderkey")
     return (
         joined.groupby("o_orderpriority")
         .aggregate(
@@ -635,7 +636,7 @@ def q_events_asof_order(sf_dir: str):
     )
     joined = asof_join_bucketed(
         ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
-        tiebreak="o_orderkey", n_buckets=16,
+        tiebreak="o_orderkey",
     )
     return joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_events"),
@@ -686,7 +687,7 @@ def q_events_in_order_window(sf_dir: str):
     )
     joined = interval_join_bucketed(
         ev, wins, key="user_id", point_col="ts", lo_col="win_lo",
-        hi_col="win_hi", n_buckets=16,
+        hi_col="win_hi",
     )
     return joined.groupby("o_orderkey").aggregate(
         Count(alias_name="n_events"),
@@ -721,7 +722,7 @@ def q_orders_by_nation(sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow",
     )
-    joined = bucketed_hash_join(per_cust, cust, on="o_custkey", n_buckets=8)
+    joined = bucketed_hash_join(per_cust, cust, on="o_custkey")
     with_nation = broadcast_lookup_join(
         joined, nation_of, key="c_nationkey", out_col="nation"
     )

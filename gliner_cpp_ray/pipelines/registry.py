@@ -23,6 +23,8 @@ import inspect
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
+from gliner_cpp_ray.stages.sizing import default_concurrency
+
 
 @dataclass
 class StageSpec:
@@ -98,7 +100,7 @@ def _register_builtins() -> None:
         "minhash_sign",
         MinHashSigner,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     from gliner_cpp_ray.stages.windows import add_time_bucket
 
@@ -106,7 +108,7 @@ def _register_builtins() -> None:
     register_stage("token_counts", token_counts, batch_format="pyarrow")
     register_stage("quality_counts", quality_counts, batch_format="pyarrow")
     register_stage("fingerprints", fingerprints, batch_format="pyarrow")
-    register_stage("lang_id", LangId, batch_format="pyarrow", concurrency=(1, 4))
+    register_stage("lang_id", LangId, batch_format="pyarrow", concurrency=default_concurrency())
     from gliner_cpp_ray.stages.multimodal import byte_stats
     from gliner_cpp_ray.stages.similarity import LshBucketer
 
@@ -117,13 +119,13 @@ def _register_builtins() -> None:
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     register_stage(
         "lsh_code",
         LshBucketer,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
         fn_constructor_kwargs={"dim": 64},
     )
     register_stage(
@@ -131,18 +133,18 @@ def _register_builtins() -> None:
         FrameSampleStage,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     from gliner_cpp_ray.stages.sketches import HistogramPartial, KmvPartial
     from gliner_cpp_ray.stages.text_analysis import term_doc_frequency_partial
 
     register_stage(
-        "kmv_partial", KmvPartial, batch_format="pyarrow", concurrency=(1, 4),
+        "kmv_partial", KmvPartial, batch_format="pyarrow", concurrency=default_concurrency(),
         fn_constructor_kwargs={"col": "doc_id"},
     )
     register_stage(
         "histogram_partial", HistogramPartial, batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
         fn_constructor_kwargs={"col": "value", "lo": 0.0, "hi": 1.0,
                                "n_bins": 64},
     )

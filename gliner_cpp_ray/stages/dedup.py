@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from gliner_cpp_ray.stages.sizing import default_concurrency
+
 _PRIME = np.uint64((1 << 61) - 1)
 
 
@@ -323,7 +325,7 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     # (num_perm*8B + band keys per doc) — re-signing would double the
     # dominant cost
     sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
-                          batch_format="pyarrow", concurrency=(1, 4)).materialize()
+                          batch_format="pyarrow", concurrency=default_concurrency()).materialize()
 
     # Most band buckets are singletons; running the pair-expansion
     # map_groups over every bucket pays per-group overhead for nothing.
@@ -350,7 +352,7 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
             ClusterAssigner,
             fn_constructor_kwargs={"comp_ref": ray.put(comp)},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=default_concurrency(),
         )
 
     if hot.empty:
@@ -366,7 +368,7 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
             _HotBucketFilter,
             fn_constructor_kwargs={"hot_ref": ray.put(hot_by_band)},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=default_concurrency(),
         )
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_candidate_pairs, batch_format="pandas")

@@ -45,7 +45,7 @@ def _undirected_adjacency(edges_ds, a_col: str = "a", b_col: str = "b"):
 
 
 def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
-                         max_rounds: int = 32, n_buckets: int = 16):
+                         max_rounds: int = 32, n_buckets: int | None = None):
     """Connected components of an undirected int-keyed edge list.
 
     Returns a ``ray.data.Dataset`` of ``(node, label)`` with

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from gliner_cpp_ray.stages.sizing import default_buckets
+
 _KNUTH = np.uint64(2654435761)
 
 
@@ -65,7 +67,7 @@ def _as_arrow_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(t)
 
 
-def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
+def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
                        how: str = "inner", suffix: str = "_r"):
     """Partitioned hash join of two Datasets on a key column (integer
     fast path; string/other types bucket via the process-stable pandas
@@ -76,6 +78,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    n_buckets = default_buckets(n_buckets)
     lschema = left.schema()  # ray.data.Schema: .names + .types
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -145,7 +148,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 16,
     )
 
 
-def _pad_union_by_bucket(left, right, key: str, n_buckets: int):
+def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None):
     """Shared shuffle plan for the non-equi joins: bucket both sides on
     the (integer) join key, null-pad each side to the common schema with
     a ``__side`` marker, and union.  Callers group by ``__bucket`` and
@@ -155,6 +158,7 @@ def _pad_union_by_bucket(left, right, key: str, n_buckets: int):
 
     Returns ``(unioned, lcols, rcols, int_cols, out_schema)``.
     """
+    n_buckets = default_buckets(n_buckets)
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != key]
@@ -211,7 +215,7 @@ def _merged_to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
 
 
 def asof_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
-                       tiebreak: str, n_buckets: int = 16):
+                       tiebreak: str, n_buckets: int | None = None):
     """Distributed backward as-of join (an operator Ray Data lacks):
     for each left row, attach the right row with the largest
     ``right_ts <= left_ts`` for the same ``key`` — ties on ``right_ts``
@@ -255,7 +259,7 @@ def asof_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
 
 
 def interval_join_bucketed(points, intervals, key: str, point_col: str,
-                           lo_col: str, hi_col: str, n_buckets: int = 16):
+                           lo_col: str, hi_col: str, n_buckets: int | None = None):
     """Distributed interval (range) join: inner-join each point row to
     every interval row of the same ``key`` with ``lo <= point < hi``.
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from gliner_cpp_ray.stages.sizing import default_concurrency
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -72,7 +74,7 @@ class MediaFeatureStage:
 
     Run with SMALL ``batch_size`` (large binary rows; see ray_guide
     "Memory-aware"): ``map_batches(MediaFeatureStage, batch_size=32,
-    concurrency=(1, 4), batch_format="pyarrow")``.
+    concurrency=default_concurrency(), batch_format="pyarrow")``.
     """
 
     def __init__(self, decoder: str = "fake"):

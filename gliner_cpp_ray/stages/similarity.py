@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from gliner_cpp_ray.stages.sizing import default_concurrency
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)
@@ -113,7 +115,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
                                **stage_kwargs},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)
 
@@ -173,7 +175,7 @@ def embedding_near_dup_clusters(ds, ref_ids: np.ndarray, ref_matrix: np.ndarray,
             "col": col,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     ).select_columns(["a", "b"]).to_pandas()
     uf = UnionFind()
     for a, b in pairs.itertuples(index=False):
@@ -257,7 +259,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
                                **stage_kwargs},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)
 
@@ -340,7 +342,7 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
         fn_constructor_kwargs={"dim": dim, "bits": bits, "bands": bands,
                                "seed": seed, "id_col": id_col, "col": col},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     pairs = exploded.groupby(["band", "key"]).map_groups(
         lambda g: _bucket_pairs(g, threshold, id_col, col),
@@ -426,7 +428,7 @@ def build_ivf_index(ds, centroids: np.ndarray, index_dir: str,
             "centroids": ray.put(np.asarray(centroids, np.float64))
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     ).write_parquet(index_dir, partition_cols=["cell"], **write_kwargs)
 
 
@@ -549,7 +551,7 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray,
             "id_col": id_col, "col": col,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)
 
@@ -570,6 +572,6 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
             **stage_kwargs,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)

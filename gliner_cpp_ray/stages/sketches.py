@@ -24,6 +24,8 @@ import hashlib
 
 import pyarrow as pa
 
+from gliner_cpp_ray.stages.sizing import default_concurrency
+
 _K_DEFAULT = 64
 _HASH_BITS = 32  # estimator works on the first 32 hash bits
 
@@ -69,7 +71,7 @@ def kmv_distinct_count(ds, col: str, k: int = _K_DEFAULT) -> int:
     (the ONLY data that leaves the workers) → integer estimator."""
     partial = ds.map_batches(
         KmvPartial, fn_constructor_kwargs={"col": col, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=default_concurrency(),
     )
     merged = partial.to_pandas()["h"].tolist()
     return kmv_estimate_from_hashes(merged, k)
@@ -124,7 +126,7 @@ def histogram_quantile_bins(ds, col: str, lo: float, hi: float,
     partial = ds.map_batches(
         HistogramPartial,
         fn_constructor_kwargs={"col": col, "lo": lo, "hi": hi, "n_bins": n_bins},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=default_concurrency(),
     )
     bins = (
         partial.groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()

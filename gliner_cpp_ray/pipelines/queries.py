@@ -30,7 +30,11 @@ import pyarrow.parquet as pq
 
 from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
 from gliner_cpp_ray.sources.pages import corpus_dir_for, ensure_corpus, n_pages_for_sf
-from gliner_cpp_ray.stages.dedup import exact_dedup, minhash_dedup_clusters
+from gliner_cpp_ray.stages.dedup import (
+    MinHashSigner,
+    exact_dedup,
+    minhash_dedup_clusters,
+)
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
 from gliner_cpp_ray.stages.similarity import (
     LshBucketer,
@@ -172,6 +176,12 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clustering.  The signer's hash chain
+    (byte-shingle pack, Mersenne-31 universal permutations, md5-u60
+    band keys) is SQL-expressible BY DESIGN so the DuckDB oracle
+    (``_minhash_sql``) replicates signatures, banding, flood cap,
+    verification and the component fixpoint literally — a full
+    hash-matched check, not rows-only."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup_clusters(ds, threshold=0.8)
 
@@ -955,6 +965,77 @@ def _near_dup_lsh_sql() -> str:
     )
 
 
+def _minhash_sql() -> str:
+    """Literal SQL replica of the WHOLE MinHash+LSH clustering pipeline
+    (stages/dedup.py:minhash_dedup_clusters), made possible because
+    every step of the signer's hash chain is SQL-expressible:
+
+    * byte 5-shingles via ``hex(encode(text))`` windows parsed as
+      UBIGINT — identical to the numpy big-endian pack (shingle DEDUP
+      is skipped: min over a multiset equals min over its set);
+    * the universal family ``(a*(x mod p) + b) mod p`` over the
+      Mersenne prime p = 2^31-1, the signer's a/b constants inlined as
+      VALUES literals (seeded rng, so both sides see the same family);
+    * 16 band keys: md5-u60 (first 15 hex digits — int64-safe, so the
+      shuffled key column never degrades to pickled objects in Ray) of
+      the comma-joined decimal 4-row chunks (``string_agg(... ORDER BY
+      p)``);
+    * collided-bucket prefilter (window count >= 2 is implied by the
+      pair join), flood cap 64 (min-id star pairing), signature-
+      similarity verify at threshold 0.8 (64 perms make exactly-0.8
+      unreachable, so >= is tie-free), and the union-find component
+      map as a recursive-CTE min-label fixpoint with identity fallback
+      for unpaired docs.
+    """
+    signer = MinHashSigner()
+    vals = ", ".join(
+        f"({p}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(signer.a, signer.b))
+    )
+    rpb = signer.rows_per_band
+    return (
+        "WITH RECURSIVE "
+        "hx AS (SELECT doc_id, hex(encode(text)) AS h, "
+        "octet_length(encode(text)) AS L FROM documents), "
+        "pos AS (SELECT doc_id, h, unnest(range(1, L - 3)) AS i "
+        "FROM hx WHERE L >= 5), "
+        "sh AS (SELECT doc_id, CAST(concat('0x', "
+        "substr(h, CAST(2*i - 1 AS INTEGER), 10)) AS UBIGINT) AS x FROM pos "
+        "UNION ALL SELECT doc_id, CASE WHEN L = 0 THEN 0 "
+        "ELSE CAST(concat('0x', h) AS UBIGINT) END FROM hx WHERE L < 5), "
+        "perm AS (SELECT p, CAST(a AS UBIGINT) AS a, CAST(b AS UBIGINT) AS b "
+        f"FROM (VALUES {vals}) AS t(p, a, b)), "
+        "mins AS (SELECT doc_id, p, "
+        "min((a * (x % 2147483647) + b) % 2147483647) AS mh "
+        "FROM sh CROSS JOIN perm GROUP BY doc_id, p), "
+        f"bkey AS (SELECT doc_id, p // {rpb} AS band, "
+        "CAST(concat('0x', substr(md5(string_agg(CAST(mh AS VARCHAR), ',' "
+        "ORDER BY p)), 1, 15)) AS BIGINT) AS key "
+        f"FROM mins GROUP BY doc_id, p // {rpb}), "
+        "sized AS (SELECT band, key, doc_id, "
+        "count(*) OVER (PARTITION BY band, key) AS n, "
+        "min(doc_id) OVER (PARTITION BY band, key) AS mn FROM bkey), "
+        "cand AS (SELECT DISTINCT a, b FROM ("
+        "SELECT x.doc_id AS a, y.doc_id AS b FROM sized x JOIN sized y "
+        "ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id "
+        "AND x.n <= 64 "
+        "UNION ALL SELECT mn, doc_id FROM sized WHERE n > 64 AND doc_id <> mn)), "
+        "est AS (SELECT c.a, c.b, "
+        "avg(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END) AS j "
+        "FROM cand c JOIN mins ma ON ma.doc_id = c.a "
+        "JOIN mins mb ON mb.doc_id = c.b AND mb.p = ma.p GROUP BY c.a, c.b), "
+        "ver AS (SELECT a, b FROM est WHERE j >= 0.8), "
+        "adj AS (SELECT a AS node, b AS nbr FROM ver "
+        "UNION ALL SELECT b, a FROM ver), "
+        "nodes AS (SELECT DISTINCT node FROM adj), "
+        "cc AS (SELECT node, node AS label FROM nodes "
+        "UNION SELECT adj.node, cc.label FROM cc JOIN adj ON cc.node = adj.nbr), "
+        "lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node) "
+        "SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) "
+        "AS cluster_id FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"
+    )
+
+
 def _simhash_sql() -> str:
     """Literal SQL replica of the SimHash pipeline (stages/dedup.py):
     RE2-``\\s`` tokenization (empties dropped), md5-u64 word hash,
@@ -1063,8 +1144,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _simhash_sql(),
-        # minhash_clusters: not SQL-expressible (the blake2-based
-        # signature family has no SQL equivalent) -> rows-only check.
+        "minhash_clusters": _minhash_sql(),
         # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
         # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
         # materializes as float64 — the driver then hashes 12345.0 vs

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from gliner_cpp_ray.stages.sizing import default_concurrency
 
 _PRIME = np.uint64((1 << 61) - 1)
+_PRIME31 = np.uint64((1 << 31) - 1)
 
 
 def _stable_u64(data: bytes) -> int:
@@ -38,10 +39,18 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Hashed byte k-shingles (uint64, deduplicated), vectorized.
 
     For k <= 8 the k UTF-8 bytes pack losslessly into a uint64 (a
-    PERFECT hash — zero collisions) via a sliding-window dot product;
-    larger k falls back to per-shingle blake2b."""
+    PERFECT hash — zero collisions) via a big-endian sliding-window dot
+    product — exactly ``CAST(concat('0x', hex(window_bytes)) AS
+    UBIGINT)`` in DuckDB, which is what lets the minhash oracle
+    replicate shingling bit-for-bit in SQL.  Texts shorter than ``k``
+    pack whole (empty text -> 0).  Larger k falls back to per-shingle
+    blake2b (not SQL-expressible; non-default)."""
     raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(raw) < k:
+        if k <= 8:
+            return np.array(
+                [int.from_bytes(bytes(raw), "big")], dtype=np.uint64
+            )
         return np.array([_stable_u64(bytes(raw))], dtype=np.uint64)
     if k <= 8:
         windows = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
@@ -117,8 +126,29 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 class MinHashSigner:
     """Per-batch vectorized MinHash signatures + LSH band keys.
 
-    ``num_perm`` permutations ``(a*x + b) mod p``; ``bands`` bands of
-    ``num_perm // bands`` rows each.  Emits one row per (doc, band).
+    ``num_perm`` permutations; ``bands`` bands of ``num_perm // bands``
+    rows each.  Emits one row per (doc, band).
+
+    Every step of the hash chain is deliberately SQL-expressible so the
+    DuckDB oracle can replicate the WHOLE near-dup clustering literally
+    (``_minhash_sql`` in pipelines/queries.py) instead of waiving it as
+    rows-only:
+
+    * shingle: big-endian byte pack (perfect hash; ``hex(window)``)
+    * permutation: the classic universal family ``(a*(x mod p) + b)
+      mod p`` over the Mersenne prime ``p = 2^31 - 1`` with a, b drawn
+      full-range from [0, p) — ``a*(x mod p) < 2^62`` stays EXACT in
+      uint64 (numpy) and DuckDB UBIGINT.  (A first attempt used
+      ``p = 2^61 - 1`` with ``a < 2^31`` to dodge overflow; the weak
+      multiplier made the hash near-monotone in x and biased the
+      Jaccard estimate by ~0.2 — full-range ``a`` is load-bearing.)
+    * band key: md5-u60 (first 15 HEX DIGITS of the digest) of the
+      comma-joined decimal mins, ``md5(string_agg(...))`` in SQL.  60
+      bits (not 64) so the key fits Arrow/pandas/DuckDB **int64**: a
+      full-u64 key put values >= 2^63 in a shuffled column, and Ray's
+      aggregate shuffle round-trips blocks through pandas where those
+      overflow int64 inference and silently degrade the whole column
+      to PICKLED PYTHON OBJECTS — correct but catastrophic at scale.
     """
 
     def __init__(
@@ -132,8 +162,8 @@ class MinHashSigner:
     ):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _PRIME, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _PRIME, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, int(_PRIME31), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_PRIME31), size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -143,16 +173,16 @@ class MinHashSigner:
 
     def signature(self, text: str) -> np.ndarray:
         sh = char_shingles(text, self.shingle_k)  # [S]
-        # Documented hash family: plain WRAPPING multiply-add
-        # ``(a*x + b) mod 2^64`` per permutation (min over shingles).
-        # We deliberately do NOT reduce mod a Mersenne prime: uint64
-        # multiply already wrapped mod 2^64 before any ``% p`` could
-        # apply, so the extra reduction bought no universal-hash
-        # guarantee — it only obscured the actual family in use.
-        # Wrapping multiply-add is deterministic, uniform enough for
-        # LSH banding, and self-consistent across the pipeline.
-        prod = self.a[:, None] * sh[None, :] + self.b[:, None]
+        x = sh % _PRIME31
+        # a, x < 2^31 -> a*x < 2^62; + b stays below 2^64: exact
+        # uint64 arithmetic, same expression exact in DuckDB UBIGINT
+        prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % _PRIME31
         return prod.min(axis=1)  # [num_perm]
+
+    def band_key(self, chunk: np.ndarray) -> int:
+        payload = ",".join(str(int(v)) for v in chunk)
+        # 15 hex digits = 60 bits: int64-safe through every shuffle
+        return int(hashlib.md5(payload.encode("utf-8")).hexdigest()[:15], 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
@@ -166,13 +196,13 @@ class MinHashSigner:
                 chunk = sig[lo : lo + self.rows_per_band]
                 out_id.append(i)
                 out_band.append(band)
-                out_key.append(_stable_u64(chunk.tobytes()))
+                out_key.append(self.band_key(chunk))
                 out_sig.append(sig_bytes)
         return pa.table(
             {
                 "doc_id": pa.array(out_id),
                 "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.uint64()),
+                "band_key": pa.array(out_key, pa.int64()),
                 "signature": pa.array(out_sig, pa.binary()),
             }
         )
@@ -280,19 +310,19 @@ class ClusterAssigner:
 class _HotBucketFilter:
     """Broadcast semi-join of signature rows against the collided-bucket
     key set: per band, a vectorized ``searchsorted`` membership test
-    against a sorted uint64 key array (exact — no packing/truncation).
+    against a sorted int64 key array (exact — no packing/truncation).
     The key map is ``ray.put`` once and read zero-copy per actor."""
 
     def __init__(self, hot_ref):
         import ray
 
         hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        self.hot = {int(b): np.asarray(v, np.uint64) for b, v in hot.items()}
+        self.hot = {int(b): np.asarray(v, np.int64) for b, v in hot.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bids = t.column("band_id").to_numpy(zero_copy_only=False)
         bkeys = t.column("band_key").to_numpy(zero_copy_only=False).astype(
-            np.uint64
+            np.int64
         )
         mask = np.zeros(len(bids), dtype=bool)
         for b in np.unique(bids):
@@ -359,7 +389,7 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
         return assign({})
 
     hot_by_band = {
-        int(b): np.sort(g["band_key"].to_numpy(np.uint64))
+        int(b): np.sort(g["band_key"].to_numpy(np.int64))
         for b, g in hot.groupby("band_id")
     }
 
@@ -448,11 +478,15 @@ def _simhash_batch(texts: pa.ChunkedArray | pa.Array, n_rows: int) -> np.ndarray
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     hs = _simhash_batch(batch.column(text_col), batch.num_rows)
-    out = batch.append_column("simhash", pa.array(hs, pa.uint64()))
+    # int64 BIT VIEW (two's complement), not a value cast: signatures
+    # with bit 63 set would exceed int64 as uint64 values, and columns
+    # >= 2^63 degrade to pickled objects in Ray's groupby shuffle.  The
+    # bits — all Hamming math needs — are preserved exactly.
+    out = batch.append_column("simhash", pa.array(hs.view(np.int64), pa.int64()))
     # 4 bands x 16 bits: near-dups (Hamming<=3) share at least one band
     for band in range(4):
         key = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        out = out.append_column(f"simhash_b{band}", pa.array(key, pa.uint64()))
+        out = out.append_column(f"simhash_b{band}", pa.array(key.astype(np.int64), pa.int64()))
     return out
 
 
@@ -467,7 +501,8 @@ def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
     ids = g["doc_id"].to_numpy()
-    hs = g["simhash"].to_numpy().astype(np.uint64)
+    # undo the int64 bit view (XOR/popcount are bit ops; view is exact)
+    hs = g["simhash"].to_numpy(np.int64).view(np.uint64)
     xor = hs[:, None] ^ hs[None, :]
     ham = np.unpackbits(
         xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2

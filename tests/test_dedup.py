@@ -116,6 +116,64 @@ def test_cluster_assigner_preserves_ids_above_2_53():
     assert out2.column("cluster_id").to_pylist() == [huge]
 
 
+def test_minhash_signature_matches_sql_oracle():
+    """The signer's per-perm mins must equal the DuckDB transcription
+    (hex-window shingles, Mersenne-31 universal family) bit-for-bit —
+    including the short-text (<5 bytes), empty and multi-byte-UTF-8
+    paths."""
+    import duckdb
+
+    from gliner_cpp_ray.pipelines.queries import _minhash_sql
+
+    texts = [
+        "the cat sat on the mat",
+        "ab",  # < 5 bytes: whole-text pack
+        "",  # empty: shingle 0
+        "一 二 三 四",  # multi-byte UTF-8: byte windows, not codepoints
+        "the cat sat on the mat!",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    signer = MinHashSigner()
+    sql = _minhash_sql()
+    mins_sql = sql[: sql.index("bkey AS")] + (
+        "q AS (SELECT doc_id, p, mh FROM mins) "
+        "SELECT doc_id, p, mh FROM q ORDER BY doc_id, p"
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    rows = con.execute(mins_sql).fetchall()
+    got = {}
+    for doc, p, mh in rows:
+        got.setdefault(doc, []).append(int(mh))
+    for i, text in enumerate(texts):
+        assert got[i] == [int(v) for v in signer.signature(text)], i
+
+
+def test_minhash_clusters_match_sql_oracle(ray_session):
+    """End-to-end: the distributed clustering (signatures -> banding ->
+    hot-bucket prefilter -> verify -> union-find -> broadcast assign)
+    must equal the recursive-CTE SQL fixpoint row-for-row."""
+    import duckdb
+    import ray.data as rd
+
+    from gliner_cpp_ray.pipelines.queries import _minhash_sql
+
+    t = _docs()
+    got = (
+        minhash_dedup_clusters(rd.from_arrow(t), threshold=0.8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(
+        _minhash_sql() + " ORDER BY doc_id"
+    ).fetch_df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
 def test_simhash_batch_matches_reference_and_sql_oracle():
     """The vectorized batch SimHash must equal the one-text reference
     AND the DuckDB transcription (md5-u64 votes, bit votes, banding)."""
@@ -126,7 +184,9 @@ def test_simhash_batch_matches_reference_and_sql_oracle():
         "completely different words here", "", "  \t ", "一 二 三 四",
     ]
     t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
-    got = add_simhash(t).column("simhash").to_pylist()
+    # the column is the int64 BIT VIEW (shuffle-safe); undo it for the
+    # uint64 reference comparison
+    got = [v & 0xFFFFFFFFFFFFFFFF for v in add_simhash(t).column("simhash").to_pylist()]
     assert got == [simhash64(x) for x in texts]
 
     from gliner_cpp_ray.pipelines.queries import _simhash_sql

@@ -69,6 +69,34 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def ngram_hash_set(text: str, n: int = 3) -> np.ndarray:
+    """Distinct md5-u60 hashes (int64-safe) of the word n-grams of
+    ``text`` — the shingle set for n-gram-Jaccard dedup.
+
+    Tokenization is the pinned RE2 ``\\s`` class ``[\\t\\n\\f\\r ]``
+    (NOT ``str.split``, which also splits on ``\\v`` and Unicode
+    spaces) so the DuckDB oracle's ``string_split_regex`` sees the
+    identical token stream.  Fewer than ``n`` tokens -> ONE gram of all
+    tokens joined; zero tokens -> the sentinel hash 0 (so empty docs
+    have Jaccard 1.0 with each other, mirroring ``jaccard(set(),
+    set()) == 1.0``)."""
+    toks = [w for w in _SIMHASH_WS.split(text) if w]
+    if not toks:
+        return np.zeros(1, np.int64)
+    if len(toks) < n:
+        grams = {" ".join(toks)}
+    else:
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -94,6 +94,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("KGRAY_SKIP_SECONDARY"):
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
+        timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
         timed("simhash_pairs", q.q_simhash_pairs)
         timed("token_counts", q.q_token_counts)
         timed("lang_id", q.q_lang_id)

@@ -34,6 +34,7 @@ from gliner_cpp_ray.stages.dedup import (
     MinHashSigner,
     exact_dedup,
     minhash_dedup_clusters,
+    ngram_jaccard_pairs,
 )
 from gliner_cpp_ray.stages.html_to_text import html_to_docs
 from gliner_cpp_ray.stages.similarity import (
@@ -184,6 +185,17 @@ def q_minhash_clusters(sf_dir: str):
     hash-matched check, not rows-only."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup_clusters(ds, threshold=0.8)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT word-trigram Jaccard near-dup pairs: MinHash-LSH over the
+    hashed n-gram sets generates candidates, then each candidate is
+    verified by exact set Jaccard (streamed, never driver-side).  The
+    DuckDB oracle replicates the whole chain literally — tokenizer,
+    trigrams, md5-u60 hashes, signature family, banding, flood cap and
+    the exact intersection/union arithmetic (``_ngram_jaccard_sql``)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5, n=3)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -791,6 +803,7 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "minhash_clusters": q_minhash_clusters,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_byte_stats": q_media_byte_stats,
         "ann_topk": q_ann_topk,
@@ -965,6 +978,80 @@ def _near_dup_lsh_sql() -> str:
     )
 
 
+def _signer_perm_values() -> str:
+    """The default signer's (p, a, b) permutation constants as a SQL
+    VALUES literal — the seeded rng makes both sides see the same
+    universal-hash family."""
+    signer = MinHashSigner()
+    return ", ".join(
+        f"({p}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(signer.a, signer.b))
+    )
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Literal SQL replica of the exact n-gram-Jaccard pipeline
+    (stages/dedup.py:ngram_jaccard_pairs), n = 3:
+
+    * tokens: ``string_split_regex(text, '[\\t\\n\\f\\r ]+')`` with
+      empties dropped — the pinned RE2 ``\\s`` class, matching the Ray
+      stage's tokenizer exactly (NOT Python ``str.split``);
+    * word trigrams by positional self-join (< 3 tokens -> one gram of
+      all tokens joined; 0 tokens -> sentinel hash 0);
+    * gram hash: md5-u60, DISTINCT per doc;
+    * candidates: the same Mersenne-31 MinHash signature family over
+      the gram hashes, 16 band keys, collided buckets, flood cap 64 —
+      the CTE chain mirrors ``_minhash_sql``;
+    * verification: EXACT Jaccard from intersection/union counts of
+      the hashed gram sets (both sides do correctly-rounded double
+      division of the same integers -> bit-identical jaccard).
+    """
+    vals = _signer_perm_values()
+    signer = MinHashSigner()
+    rpb = signer.rows_per_band
+    return (
+        "WITH lst AS (SELECT doc_id, list_filter("
+        "string_split_regex(text, '[\\t\\n\\f\\r ]+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS w, "
+        "unnest(range(len(l))) AS i FROM lst), "
+        "g AS (SELECT doc_id, array_to_string(l, ' ') AS g FROM lst "
+        "WHERE len(l) >= 1 AND len(l) < 3 "
+        "UNION ALL SELECT t1.doc_id, concat(t1.w, ' ', t2.w, ' ', t3.w) "
+        "FROM tok t1 "
+        "JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 "
+        "JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2), "
+        "gh AS (SELECT DISTINCT doc_id, CAST(concat('0x', "
+        "substr(md5(g), 1, 15)) AS UBIGINT) AS x FROM g "
+        "UNION SELECT doc_id, 0 FROM lst WHERE len(l) = 0), "
+        "perm AS (SELECT p, CAST(a AS UBIGINT) AS a, CAST(b AS UBIGINT) AS b "
+        f"FROM (VALUES {vals}) AS t(p, a, b)), "
+        "mins AS (SELECT doc_id, p, "
+        "min((a * (x % 2147483647) + b) % 2147483647) AS mh "
+        "FROM gh CROSS JOIN perm GROUP BY doc_id, p), "
+        f"bkey AS (SELECT doc_id, p // {rpb} AS band, "
+        "CAST(concat('0x', substr(md5(string_agg(CAST(mh AS VARCHAR), ',' "
+        "ORDER BY p)), 1, 15)) AS BIGINT) AS key "
+        f"FROM mins GROUP BY doc_id, p // {rpb}), "
+        "sized AS (SELECT band, key, doc_id, "
+        "count(*) OVER (PARTITION BY band, key) AS n, "
+        "min(doc_id) OVER (PARTITION BY band, key) AS mn FROM bkey), "
+        "cand AS (SELECT DISTINCT a, b FROM ("
+        "SELECT x.doc_id AS a, y.doc_id AS b FROM sized x JOIN sized y "
+        "ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id "
+        "AND x.n <= 64 "
+        "UNION ALL SELECT mn, doc_id FROM sized WHERE n > 64 AND doc_id <> mn)), "
+        "sz AS (SELECT doc_id, count(*) AS s FROM gh GROUP BY doc_id), "
+        "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+        "JOIN gh x ON x.doc_id = c.a "
+        "JOIN gh y ON y.doc_id = c.b AND y.x = x.x GROUP BY c.a, c.b) "
+        "SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.s + sb.s - i.i) "
+        "AS jaccard FROM inter i "
+        "JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+        f"WHERE CAST(i.i AS DOUBLE) / (sa.s + sb.s - i.i) >= {threshold}"
+    )
+
+
 def _minhash_sql() -> str:
     """Literal SQL replica of the WHOLE MinHash+LSH clustering pipeline
     (stages/dedup.py:minhash_dedup_clusters), made possible because
@@ -988,10 +1075,7 @@ def _minhash_sql() -> str:
       for unpaired docs.
     """
     signer = MinHashSigner()
-    vals = ", ".join(
-        f"({p}, {int(a)}, {int(b)})"
-        for p, (a, b) in enumerate(zip(signer.a, signer.b))
-    )
+    vals = _signer_perm_values()
     rpb = signer.rows_per_band
     return (
         "WITH RECURSIVE "
@@ -1145,6 +1229,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _simhash_sql(),
         "minhash_clusters": _minhash_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
         # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
         # materializes as float64 — the driver then hashes 12345.0 vs

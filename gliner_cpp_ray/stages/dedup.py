@@ -87,13 +87,18 @@ def ngram_hash_set(text: str, n: int = 3) -> np.ndarray:
         grams = {" ".join(toks)}
     else:
         grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    return np.fromiter(
-        (
-            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-            for g in grams
-        ),
-        dtype=np.int64,
-        count=len(grams),
+    # unique POST-hash (like the oracle's DISTINCT on the hash), sorted:
+    # a 2^-60 gram-string collision must not leave a duplicate that
+    # breaks assume_unique set math downstream
+    return np.unique(
+        np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
     )
 
 
@@ -187,8 +192,11 @@ class MinHashSigner:
         seed: int = 13,
         id_col: str = "doc_id",
         text_col: str = "text",
+        shingle_mode: str = "bytes",
+        ngram_n: int = 3,
     ):
         assert num_perm % bands == 0
+        assert shingle_mode in ("bytes", "ngram")
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, int(_PRIME31), size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(_PRIME31), size=num_perm, dtype=np.uint64)
@@ -198,9 +206,16 @@ class MinHashSigner:
         self.shingle_k = shingle_k
         self.id_col = id_col
         self.text_col = text_col
+        self.shingle_mode = shingle_mode
+        self.ngram_n = ngram_n
 
     def signature(self, text: str) -> np.ndarray:
-        sh = char_shingles(text, self.shingle_k)  # [S]
+        if self.shingle_mode == "ngram":
+            # word-n-gram shingles (md5-u60 hashed) — the candidate
+            # generator for exact n-gram-Jaccard dedup
+            sh = ngram_hash_set(text, self.ngram_n).view(np.uint64)
+        else:
+            sh = char_shingles(text, self.shingle_k)  # [S]
         x = sh % _PRIME31
         # a, x < 2^31 -> a*x < 2^62; + b stays below 2^64: exact
         # uint64 arithmetic, same expression exact in DuckDB UBIGINT
@@ -335,6 +350,50 @@ class ClusterAssigner:
         )
 
 
+def _lsh_candidates(sigs):
+    """Materialized signature table (doc_id, band_id, band_key,
+    signature) -> candidate-pair Dataset (a, b, sig_a, sig_b), or
+    ``None`` when no band bucket collides.
+
+    Most band buckets are singletons; running the pair-expansion
+    map_groups over every bucket pays per-group overhead for nothing.
+    1) count per bucket (cheap grouped aggregate), 2) filter n >= 2
+    DISTRIBUTIVELY so only the collided keys — bounded by true dup
+    density, never the ≈ docs×bands singleton rows — reach the driver,
+    3) broadcast them, 4) semi-join the signature rows and pair-expand
+    only the survivors (flood-capped, ``bucket_candidate_pairs``)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    hot = (
+        sigs.select_columns(["band_id", "band_key"])
+        .groupby(["band_id", "band_key"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if hot.empty:
+        return None
+    hot_by_band = {
+        int(b): np.sort(g["band_key"].to_numpy(np.int64))
+        for b, g in hot.groupby("band_id")
+    }
+    return (
+        sigs.map_batches(
+            _HotBucketFilter,
+            fn_constructor_kwargs={"hot_ref": ray.put(hot_by_band)},
+            batch_format="pyarrow",
+            concurrency=default_concurrency(),
+        )
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_candidate_pairs, batch_format="pandas")
+    )
+
+
 class _HotBucketFilter:
     """Broadcast semi-join of signature rows against the collided-bucket
     key set: per band, a vectorized ``searchsorted`` membership test
@@ -375,8 +434,6 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     """
     from gliner_cpp_ray.state.union_find import UnionFind
 
-    from ray.data.aggregate import Count
-
     signer_kwargs = signer_kwargs or {}
     # materialize: the signature table is consumed twice (bucket counts,
     # then the hot-bucket semi-join) and is small relative to the corpus
@@ -385,25 +442,7 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
                           batch_format="pyarrow", concurrency=default_concurrency()).materialize()
 
-    # Most band buckets are singletons; running the pair-expansion
-    # map_groups over every bucket pays per-group overhead for nothing.
-    # 1) count per bucket (cheap grouped aggregate), 2) filter n >= 2
-    # DISTRIBUTIVELY so only the collided keys — bounded by true dup
-    # density, never the ≈ docs×bands singleton rows — reach the driver,
-    # 3) broadcast them, 4) semi-join the signature rows and pair-expand
-    # only the survivors.
     import ray
-
-    hot = (
-        sigs.select_columns(["band_id", "band_key"])
-        .groupby(["band_id", "band_key"])
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
 
     def assign(comp: dict):
         return ds.select_columns(["doc_id"]).map_batches(
@@ -413,24 +452,10 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
             concurrency=default_concurrency(),
         )
 
-    if hot.empty:
+    cands = _lsh_candidates(sigs)
+    if cands is None:
         return assign({})
 
-    hot_by_band = {
-        int(b): np.sort(g["band_key"].to_numpy(np.int64))
-        for b, g in hot.groupby("band_id")
-    }
-
-    cands = (
-        sigs.map_batches(
-            _HotBucketFilter,
-            fn_constructor_kwargs={"hot_ref": ray.put(hot_by_band)},
-            batch_format="pyarrow",
-            concurrency=default_concurrency(),
-        )
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_candidate_pairs, batch_format="pandas")
-    )
     verified = cands.map_batches(
         verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
     )
@@ -440,6 +465,159 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
         uf.union(int(x), int(y))
     comp = {k: int(v) for k, v in uf.components().items()}
     return assign(comp)
+
+
+# --- exact n-gram Jaccard ------------------------------------------------
+
+class _PairSetEmitter:
+    """For each doc that appears in a candidate pair, emit one row per
+    (pair, side) carrying the doc's full n-gram hash set as binary.
+    The pair-membership map (bounded by candidate-pair count, i.e. dup
+    density after the LSH flood cap — never corpus-proportional) is
+    ``ray.put`` once and read zero-copy per actor; docs in no pair are
+    dropped here, so the shuffle that follows moves only candidate
+    sets."""
+
+    def __init__(self, membership_ref, n: int, id_col: str, text_col: str):
+        import ray
+
+        m = (
+            ray.get(membership_ref)
+            if isinstance(membership_ref, ray.ObjectRef)
+            else membership_ref
+        )
+        self.membership = m  # {doc_id: [(a, b, side), ...]}
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_a, out_b, out_side, out_set = [], [], [], []
+        for i, text in zip(ids, texts):
+            slots = self.membership.get(int(i))
+            if not slots:
+                continue
+            payload = ngram_hash_set(text, self.n).tobytes()
+            for a, b, side in slots:
+                out_a.append(a)
+                out_b.append(b)
+                out_side.append(side)
+                out_set.append(payload)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "side": pa.array(out_side, pa.int8()),
+                "set": pa.array(out_set, pa.binary()),
+            }
+        )
+
+
+def _pair_exact_jaccard(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One candidate pair per group (two side rows): exact Jaccard of
+    the two hashed n-gram sets."""
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    sides = dict(zip(g["side"], g["set"]))
+    if 0 not in sides or 1 not in sides:
+        return empty
+    sa = np.frombuffer(sides[0], dtype=np.int64)
+    sb = np.frombuffer(sides[1], dtype=np.int64)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    j = inter / (len(sa) + len(sb) - inter)
+    if j < threshold:
+        return empty
+    return pd.DataFrame(
+        {
+            "a": g["a"].iloc[:1].astype("int64"),
+            "b": g["b"].iloc[:1].astype("int64"),
+            "jaccard": pd.Series([j], dtype="float64"),
+        }
+    )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        signer_kwargs: dict | None = None):
+    """EXACT word-n-gram Jaccard near-dup pairs at scale: MinHash-LSH
+    over the hashed n-gram sets generates the candidates (recall path —
+    pairs missed by all 16 bands are missed, the standard LSH trade),
+    then each candidate is verified by EXACT set Jaccard, streamed —
+    the per-doc n-gram sets are never pulled to the driver.
+
+    Dataset(doc_id, text) -> Dataset (a, b, jaccard), a < b, exact
+    jaccard >= threshold.  Every step (n-gram extraction, md5-u60
+    hashing, the Mersenne-31 signature family, banding, flood cap,
+    exact intersection/union counts) is SQL-expressible, so the DuckDB
+    oracle (``_ngram_jaccard_sql``) replicates the WHOLE pipeline
+    literally — a full hash-matched check.
+
+    Shuffle shape: signatures (1 row/doc/band) -> bucket counts ->
+    candidate pairs (dup-density-bounded) -> ONE shuffle of candidate
+    n-gram sets keyed by pair -> per-pair exact verify.  Docs in no
+    candidate pair never ship their sets anywhere."""
+    import ray
+
+    signer_kwargs = dict(signer_kwargs or {})
+    signer_kwargs.update(
+        shingle_mode="ngram", ngram_n=n, id_col=id_col, text_col=text_col
+    )
+    sigs = ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs=signer_kwargs,
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    ).materialize()
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    cands = _lsh_candidates(sigs)
+    if cands is None:
+        return ray.data.from_arrow(empty)
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        cands.select_columns(["a", "b"])
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["a", "b"])
+        .to_pandas()  # bounded by dup density (same bound as union-find)
+    )
+    if pairs.empty:
+        return ray.data.from_arrow(empty)
+
+    membership: dict[int, list[tuple[int, int, int]]] = {}
+    for a, b in pairs.itertuples(index=False):
+        membership.setdefault(int(a), []).append((int(a), int(b), 0))
+        membership.setdefault(int(b), []).append((int(a), int(b), 1))
+
+    emitted = ds.map_batches(
+        _PairSetEmitter,
+        fn_constructor_kwargs={
+            "membership_ref": ray.put(membership),
+            "n": n,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+    return emitted.groupby(["a", "b"]).map_groups(
+        lambda g: _pair_exact_jaccard(g, threshold), batch_format="pandas"
+    )
 
 
 # --- SimHash -------------------------------------------------------------

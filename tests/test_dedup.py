@@ -174,6 +174,56 @@ def test_minhash_clusters_match_sql_oracle(ray_session):
     assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
 
 
+def test_ngram_hash_set_semantics():
+    """Pinned shingle semantics: RE2-\\s tokens, < n tokens -> one
+    joined gram, empty -> sentinel {0}, output distinct + sorted."""
+    from gliner_cpp_ray.stages.dedup import ngram_hash_set
+
+    assert ngram_hash_set("").tolist() == [0]
+    assert ngram_hash_set("   \t \n ").tolist() == [0]
+    one = ngram_hash_set("one two", 3)
+    assert len(one) == 1
+    # tokens split on the RE2 class only: \x0b is NOT a separator
+    joined = ngram_hash_set("a\x0bb", 3)
+    assert len(joined) == 1 and joined.tolist() != ngram_hash_set("a b", 3).tolist()
+    h = ngram_hash_set("w1 w2 w3 w4", 3)
+    assert len(h) == 2 and list(h) == sorted(h) and (h >= 0).all()
+
+
+def test_ngram_jaccard_pairs_match_sql_oracle(ray_session):
+    """End-to-end: LSH candidate generation over hashed trigram sets +
+    exact streamed Jaccard verify must equal the DuckDB literal replica
+    row-for-row — including near-dup, disjoint and empty-doc cases."""
+    import duckdb
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import ngram_jaccard_pairs
+    from gliner_cpp_ray.pipelines.queries import _ngram_jaccard_sql
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different content with no overlap at all whatsoever",
+        "the quick brown fox jumps over the lazy dog today",
+        "", "", "ab", "one two",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5, n=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(_ngram_jaccard_sql() + " ORDER BY a, b").fetch_df()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()  # bit-exact
+    # the two identical docs and the two empty docs are exact pairs
+    assert {(0, 3), (4, 5)} <= set(zip(got["a"], got["b"]))
+
+
 def test_simhash_batch_matches_reference_and_sql_oracle():
     """The vectorized batch SimHash must equal the one-text reference
     AND the DuckDB transcription (md5-u64 votes, bit votes, banding)."""

@@ -86,8 +86,9 @@ class KGPipelineConfig:
     # partition count for the post-combiner shuffles (edge/node/pair
     # groupbys).  The combiner inside map_batches already reduced these
     # streams to (distinct keys x blocks) rows.  None = derive from
-    # cluster size (stages/sizing.py) so the constant scales with the
-    # cluster instead of binding at 100x data.
+    # INPUT BYTES capped by cluster size (sizing.bytes_scaled_partitions)
+    # so the constant scales with the data instead of binding at 100x,
+    # without over-partitioning toy corpora.
     reduce_partitions: int | None = None
     # run independent stage pairs (linked||canon, edges||nodes) as two
     # concurrently-executing Datasets.  None = auto: only when the
@@ -95,9 +96,14 @@ class KGPipelineConfig:
     # executors thrash each other.
     concurrent_stages: bool | None = None
 
-    def resolved_reduce_partitions(self) -> int:
-        from gliner_cpp_ray.stages.sizing import default_reduce_partitions
+    def resolved_reduce_partitions(self, input_bytes: int | None = None) -> int:
+        from gliner_cpp_ray.stages.sizing import (
+            bytes_scaled_partitions,
+            default_reduce_partitions,
+        )
 
+        if input_bytes is not None:
+            return bytes_scaled_partitions(input_bytes, self.reduce_partitions)
         return default_reduce_partitions(self.reduce_partitions)
 
     def fingerprint(self) -> dict:
@@ -198,6 +204,11 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
 
     # --- stage 1: mentions (sharded + resumable) ----------------------
     files = _pages_files(pages_path)
+    # data-aware shuffle parallelism: post-combiner volume tracks input
+    # volume, so size the reduce partitions from the pages bytes we can
+    # see (capped by cluster size in sizing.bytes_scaled_partitions)
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    reduce_parts = cfg.resolved_reduce_partitions(input_bytes)
     n_shards = max(1, min(cfg.shards, len(files)))
     groups = [files[i::n_shards] for i in range(n_shards)]
     mentions_root = os.path.join(out_root, "mentions")
@@ -285,7 +296,7 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         mentions = read_stage("mentions", MENTIONS_SCHEMA, columns=["text", "label"])
         pairs = mentions.map_batches(collect_surface_pairs, batch_format="pyarrow")
         distinct = (
-            pairs.repartition(cfg.resolved_reduce_partitions())
+            pairs.repartition(reduce_parts)
             .groupby(["norm_surface", "label", "qid"])
             .count()
         )
@@ -351,9 +362,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         # handful of blocks, not hundreds of slivers — measured 10x on
         # the stage wall time at 2M pages.
         edges = (
-            partial.repartition(cfg.resolved_reduce_partitions())
+            partial.repartition(reduce_parts)
             .map_batches(
-                lambda df: add_key_bucket(df, _EDGE_KEY_COLS, cfg.resolved_reduce_partitions()),
+                lambda df: add_key_bucket(df, _EDGE_KEY_COLS, reduce_parts),
                 batch_format="pandas",
             )
             .groupby("__bucket")
@@ -384,9 +395,9 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         )
         nodes = (
             partial.union(endpoint_partial)
-            .repartition(cfg.resolved_reduce_partitions())
+            .repartition(reduce_parts)
             .map_batches(
-                lambda df: add_key_bucket(df, ["canon_id"], cfg.resolved_reduce_partitions()),
+                lambda df: add_key_bucket(df, ["canon_id"], reduce_parts),
                 batch_format="pandas",
             )
             .groupby("__bucket")

@@ -44,7 +44,6 @@ from gliner_cpp_ray.stages.similarity import (
     lsh_near_dup_pairs,
     lsh_topk,
 )
-from gliner_cpp_ray.stages.sizing import default_concurrency
 from gliner_cpp_ray.stages.text_analysis import (
     LangId,
     fingerprints,
@@ -170,10 +169,10 @@ def q_text_quality(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    # instance -> plain tasks: LangId's state (5 tiny stopword arrays)
+    # builds in microseconds; an actor pool paid 1-2 s spin-up per run
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_concurrency()
-    )
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 def q_minhash_clusters(sf_dir: str):
@@ -395,11 +394,9 @@ def q_embedding_near_dup(sf_dir: str):
 
     This is deliberately the SMALL-N VERIFY path: exact all-pairs needs
     the reference matrix somewhere, so it is read once driver-side and
-    `ray.put` into the object store (one shared copy, zero-copy reads
-    per actor — not re-pickled per task).  The 100 TB path is
+    shipped as task-closure state (one object-store copy per worker —
+    not re-pickled per task).  The 100 TB path is
     ``embedding_near_dup_lsh``, which needs no reference matrix at all."""
-    import ray
-
     tbl = pq.read_table(
         _sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
@@ -407,14 +404,8 @@ def q_embedding_near_dup(sf_dir: str):
     ref = np.stack([np.asarray(x) for x in tbl.column("embedding").to_pylist()])
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = ds.map_batches(
-        NearDupScorer,
-        fn_constructor_kwargs={
-            "ref_ids": ray.put(ref_ids),
-            "ref_matrix": ray.put(ref),
-            "threshold": 0.4,
-        },
+        NearDupScorer(ref_ids=ref_ids, ref_matrix=ref, threshold=0.4),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     df = pairs.select_columns(["a", "b"]).to_pandas()
     if df.empty:  # keep a stable schema even when no pair clears threshold

@@ -25,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from gliner_cpp_ray.stages.sizing import default_concurrency
 
 _PRIME = np.uint64((1 << 61) - 1)
 _PRIME31 = np.uint64((1 << 31) - 1)
@@ -312,8 +311,8 @@ class ClusterAssigner:
 
     The map is bounded by true dup density — it has one entry per doc
     that participates in a verified near-dup pair, NOT per corpus row —
-    so it is `ray.put` once and read zero-copy by every actor instead of
-    pulling the full id column to the driver."""
+    so it ships once per worker (task-closure state via the object
+    store) instead of pulling the full id column to the driver."""
 
     def __init__(self, comp_ref, id_col: str = "doc_id"):
         import ray
@@ -362,8 +361,6 @@ def _lsh_candidates(sigs):
     density, never the ≈ docs×bands singleton rows — reach the driver,
     3) broadcast them, 4) semi-join the signature rows and pair-expand
     only the survivors (flood-capped, ``bucket_candidate_pairs``)."""
-    import ray
-
     from ray.data.aggregate import Count
 
     hot = (
@@ -382,13 +379,12 @@ def _lsh_candidates(sigs):
         int(b): np.sort(g["band_key"].to_numpy(np.int64))
         for b, g in hot.groupby("band_id")
     }
+    # instance -> Ray TASKS on the warm worker pool: the key map (dup-
+    # density-bounded) ships once per worker through the object store;
+    # an actor pool here paid 1-2 s of spin-up per query for state that
+    # builds in microseconds (see SCALE.md "tasks vs actor pools")
     return (
-        sigs.map_batches(
-            _HotBucketFilter,
-            fn_constructor_kwargs={"hot_ref": ray.put(hot_by_band)},
-            batch_format="pyarrow",
-            concurrency=default_concurrency(),
-        )
+        sigs.map_batches(_HotBucketFilter(hot_by_band), batch_format="pyarrow")
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_candidate_pairs, batch_format="pandas")
     )
@@ -398,7 +394,7 @@ class _HotBucketFilter:
     """Broadcast semi-join of signature rows against the collided-bucket
     key set: per band, a vectorized ``searchsorted`` membership test
     against a sorted int64 key array (exact — no packing/truncation).
-    The key map is ``ray.put`` once and read zero-copy per actor."""
+    The key map ships once per worker as task-closure state."""
 
     def __init__(self, hot_ref):
         import ray
@@ -438,18 +434,17 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     # materialize: the signature table is consumed twice (bucket counts,
     # then the hot-bucket semi-join) and is small relative to the corpus
     # (num_perm*8B + band keys per doc) — re-signing would double the
-    # dominant cost
-    sigs = ds.map_batches(MinHashSigner, fn_constructor_kwargs=signer_kwargs,
-                          batch_format="pyarrow", concurrency=default_concurrency()).materialize()
-
-    import ray
+    # dominant cost.  Instance (not class) -> plain tasks: signer setup
+    # is an RNG array, far below actor-pool spin-up cost.
+    sigs = ds.map_batches(
+        MinHashSigner(**signer_kwargs), batch_format="pyarrow"
+    ).materialize()
 
     def assign(comp: dict):
+        # the component map is dup-density-bounded; as instance state it
+        # ships once per worker via the object store (broadcast-once)
         return ds.select_columns(["doc_id"]).map_batches(
-            ClusterAssigner,
-            fn_constructor_kwargs={"comp_ref": ray.put(comp)},
-            batch_format="pyarrow",
-            concurrency=default_concurrency(),
+            ClusterAssigner(comp), batch_format="pyarrow"
         )
 
     cands = _lsh_candidates(sigs)
@@ -473,10 +468,10 @@ class _PairSetEmitter:
     """For each doc that appears in a candidate pair, emit one row per
     (pair, side) carrying the doc's full n-gram hash set as binary.
     The pair-membership map (bounded by candidate-pair count, i.e. dup
-    density after the LSH flood cap — never corpus-proportional) is
-    ``ray.put`` once and read zero-copy per actor; docs in no pair are
-    dropped here, so the shuffle that follows moves only candidate
-    sets."""
+    density after the LSH flood cap — never corpus-proportional) ships
+    once per worker as task-closure state through the object store;
+    docs in no pair are dropped here, so the shuffle that follows moves
+    only candidate sets."""
 
     def __init__(self, membership_ref, n: int, id_col: str, text_col: str):
         import ray
@@ -570,10 +565,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
         shingle_mode="ngram", ngram_n=n, id_col=id_col, text_col=text_col
     )
     sigs = ds.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs=signer_kwargs,
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
+        MinHashSigner(**signer_kwargs), batch_format="pyarrow"
     ).materialize()
 
     empty = pa.table(
@@ -605,15 +597,8 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
         membership.setdefault(int(b), []).append((int(a), int(b), 1))
 
     emitted = ds.map_batches(
-        _PairSetEmitter,
-        fn_constructor_kwargs={
-            "membership_ref": ray.put(membership),
-            "n": n,
-            "id_col": id_col,
-            "text_col": text_col,
-        },
+        _PairSetEmitter(membership, n=n, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     return emitted.groupby(["a", "b"]).map_groups(
         lambda g: _pair_exact_jaccard(g, threshold), batch_format="pandas"

@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from gliner_cpp_ray.stages.sizing import default_concurrency
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -110,12 +109,13 @@ def reduce_topk(partials: pd.DataFrame, k: int = 10) -> pd.DataFrame:
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                      **stage_kwargs) -> pd.DataFrame:
+    # instance -> plain Ray tasks on the warm worker pool: the stage
+    # state (query matrix, a few KB-MB) ships once per worker via the
+    # object store; an actor pool paid 1-2 s spin-up per query wave
     partial = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
-                               **stage_kwargs},
+        BruteForceTopK(queries=queries, query_ids=query_ids, k=k,
+                       **stage_kwargs),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)
 
@@ -166,16 +166,9 @@ def embedding_near_dup_clusters(ds, ref_ids: np.ndarray, ref_matrix: np.ndarray,
     from gliner_cpp_ray.state.union_find import UnionFind
 
     pairs = ds.map_batches(
-        NearDupScorer,
-        fn_constructor_kwargs={
-            "ref_ids": ref_ids,
-            "ref_matrix": ref_matrix,
-            "threshold": threshold,
-            "id_col": id_col,
-            "col": col,
-        },
+        NearDupScorer(ref_ids=ref_ids, ref_matrix=ref_matrix,
+                      threshold=threshold, id_col=id_col, col=col),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     ).select_columns(["a", "b"]).to_pandas()
     uf = UnionFind()
     for a, b in pairs.itertuples(index=False):
@@ -255,11 +248,8 @@ class LshTopK:
 def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              **stage_kwargs) -> pd.DataFrame:
     partial = ds.map_batches(
-        LshTopK,
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
-                               **stage_kwargs},
+        LshTopK(queries=queries, query_ids=query_ids, k=k, **stage_kwargs),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)
 
@@ -338,11 +328,9 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
     from ray.data.aggregate import Count
 
     exploded = ds.map_batches(
-        LshBandExploder,
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "bands": bands,
-                               "seed": seed, "id_col": id_col, "col": col},
+        LshBandExploder(dim=dim, bits=bits, bands=bands, seed=seed,
+                        id_col=id_col, col=col),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     pairs = exploded.groupby(["band", "key"]).map_groups(
         lambda g: _bucket_pairs(g, threshold, id_col, col),
@@ -420,15 +408,9 @@ def build_ivf_index(ds, centroids: np.ndarray, index_dir: str,
     then prune the READ (only ~n_probe/n_cells of the corpus leaves
     storage per query wave), not just the scoring.  Train offline,
     assign once, probe many."""
-    import ray
-
     ds.map_batches(
-        CellAssigner,
-        fn_constructor_kwargs={
-            "centroids": ray.put(np.asarray(centroids, np.float64))
-        },
+        CellAssigner(np.asarray(centroids, np.float64)),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     ).write_parquet(index_dir, partition_cols=["cell"], **write_kwargs)
 
 
@@ -563,13 +545,8 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
     ``build_ivf_index`` + ``ivf_topk_indexed`` when the corpus is
     queried more than once."""
     partial = ds.map_batches(
-        IvfTopK,
-        fn_constructor_kwargs={
-            "queries": queries, "query_ids": query_ids,
-            "centroids": centroids, "n_probe": n_probe, "k": k,
-            **stage_kwargs,
-        },
+        IvfTopK(queries=queries, query_ids=query_ids, centroids=centroids,
+                n_probe=n_probe, k=k, **stage_kwargs),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
     return reduce_topk(partial.to_pandas(), k)

@@ -58,7 +58,36 @@ def default_concurrency(concurrency=None, *, floor: int = 4) -> tuple[int, int]:
     """Autoscaling actor-pool bounds for stateful map_batches stages:
     (1, max(floor, CPUs)) — the pool can grow to one actor per CPU and
     Ray's autoscaler keeps it small when the stage is not the
-    bottleneck."""
+    bottleneck.
+
+    Reach for an actor pool ONLY when per-actor setup is genuinely
+    expensive (model load, index build).  Stages whose state builds in
+    microseconds-to-milliseconds should pass a callable INSTANCE to
+    ``map_batches`` instead: it runs as plain tasks on the warm worker
+    pool (the serialized instance ships once per worker via the object
+    store), where an actor pool pays 1-2 s of spin-up per query."""
     if concurrency is not None:
         return concurrency
     return (1, max(floor, cluster_cpus()))
+
+
+def bytes_scaled_partitions(total_bytes: int, n: int | None = None, *,
+                            per_partition_bytes: int = 64 << 20,
+                            floor: int = 8, cap: int | None = None) -> int:
+    """Partition count scaled to INPUT VOLUME and capped by cluster
+    size: ``clamp(total_bytes / per_partition_bytes, floor, 2×CPUs)``.
+
+    A pure cluster-derived count (``default_reduce_partitions``) is
+    right when data grows with the cluster, but over-partitions small
+    inputs — at bench scale every extra partition is ~0.1 s of fixed
+    per-partition cost across a repartition+groupby pair for zero
+    parallelism gain.  Scaling by observed input bytes gives the floor
+    on toy corpora and grows linearly to the cluster cap at real
+    volume; callers that know their input size (the KG pipeline lists
+    its files) should prefer this form."""
+    if n is not None:
+        return int(n)
+    if cap is None:
+        cap = 2 * cluster_cpus()
+    want = int(total_bytes // per_partition_bytes) + 1
+    return max(floor, min(cap, want))

@@ -24,7 +24,6 @@ import hashlib
 
 import pyarrow as pa
 
-from gliner_cpp_ray.stages.sizing import default_concurrency
 
 _K_DEFAULT = 64
 _HASH_BITS = 32  # estimator works on the first 32 hash bits
@@ -69,9 +68,10 @@ def kmv_distinct_count(ds, col: str, k: int = _K_DEFAULT) -> int:
 
     Per-batch ``KmvPartial`` → driver merge of ≤ k hashes per block
     (the ONLY data that leaves the workers) → integer estimator."""
+    # instance -> plain tasks on the warm worker pool (setup is two
+    # scalars; actor-pool spin-up dominated the query at bench scale)
     partial = ds.map_batches(
-        KmvPartial, fn_constructor_kwargs={"col": col, "k": k},
-        batch_format="pyarrow", concurrency=default_concurrency(),
+        KmvPartial(col=col, k=k), batch_format="pyarrow"
     )
     merged = partial.to_pandas()["h"].tolist()
     return kmv_estimate_from_hashes(merged, k)
@@ -124,9 +124,8 @@ def histogram_quantile_bins(ds, col: str, lo: float, hi: float,
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
-        HistogramPartial,
-        fn_constructor_kwargs={"col": col, "lo": lo, "hi": hi, "n_bins": n_bins},
-        batch_format="pyarrow", concurrency=default_concurrency(),
+        HistogramPartial(col=col, lo=lo, hi=hi, n_bins=n_bins),
+        batch_format="pyarrow",
     )
     bins = (
         partial.groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()

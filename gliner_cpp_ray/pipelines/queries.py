@@ -210,6 +210,101 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=3)
 
 
+def q_ngram_contamination(sf_dir: str):
+    """Benchmark-contamination check: deterministic 80/20 doc split,
+    then per TEST doc the count of its distinct word-trigram hashes
+    that occur anywhere in the TRAIN side.  Train grams reduce to a
+    vocabulary-bounded distinct set; the test side joins against it on
+    the int64 hash (bucketed shuffle join) — no text crosses the wire
+    and nothing corpus-proportional reaches the driver."""
+    from gliner_cpp_ray.stages.dedup import ngram_contamination
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_contamination(ds, n=3, train_pct=80)
+
+
+# deterministic PII suffix injected per doc on BOTH sides (testdata text
+# is digit-free word soup, so redaction over the raw column would be a
+# no-op); the expression is pure doc_id arithmetic so the DuckDB oracle
+# concatenates the identical bytes
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +141555' || CAST(doc_id AS VARCHAR) || "
+    "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || ' end'"
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (emails / E.164 phones / IPv4) with per-category
+    counts, over deterministically PII-injected text.  The operator
+    itself (stages/text_analysis.pii_redact) is one RE2 count + one RE2
+    replace per category — a pure streaming map at 100 TB."""
+    from gliner_cpp_ray.stages.text_analysis import pii_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        # test scaffolding, not the operator: vectorized string concat
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pd.Series(ids).astype(str)
+        suffix = (
+            " contact user" + s + "@example.com or +141555" + s
+            + " at 10.0." + pd.Series(ids % 256).astype(str)
+            + "." + pd.Series(ids % 100).astype(str) + " end"
+        )
+        txt = pc.binary_join_element_wise(
+            t.column("text"), pa.array(suffix, pa.string()), ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    return ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        pii_redact, batch_format="pyarrow"
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (token/distinct-token/bigram
+    counts + most-frequent-bigram count) as exact integers."""
+    from gliner_cpp_ray.stages.text_analysis import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+# training-mix rates for the dataset_mixture query: exercises the
+# always-keep (>=100), fractional and default-drop (0) paths; zh docs
+# fall through to the default
+_MIXTURE_RATES = {"en": 100, "de": 50, "fr": 25, "es": 10}
+
+
+def q_dataset_mixture(sf_dir: str):
+    """Deterministic weighted source mixing (keep-rate per lang, md5
+    threshold on doc_id) — emits kept-doc counts per source."""
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.skew import dataset_mixture
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return (
+        dataset_mixture(ds, "doc_id", "lang", _MIXTURE_RATES, default_pct=0)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+    )
+
+
+def q_sequence_packing(sf_dir: str):
+    """Fixed-token-budget sequence packing via distributed prefix sum:
+    pack_id = (running token total over doc_id order) // 512.  One
+    small groupby (one row per range bucket reaches the driver) + a
+    per-bucket vectorized finish."""
+    from gliner_cpp_ray.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = ds.map_batches(token_counts, batch_format="pyarrow")
+    return pack_sequences(counts, budget=512)
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vectors(sf_dir: str, n: int = 8):
@@ -796,6 +891,11 @@ def queries():
         "minhash_clusters": q_minhash_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_contamination": q_ngram_contamination,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
+        "dataset_mixture": q_dataset_mixture,
+        "sequence_packing": q_sequence_packing,
         "media_byte_stats": q_media_byte_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1043,6 +1143,93 @@ def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
     )
 
 
+def _contamination_sql(train_pct: int = 80) -> str:
+    """Literal SQL replica of stages/dedup.py:ngram_contamination —
+    the SAME gram-hash CTE chain as ``_ngram_jaccard_sql`` (pinned RE2
+    tokenizer, word trigrams, md5-u60 DISTINCT per doc, sentinel 0 for
+    empty docs) plus the md5 train/test split predicate, a distinct
+    train-gram set, and a per-test-doc hit count."""
+    from gliner_cpp_ray.stages.skew import split_threshold_hex
+
+    th = split_threshold_hex(train_pct)
+    return (
+        "WITH lst AS (SELECT doc_id, list_filter("
+        "string_split_regex(text, '[\\t\\n\\f\\r ]+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS w, "
+        "unnest(range(len(l))) AS i FROM lst), "
+        "g AS (SELECT doc_id, array_to_string(l, ' ') AS g FROM lst "
+        "WHERE len(l) >= 1 AND len(l) < 3 "
+        "UNION ALL SELECT t1.doc_id, concat(t1.w, ' ', t2.w, ' ', t3.w) "
+        "FROM tok t1 "
+        "JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 "
+        "JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2), "
+        "gh AS (SELECT DISTINCT doc_id, CAST(concat('0x', "
+        "substr(md5(g), 1, 15)) AS UBIGINT) AS x FROM g "
+        "UNION SELECT doc_id, 0 FROM lst WHERE len(l) = 0), "
+        "sp AS (SELECT doc_id, "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{th}' AS is_train "
+        "FROM documents), "
+        "tr AS (SELECT DISTINCT x FROM gh JOIN sp USING (doc_id) "
+        "WHERE is_train), "
+        "te AS (SELECT gh.doc_id, gh.x FROM gh JOIN sp USING (doc_id) "
+        "WHERE NOT is_train), "
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id), "
+        "hit AS (SELECT te.doc_id, count(*) AS n_contaminated "
+        "FROM te JOIN tr USING (x) GROUP BY te.doc_id) "
+        "SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams, "
+        "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated "
+        "FROM tot LEFT JOIN hit USING (doc_id)"
+    )
+
+
+def _pii_sql() -> str:
+    """SQL replica of stages/text_analysis.pii_redact over the
+    deterministically PII-injected text (``_PII_SUFFIX_SQL``) — both
+    engines compile the identical RE2 patterns, so counts and the
+    redacted bytes agree exactly."""
+    from gliner_cpp_ray.stages.text_analysis import PII_PATTERNS
+
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH inj AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text "
+        "FROM documents) "
+        f"SELECT doc_id, {count_cols}, {red} AS redacted FROM inj"
+    )
+
+
+def _mixture_sql() -> str:
+    """SQL replica of stages/skew.dataset_mixture at ``_MIXTURE_RATES``:
+    per-source md5-threshold keep predicate (TRUE/FALSE for the
+    >=100 / <=0 rates — see dataset_mixture's docstring on why 100 is
+    not a hex threshold), then kept-count per source."""
+    from gliner_cpp_ray.stages.skew import split_threshold_hex
+
+    def pred(pct: int) -> str:
+        if pct >= 100:
+            return "TRUE"
+        if pct <= 0:
+            return "FALSE"
+        th = split_threshold_hex(pct)
+        return f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{th}'"
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN {pred(p)}"
+        for s, p in sorted(_MIXTURE_RATES.items())
+    )
+    return (
+        "SELECT lang, count(*) AS n_kept FROM documents "
+        f"WHERE CASE lang {whens} ELSE {pred(0)} END "
+        "GROUP BY lang"
+    )
+
+
 def _minhash_sql() -> str:
     """Literal SQL replica of the WHOLE MinHash+LSH clustering pipeline
     (stages/dedup.py:minhash_dedup_clusters), made possible because
@@ -1221,6 +1408,42 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "simhash_pairs": _simhash_sql(),
         "minhash_clusters": _minhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "ngram_contamination": _contamination_sql(),
+        "pii_redact": _pii_sql(),
+        "repetition_stats": (
+            # tokens pinned to the token_counts definition, lowercased;
+            # bigrams via the positional-self-join idiom; ' '-joined
+            # bigram keys are unambiguous because tokens contain no
+            # whitespace
+            "WITH tt AS (SELECT doc_id, "
+            f"lower({_TRIM_SQL}) AS t FROM documents), "
+            "lst AS (SELECT doc_id, list_filter("
+            "string_split_regex(t, '\\s+'), x -> x <> '') AS l FROM tt), "
+            "tok AS (SELECT doc_id, unnest(l) AS w, "
+            "unnest(range(len(l))) AS i FROM lst), "
+            "bg AS (SELECT t1.doc_id, concat(t1.w, ' ', t2.w) AS b "
+            "FROM tok t1 JOIN tok t2 "
+            "ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1), "
+            "bc AS (SELECT doc_id, b, count(*) AS c FROM bg "
+            "GROUP BY doc_id, b), "
+            "tb AS (SELECT doc_id, max(c) AS top FROM bc GROUP BY doc_id) "
+            "SELECT lst.doc_id, CAST(len(l) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(greatest(len(l) - 1, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(tb.top, 0) AS BIGINT) AS top_bigram_n "
+            "FROM lst LEFT JOIN tb USING (doc_id)"
+        ),
+        "dataset_mixture": _mixture_sql(),
+        "sequence_packing": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "tc AS (SELECT doc_id, CASE WHEN t = '' THEN 0 ELSE "
+            "len(string_split_regex(t, '\\s+')) END AS n_tokens FROM tt), "
+            "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS prior FROM tc) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(prior // 512 AS BIGINT) AS pack_id FROM s"
+        ),
         # NOTE: every aggregate sum is wrapped in an OUTER CAST(... AS
         # BIGINT): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
         # materializes as float64 — the driver then hashes 12345.0 vs

@@ -605,6 +605,107 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
     )
 
 
+# --- train/test n-gram contamination -------------------------------------
+
+def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int | None = None):
+    """Benchmark-contamination check: split the corpus into train/test
+    by the deterministic md5 split (``skew.train_test_split``), then for
+    each TEST document count how many of its distinct word-n-gram
+    hashes occur in ANY train document.
+
+    Dataset(doc_id, text) -> Dataset(doc_id, n_grams, n_contaminated)
+    over the test docs.  ``n_contaminated / n_grams`` is the standard
+    contamination fraction used to decontaminate eval sets from
+    training corpora.
+
+    Scale shape: both sides emit (gram_hash, doc) rows; the train side
+    is reduced to DISTINCT gram hashes (vocabulary-bounded — a per-batch
+    ``np.unique`` combiner then one groupby); the test side inner-joins
+    against it on the hash (bucketed shuffle join) and reduces to
+    per-doc counts.  No document text crosses the wire — only int64
+    hashes — and nothing corpus-proportional reaches the driver."""
+    import ray.data  # noqa: F401  (ensures Dataset API present)
+
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import split_threshold_hex
+
+    th = split_threshold_hex(train_pct)
+
+    def emit_grams(t: pa.Table, want: str) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_doc, out_x = [], []
+        for i, txt in zip(ids, texts):
+            is_train = hashlib.md5(str(i).encode()).hexdigest()[:8] < th
+            if ("train" if is_train else "test") != want:
+                continue
+            xs = ngram_hash_set(txt, n)
+            out_doc.extend([int(i)] * len(xs))
+            out_x.extend(int(v) for v in xs)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "x": pa.array(out_x, pa.int64()),
+            }
+        )
+
+    # distinct train gram hashes: per-batch sets are already distinct
+    # (ngram_hash_set returns unique values); one groupby dedupes across
+    # batches.  Vocabulary-bounded, never corpus-proportional.
+    train_x = (
+        ds.map_batches(
+            lambda t: emit_grams(t, "train").select(["x"]),
+            batch_format="pyarrow",
+        )
+        .groupby("x")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["x"])
+    )
+
+    test_grams = ds.map_batches(
+        lambda t: emit_grams(t, "test"), batch_format="pyarrow"
+    )
+
+    # per-test-doc totals (each doc's gram set is computed within one
+    # batch, so this needs no shuffle)
+    def per_doc_counts(t: pa.Table) -> pa.Table:
+        g = emit_grams(t, "test")
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_grams": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    totals = ds.map_batches(per_doc_counts, batch_format="pyarrow")
+
+    contaminated = (
+        bucketed_hash_join(test_grams, train_x, on="x", n_buckets=n_buckets)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_contaminated"))
+    )
+
+    joined = bucketed_hash_join(
+        totals, contaminated, on="doc_id", n_buckets=n_buckets, how="left"
+    )
+
+    def fill_zero(t: pa.Table) -> pa.Table:
+        c = t.column("n_contaminated")
+        return t.set_column(
+            t.schema.get_field_index("n_contaminated"),
+            "n_contaminated",
+            pc.fill_null(c, 0).cast(pa.int64()),
+        )
+
+    return joined.map_batches(fill_zero, batch_format="pyarrow")
+
+
 # --- SimHash -------------------------------------------------------------
 
 import re as _re

@@ -1,0 +1,99 @@
+"""Sequence packing: assign documents to fixed token-budget training
+sequences via a DISTRIBUTED PREFIX SUM.
+
+Training-data pipelines pack variable-length documents into fixed-size
+model sequences.  The deterministic contiguous-chunk rule used here:
+order documents by id and start a new pack every time the running token
+total crosses the budget — i.e. ``pack_id = exclusive_prefix_sum(
+n_tokens) // budget``.  A pure function of the global document order,
+so it is stable across runs and cluster sizes and exactly replicable in
+SQL as ``sum(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING AND 1
+PRECEDING) // budget``.
+
+The prefix sum is the classic two-level scan, expressed in Ray Data:
+
+1. ORDER-PRESERVING bucketing: ``bucket = doc_id // span`` (range
+   partitioning on the id — bucket k holds ids strictly before bucket
+   k+1), with ``span`` sized so bucket count ≈ a small multiple of the
+   cluster CPUs.
+2. per-bucket token sums: one small ``groupby(bucket).sum`` — ONE row
+   per bucket reaches the driver (~10·CPUs rows, never
+   corpus-proportional).
+3. driver exclusive scan over the bucket sums -> per-bucket offsets,
+   broadcast back as task-closure state.
+4. per-bucket finish: sort the bucket by id, local exclusive cumsum +
+   the bucket's offset, divide by the budget.  Vectorized numpy per
+   bucket; one shuffle (the groupby) total.
+
+At 10^12 documents the driver holds one int per bucket; a second scan
+level (buckets of buckets) extends the same construction if bucket
+count itself ever needs to exceed driver memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gliner_cpp_ray.stages.sizing import cluster_cpus
+
+
+def pack_sequences(counts_ds, budget: int = 512, id_col: str = "doc_id",
+                   count_col: str = "n_tokens",
+                   n_buckets: int | None = None):
+    """Dataset(id, n_tokens) -> Dataset(id, n_tokens, pack_id).
+
+    ``pack_id = (sum of n_tokens over all ids < this id) // budget``.
+    Input ids must be non-negative integers (web-corpus doc ids); the
+    range is taken from one cheap ``max`` aggregate."""
+    if n_buckets is None:
+        n_buckets = max(8, 10 * cluster_cpus())
+
+    counts = counts_ds.materialize()  # consumed twice: sums + finish
+    max_id = counts.max(id_col)
+    if max_id is None:  # empty input
+        return counts.map_batches(
+            lambda t: t.append_column(
+                "pack_id", pa.array([], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    span = max(1, (int(max_id) + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(ids // span, pa.int64())
+        )
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        bucketed.groupby("__bucket")
+        .aggregate(Sum(count_col, alias_name="s"))
+        .to_pandas()  # ONE row per bucket — bounded by n_buckets
+        .sort_values("__bucket")
+    )
+    # driver exclusive scan: offset of bucket k = total tokens before it
+    offsets = dict(
+        zip(
+            sums["__bucket"].astype(np.int64),
+            np.concatenate([[0], sums["s"].to_numpy(np.int64).cumsum()[:-1]]),
+        )
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        nt = g[count_col].to_numpy(np.int64)
+        excl = np.concatenate([[0], nt.cumsum()[:-1]])
+        excl += int(offsets[int(g["__bucket"].iloc[0])])
+        out = g.drop(columns="__bucket").copy()
+        out["pack_id"] = (excl // budget).astype(np.int64)
+        return out
+
+    return bucketed.groupby("__bucket").map_groups(
+        finish, batch_format="pandas"
+    )

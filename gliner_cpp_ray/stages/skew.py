@@ -71,6 +71,49 @@ def train_test_split(ds, id_col: str, train_pct: int = 80):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def dataset_mixture(ds, id_col: str, source_col: str, rates: dict[str, int],
+                    default_pct: int = 0):
+    """Deterministic weighted multi-source mixing: keep a row iff
+    ``md5(str(id))[:8] < threshold(rates[source])`` — the standard
+    training-mix recipe (e.g. 100% wiki, 50% books, 10% web) expressed
+    as a pure per-row predicate.
+
+    Like ``train_test_split``, membership is a function of the id
+    alone: shuffle-free, stable across runs / partitionings / cluster
+    sizes, resumable for free, and exactly reproducible in SQL.  At
+    100 TB this is a streaming filter with zero data movement.
+
+    pct >= 100 / pct <= 0 are handled as always-keep / always-drop
+    rather than via the hex threshold: ``split_threshold_hex(100)`` is
+    the 9-char ``'100000000'``, which an 8-char hex prefix compares
+    against lexicographically (almost everything sorts ABOVE it), so
+    the threshold form is only correct for 0 < pct < 100."""
+
+    def rule(pct: int):
+        if pct >= 100:
+            return True
+        if pct <= 0:
+            return False
+        return split_threshold_hex(pct)
+
+    rules = {s: rule(int(p)) for s, p in rates.items()}
+    drule = rule(int(default_pct))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        srcs = t.column(source_col).to_pylist()
+        mask = []
+        for i, s in zip(ids, srcs):
+            r = rules.get(s, drule)
+            if r is True or r is False:
+                mask.append(r)
+            else:
+                mask.append(hashlib.md5(str(i).encode()).hexdigest()[:8] < r)
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int,
                       n_buckets: int = 16):
     """Deterministic per-stratum sample: the ``n`` rows of each stratum

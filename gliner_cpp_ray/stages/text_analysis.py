@@ -188,6 +188,93 @@ class LangId:
         )
 
 
+# PII patterns, applied in ORDER (email -> phone -> ip) on both the Ray
+# side and the SQL oracle; counts are computed on the ORIGINAL text so
+# they are order-independent.  Every pattern is plain RE2 (pyarrow and
+# DuckDB both compile RE2, so the classes and \b agree on all input).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text") -> pa.Table:
+    """PII redaction for web-scale training text: replace emails,
+    E.164-style phone numbers and IPv4 addresses with typed sentinel
+    tokens and count each category.  Fully vectorized (one RE2 count +
+    one RE2 replace per pattern, no Python per row); at 100 TB this is
+    a pure streaming map with zero shuffle."""
+    text = batch.column(text_col)
+    cols: dict = {id_col: batch.column(id_col)}
+    for name, pat, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.count_substring_regex(text, pat).cast(pa.int64())
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, repl)
+    cols["redacted"] = red
+    return pa.table(cols)
+
+
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals, as exact integers:
+    token count, distinct-token count, bigram count and the count of
+    the MOST FREQUENT bigram per document (boilerplate / spam pages
+    have high ``top_bigram_n / n_bigrams``).  Downstream filters divide;
+    integers keep the oracle comparison exact.
+
+    Vectorized: flatten the token lists once, factorize to int codes,
+    then numpy masks + pandas (C-level) groupbys — no Python per row.
+    Tokenization pinned to ``token_counts``'s SQL definition,
+    lowercased."""
+    trimmed = _re2_trim(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    n = batch.num_rows
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(flat.to_pandas(), sort=False)
+
+    n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+    n_tok[empty] = 0
+
+    df = pd.DataFrame({"doc": parents, "code": codes})
+    nd = df.groupby("doc", sort=False)["code"].nunique()
+    n_distinct = np.zeros(n, np.int64)
+    n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+    n_distinct[empty] = 0
+
+    # bigrams = consecutive flat positions with the same parent row
+    same = parents[1:] == parents[:-1]
+    bg_doc = parents[:-1][same]
+    n_bigram = np.bincount(bg_doc, minlength=n).astype(np.int64)
+    n_bigram[empty] = 0
+    top_bigram = np.zeros(n, np.int64)
+    if len(bg_doc):
+        bdf = pd.DataFrame(
+            {"doc": bg_doc, "a": codes[:-1][same], "b": codes[1:][same]}
+        )
+        top = (
+            bdf.groupby(["doc", "a", "b"], sort=False)
+            .size()
+            .groupby("doc", sort=False)
+            .max()
+        )
+        top_bigram[top.index.to_numpy()] = top.to_numpy()
+        top_bigram[empty] = 0
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "n_bigrams": pa.array(n_bigram),
+            "top_bigram_n": pa.array(top_bigram),
+        }
+    )
+
+
 def term_doc_frequency_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch document-frequency partial: (term, df) counting each
     term ONCE per document — the combinable first phase of a corpus DF

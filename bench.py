@@ -96,6 +96,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
         timed("simhash_pairs", q.q_simhash_pairs)
+        timed("ngram_contamination", q.q_ngram_contamination)
+        timed("pii_redact", q.q_pii_redact)
+        timed("repetition_stats", q.q_repetition_stats)
+        timed("dataset_mixture", q.q_dataset_mixture)
+        timed("sequence_packing", q.q_sequence_packing)
         timed("token_counts", q.q_token_counts)
         timed("lang_id", q.q_lang_id)
         timed("ann_topk", q.q_ann_topk)
@@ -111,6 +116,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_hourly", q.q_events_hourly)
         timed("events_asof_order", q.q_events_asof_order)
         timed("events_in_order_window", q.q_events_in_order_window)
+        timed("lineitem_europe_semi", q.q_lineitem_europe_semi)
         timed("lineitem_pricing", q.q_lineitem_pricing)
 
     result = {

@@ -840,6 +840,50 @@ def q_orders_by_nation(sf_dir: str):
     )
 
 
+def q_lineitem_europe_semi(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join: lineitems supplied by European
+    suppliers, counted per returnflag.  The 25-row region/nation dims
+    resolve driver-side; the supplier key set builds a distributed Bloom
+    bitmap (one fixed-size OR-aggregate) that drops non-matching
+    lineitems MAP-SIDE, and the surviving fraction is verified by an
+    exact bucketed join — at 100 TB the big side shuffles ~matching
+    fraction + FP rate instead of 100%."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import bloom_semi_join
+
+    region = pq.read_table(_sf_path(sf_dir, "region"))
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    rkeys = region.filter(
+        pc.equal(region.column("r_name"), "EUROPE")
+    ).column("r_regionkey").combine_chunks()
+    nkeys = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=rkeys)
+    ).column("n_nationkey").combine_chunks()
+
+    supp_keys = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t.filter(
+                    pc.is_in(t.column("s_nationkey"), value_set=nkeys)
+                ).column("s_suppkey")
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag", "l_orderkey"]
+    )
+    semi = bloom_semi_join(li, supp_keys, on="l_suppkey")
+    return semi.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_orderkey", alias_name="sum_orderkey"),
+    )
+
+
 def q_lineitem_pricing(sf_dir: str):
     """Q1-style grouped aggregate with predicate pushdown at the read."""
     import pyarrow.dataset as pads
@@ -919,6 +963,7 @@ def queries():
         "events_asof_order": q_events_asof_order,
         "events_in_order_window": q_events_in_order_window,
         "orders_by_nation": q_orders_by_nation,
+        "lineitem_europe_semi": q_lineitem_europe_semi,
         "lineitem_pricing": q_lineitem_pricing,
     }
 
@@ -1614,6 +1659,16 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT n.n_name AS nation, count(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "lineitem_europe_semi": (
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey "
+            "FROM lineitem WHERE l_suppkey IN ("
+            "SELECT s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE') "
+            "GROUP BY l_returnflag"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "

@@ -620,90 +620,103 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     contamination fraction used to decontaminate eval sets from
     training corpora.
 
-    Scale shape: both sides emit (gram_hash, doc) rows; the train side
-    is reduced to DISTINCT gram hashes (vocabulary-bounded — a per-batch
-    ``np.unique`` combiner then one groupby); the test side inner-joins
-    against it on the hash (bucketed shuffle join) and reduces to
-    per-doc counts.  No document text crosses the wire — only int64
-    hashes — and nothing corpus-proportional reaches the driver."""
+    Scale shape: ONE pass hashes each doc's gram set (emitting
+    (doc_id, gram_hash, train) int rows), materialized to the object
+    store so it is computed once and consumed by both sides — the gram
+    table is token-proportional and spillable; it never touches the
+    driver.  The train side reduces to DISTINCT gram hashes
+    (vocabulary-bounded); the test side LEFT-joins against it on the
+    hash (bucketed shuffle join), so one final groupby yields both the
+    per-doc gram total and the hit count.  Three shuffles total; no
+    document text crosses the wire — only int64 hashes."""
     import ray.data  # noqa: F401  (ensures Dataset API present)
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from gliner_cpp_ray.stages.joins import bucketed_hash_join
     from gliner_cpp_ray.stages.skew import split_threshold_hex
 
     th = split_threshold_hex(train_pct)
 
-    def emit_grams(t: pa.Table, want: str) -> pa.Table:
+    def emit_grams(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        out_doc, out_x = [], []
+        out_doc, out_x, out_tr = [], [], []
         for i, txt in zip(ids, texts):
             is_train = hashlib.md5(str(i).encode()).hexdigest()[:8] < th
-            if ("train" if is_train else "test") != want:
-                continue
             xs = ngram_hash_set(txt, n)
             out_doc.extend([int(i)] * len(xs))
             out_x.extend(int(v) for v in xs)
+            out_tr.extend([is_train] * len(xs))
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "x": pa.array(out_x, pa.int64()),
+                "train": pa.array(out_tr, pa.bool_()),
             }
         )
 
-    # distinct train gram hashes: per-batch sets are already distinct
-    # (ngram_hash_set returns unique values); one groupby dedupes across
-    # batches.  Vocabulary-bounded, never corpus-proportional.
+    grams = ds.map_batches(emit_grams, batch_format="pyarrow").materialize()
+
+    # distinct train gram hashes, carrying a hit marker for the left
+    # join: per-batch sets are already distinct (ngram_hash_set returns
+    # unique values); one groupby dedupes across batches.
+    # Vocabulary-bounded, never corpus-proportional.
     train_x = (
-        ds.map_batches(
-            lambda t: emit_grams(t, "train").select(["x"]),
+        grams.map_batches(
+            lambda t: t.filter(t.column("train")).select(["x"]),
             batch_format="pyarrow",
         )
         .groupby("x")
         .aggregate(Count(alias_name="__n"))
-        .select_columns(["x"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t.column("x"),
+                    "hit": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # vocabulary-bounded; materialized so the join's schema() probe
+        # doesn't re-execute the whole distinct aggregate a second time
+        .materialize()
     )
 
-    test_grams = ds.map_batches(
-        lambda t: emit_grams(t, "test"), batch_format="pyarrow"
+    test_grams = grams.map_batches(
+        lambda t: t.filter(pc.invert(t.column("train"))).select(
+            ["doc_id", "x"]
+        ),
+        batch_format="pyarrow",
     )
 
-    # per-test-doc totals (each doc's gram set is computed within one
-    # batch, so this needs no shuffle)
-    def per_doc_counts(t: pa.Table) -> pa.Table:
-        g = emit_grams(t, "test")
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(ids, return_counts=True)
+    marked = bucketed_hash_join(
+        test_grams, train_x, on="x", n_buckets=n_buckets, how="left"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "hit": pc.fill_null(t.column("hit"), 0).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    out = marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_grams"),
+        Sum("hit", alias_name="n_contaminated"),
+    )
+
+    def cast_int(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(uniq, pa.int64()),
-                "n_grams": pa.array(counts.astype(np.int64)),
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams").cast(pa.int64()),
+                "n_contaminated": t.column("n_contaminated").cast(pa.int64()),
             }
         )
 
-    totals = ds.map_batches(per_doc_counts, batch_format="pyarrow")
-
-    contaminated = (
-        bucketed_hash_join(test_grams, train_x, on="x", n_buckets=n_buckets)
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_contaminated"))
-    )
-
-    joined = bucketed_hash_join(
-        totals, contaminated, on="doc_id", n_buckets=n_buckets, how="left"
-    )
-
-    def fill_zero(t: pa.Table) -> pa.Table:
-        c = t.column("n_contaminated")
-        return t.set_column(
-            t.schema.get_field_index("n_contaminated"),
-            "n_contaminated",
-            pc.fill_null(c, 0).cast(pa.int64()),
-        )
-
-    return joined.map_batches(fill_zero, batch_format="pyarrow")
+    return out.map_batches(cast_int, batch_format="pyarrow")
 
 
 # --- SimHash -------------------------------------------------------------

@@ -324,3 +324,132 @@ def broadcast_anti_join(ds, keys, key: str):
         )
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# --- Bloom-prefiltered semi join ------------------------------------------
+#
+# The scale path between the two semi-join extremes: when the right key
+# set is too big to broadcast exactly (broadcast_semi_join) but the left
+# side is so much bigger that shuffling it all into a bucketed join is
+# wasteful.  A Bloom filter of the right keys is built distributively
+# (fixed-size bitmap partials OR-merged by one global aggregate — the
+# accumulator is n_bits/8 bytes regardless of corpus size), broadcast
+# once via ray.put, and applied map-side: rows whose key is definitely
+# absent never enter the shuffle.  Possible false positives are removed
+# by an exact bucketed join of the (small) surviving fraction, so the
+# result is EXACT — the bloom only cuts shuffle volume.
+#
+# The same structure extends to anti join: bloom-negative rows are
+# definite keeps that bypass the shuffle; only bloom-positive rows need
+# the exact anti check.
+
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+
+
+def _key_hash_u64(col) -> np.ndarray:
+    """Stable full-width u64 hash of a key column: splitmix64 finalizer
+    for integers (public-domain mixing constants), the process-stable
+    pandas hash otherwise — same family ``add_bucket`` uses."""
+    with np.errstate(over="ignore"):
+        if pa.types.is_integer(col.type):
+            z = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_1
+            z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_2
+            return z ^ (z >> np.uint64(31))
+        return pd.util.hash_pandas_object(
+            col.to_pandas(), index=False
+        ).to_numpy().astype(np.uint64)
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, n_hashes: int):
+    """Double hashing: pos_i = (h1 + i·h2) mod n_bits, h2 forced odd so
+    the probe sequence covers the table for power-of-two n_bits."""
+    nb = np.uint64(n_bits)
+    h1 = h % nb
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)) % nb
+    with np.errstate(over="ignore"):
+        for i in range(n_hashes):
+            yield (h1 + np.uint64(i) * h2) % nb
+
+
+def _bloom_set(bits: np.ndarray, keys_col, n_hashes: int) -> np.ndarray:
+    h = _key_hash_u64(keys_col)
+    n_bits = len(bits) * 8
+    for pos in _bloom_positions(h, n_bits, n_hashes):
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+    return bits
+
+
+def _bloom_member(bits: np.ndarray, keys_col, n_hashes: int) -> np.ndarray:
+    h = _key_hash_u64(keys_col)
+    n_bits = len(bits) * 8
+    member = np.ones(len(h), bool)
+    for pos in _bloom_positions(h, n_bits, n_hashes):
+        mask = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
+        member &= (bits[(pos >> np.uint64(3)).astype(np.int64)] & mask) != 0
+    return member
+
+
+def build_bloom(keys_ds, key: str, n_bits: int = 1 << 23,
+                n_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom build: one global AggregateFn whose accumulator
+    is the fixed-size bitmap — per-block OR accumulation, tree OR merge.
+    Data movement is O(tasks · n_bits/8) bitmap bytes, never key rows."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(bits: np.ndarray, block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return _bloom_set(bits.copy(), t.column(key), n_hashes)
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(n_bits // 8, np.uint8),
+        merge=lambda a, b: a | b,
+        accumulate_block=acc_block,
+        name="bloom",
+    )
+    return keys_ds.aggregate(agg)["bloom"]
+
+
+def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
+                    n_hashes: int = 4, n_buckets: int | None = None):
+    """EXACT semi join with a Bloom map-side prefilter: keep the left
+    rows whose key appears in ``right``.  Returns left columns only.
+
+    1. bloom = distributed OR-aggregate over right keys (bitmap
+       broadcast once via ``ray.put``);
+    2. left rows failing the bloom test are dropped map-side (zero
+       shuffle for them);
+    3. survivors (true matches + bloom false positives) are verified by
+       an exact bucketed join against the DISTINCT right keys.
+
+    At a 1% false-positive rate (n_bits ≈ 10 bits/key) a 100 TB left
+    side joining a 1%-selectivity right key set shuffles ~2% of its
+    rows instead of 100%."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    bits = build_bloom(right, on, n_bits=n_bits, n_hashes=n_hashes)
+    bits_ref = ray.put(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)  # zero-copy plasma read, once per task
+        return t.filter(pa.array(_bloom_member(b, t.column(on), n_hashes)))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    distinct_keys = (
+        right.groupby(on)
+        .aggregate(Count(alias_name="__n"))
+        .select_columns([on])
+        .materialize()  # key-cardinality bounded; avoids schema re-execution
+    )
+    return bucketed_hash_join(
+        survivors, distinct_keys, on=on, n_buckets=n_buckets, how="inner"
+    )

@@ -269,3 +269,60 @@ def test_bucketed_join_on_string_key(ray_session):
     pd.testing.assert_frame_equal(
         _sorted(got, cols), _sorted(want, cols), check_dtype=False
     )
+
+
+# --- Bloom-prefiltered semi join -----------------------------------------
+
+def test_bloom_kernel_roundtrip():
+    from gliner_cpp_ray.stages.joins import _bloom_member, _bloom_set
+
+    keys = pa.chunked_array([pa.array(np.arange(0, 1000, 3, dtype=np.int64))])
+    bits = _bloom_set(np.zeros(1 << 14, np.uint8), keys, n_hashes=4)
+    # every inserted key is a member (no false negatives, ever)
+    assert _bloom_member(bits, keys, 4).all()
+    # at 131072 bits / 334 keys the FP rate on absent keys is tiny
+    absent = pa.chunked_array([pa.array(np.arange(1, 1000, 3, dtype=np.int64))])
+    assert _bloom_member(bits, absent, 4).mean() < 0.05
+
+
+def test_bloom_semi_join_exact_despite_false_positives(ray_session):
+    """With a deliberately tiny bitmap (massive FP rate) the result must
+    STILL equal the exact semi join — the bloom is only a prefilter."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 2000), "v": rng.integers(0, 99, 2000)}
+    )
+    right_keys = rng.choice(500, 40, replace=False).astype(np.int64)
+    right = pd.DataFrame({"k": np.repeat(right_keys, 2)})  # dup right keys
+
+    got = bloom_semi_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+        n_bits=64,  # 64 bits for 40 keys: nearly every probe collides
+        n_buckets=4,
+    ).to_pandas()
+    want = left[left["k"].isin(right_keys)]
+    key = lambda d: sorted(map(tuple, d[["k", "v"]].to_numpy()))
+    assert key(got) == key(want)
+    # dup right keys must not duplicate left rows (semi, not inner)
+    assert len(got) == len(want)
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bloom_semi_join
+
+    left = pd.DataFrame(
+        {"k": ["en", "de", "fr", "zh", "en", "es"], "v": range(6)}
+    )
+    right = pd.DataFrame({"k": ["en", "zh"]})
+    got = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=2
+    ).to_pandas()
+    assert sorted(got["v"]) == [0, 3, 4]

@@ -305,6 +305,16 @@ def q_sequence_packing(sf_dir: str):
     return pack_sequences(counts, budget=512)
 
 
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global training shuffle: every doc's rank under
+    the md5 hash order, as an explicit (doc_id, pos) artifact — uniform,
+    run/cluster-size invariant, resumable mid-epoch."""
+    from gliner_cpp_ray.stages.packing import global_shuffle_positions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return global_shuffle_positions(ds)
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vectors(sf_dir: str, n: int = 8):
@@ -940,6 +950,7 @@ def queries():
         "repetition_stats": q_repetition_stats,
         "dataset_mixture": q_dataset_mixture,
         "sequence_packing": q_sequence_packing,
+        "global_shuffle": q_global_shuffle,
         "media_byte_stats": q_media_byte_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1479,6 +1490,14 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM lst LEFT JOIN tb USING (doc_id)"
         ),
         "dataset_mixture": _mixture_sql(),
+        "global_shuffle": (
+            # the 16-hex-digit prefix compared as a fixed-width string ==
+            # the u64 numeric compare the Ray side does; doc_id breaks
+            # (negligible-probability) hash ties identically on both sides
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id"
+            ") - 1 AS BIGINT) AS pos FROM documents"
+        ),
         "sequence_packing": (
             f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
             "tc AS (SELECT doc_id, CASE WHEN t = '' THEN 0 ELSE "

@@ -97,3 +97,77 @@ def pack_sequences(counts_ds, budget: int = 512, id_col: str = "doc_id",
     return bucketed.groupby("__bucket").map_groups(
         finish, batch_format="pandas"
     )
+
+
+def global_shuffle_positions(ds, id_col: str = "doc_id",
+                             n_buckets: int | None = None):
+    """Deterministic global shuffle for training-data ordering:
+    Dataset(id, ...) -> Dataset(id, ..., pos) where ``pos`` is the row's
+    rank under the order ``(md5(str(id))[:16] as u64, id)``.
+
+    A training pipeline wants the corpus in a pseudorandom order that is
+    (a) uniform, (b) identical across runs / partitionings / cluster
+    sizes, and (c) resumable mid-epoch — properties
+    ``Dataset.random_shuffle`` does not give.  Hash-rank order gives all
+    three, and the explicit ``pos`` column makes the order a checkable
+    artifact (``ORDER BY substr(md5(id),1,16), id`` in SQL) rather than
+    a side effect.
+
+    Rank is the same two-level scan as ``pack_sequences``, keyed on the
+    hash instead of the id: the top ``k`` hash bits range-partition rows
+    into order-preserving buckets, one small groupby counts each bucket
+    (n_buckets rows to the driver, never corpus rows), the driver's
+    exclusive scan yields per-bucket offsets, and each bucket sorts
+    locally and adds its offset.  One shuffle; the corpus-proportional
+    intermediate lives in the (spillable) object store — inherent to any
+    global shuffle — while the driver holds one int per bucket."""
+    if n_buckets is None:
+        n_buckets = max(8, 10 * cluster_cpus())
+    k = max(3, int(np.ceil(np.log2(n_buckets))))
+    shift = np.uint64(64 - k)
+
+    import hashlib
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+                for i in ids
+            ),
+            np.uint64,
+            len(ids),
+        )
+        return t.append_column(
+            "__h", pa.array(h, pa.uint64())
+        ).append_column("__bucket", pa.array((h >> shift).astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        hashed.groupby("__bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # ONE row per hash-range bucket
+        .sort_values("__bucket")
+    )
+    offsets = dict(
+        zip(
+            counts["__bucket"].astype(np.int64),
+            np.concatenate(
+                [[0], counts["n"].to_numpy(np.int64).cumsum()[:-1]]
+            ),
+        )
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col])
+        out = g.drop(columns=["__h", "__bucket"]).copy()
+        base = int(offsets[int(g["__bucket"].iloc[0])])
+        out["pos"] = np.arange(base, base + len(g), dtype=np.int64)
+        return out
+
+    return hashed.groupby("__bucket").map_groups(
+        finish, batch_format="pandas"
+    )

@@ -212,3 +212,37 @@ def test_pack_sequences_sparse_ids(ray_session):
     )
     # sorted-id order: 5,7,42,1000,99999 -> prior sums 0,60,120,180,240
     assert out["pack_id"].tolist() == [0, 0, 1, 1, 2]
+
+
+def test_global_shuffle_positions(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.packing import global_shuffle_positions
+
+    n = 200
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "v": np.arange(n) * 7})
+    out1 = (
+        global_shuffle_positions(rd.from_pandas(df).repartition(4), n_buckets=9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # expected rank from the same hash order, computed directly
+    order = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:16], i),
+    )
+    exp_pos = np.empty(n, np.int64)
+    exp_pos[order] = np.arange(n)
+    assert out1["pos"].tolist() == exp_pos.tolist()
+    assert out1["v"].tolist() == (out1["doc_id"] * 7).tolist()  # payload carried
+    # partitioning-invariant
+    out2 = (
+        global_shuffle_positions(rd.from_pandas(df).repartition(11), n_buckets=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["pos"].tolist() == out1["pos"].tolist()
+    # a permutation: every position exactly once
+    assert sorted(out1["pos"]) == list(range(n))

@@ -850,6 +850,20 @@ def q_orders_by_nation(sf_dir: str):
     )
 
 
+def q_top_orders_per_status(sf_dir: str):
+    """Per-group top-k by value: the 3 highest-price orders per order
+    status (deterministic id tie-break).  Per-batch combiner bounds the
+    shuffle at tasks × groups × k rows."""
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderkey", "o_totalprice"]
+    )
+    return grouped_top_k(
+        ds, "o_orderstatus", "o_totalprice", "o_orderkey", k=3
+    )
+
+
 def q_lineitem_europe_semi(sf_dir: str):
     """Bloom-prefiltered EXACT semi join: lineitems supplied by European
     suppliers, counted per returnflag.  The 25-row region/nation dims
@@ -974,6 +988,7 @@ def queries():
         "events_asof_order": q_events_asof_order,
         "events_in_order_window": q_events_in_order_window,
         "orders_by_nation": q_orders_by_nation,
+        "top_orders_per_status": q_top_orders_per_status,
         "lineitem_europe_semi": q_lineitem_europe_semi,
         "lineitem_pricing": q_lineitem_pricing,
     }
@@ -1678,6 +1693,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT n.n_name AS nation, count(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "top_orders_per_status": (
+            "SELECT o_orderstatus, o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn <= 3"
         ),
         "lineitem_europe_semi": (
             "SELECT l_returnflag, count(*) AS n_items, "

@@ -114,6 +114,52 @@ def dataset_mixture(ds, id_col: str, source_col: str, rates: dict[str, int],
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_top_k(ds, group_col: str, order_col: str, id_col: str, k: int,
+                  descending: bool = True, n_buckets: int | None = None):
+    """Per-group top-k rows by VALUE (vs ``stratified_sample``'s
+    hash-rank sample): the ``k`` rows of each group with the largest
+    (or smallest) ``order_col``, ties broken by ascending ``id_col`` so
+    the result is deterministic and SQL-replicable
+    (``row_number() OVER (PARTITION BY g ORDER BY v DESC, id)``).
+
+    Movement: a per-batch top-k combiner bounds the shuffle at
+    tasks × groups × k rows regardless of corpus size; the shuffle
+    groups by a hash bucket of the group key (whole groups co-locate)
+    and one vectorized pandas pass takes the final k per group."""
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    asc = [True, not descending, True]
+    by = [group_col, order_col, id_col]
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=asc)
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def combiner(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(top(t.to_pandas()), preserve_index=False)
+
+    def take_k(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            top(g).drop(columns="__bucket"), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .repartition(max(n_buckets, 8))
+        .map_batches(
+            lambda df: add_key_bucket(df, [group_col], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(take_k, batch_format="pandas")
+    )
+
+
 def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int,
                       n_buckets: int = 16):
     """Deterministic per-stratum sample: the ``n`` rows of each stratum

@@ -326,3 +326,37 @@ def test_bloom_semi_join_string_keys(ray_session):
         rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=2
     ).to_pandas()
     assert sorted(got["v"]) == [0, 3, 4]
+
+
+def test_grouped_top_k(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(0, 50, 500),  # many value ties
+            "id": np.arange(500, dtype=np.int64),
+        }
+    )
+    got = grouped_top_k(
+        rd.from_pandas(df).repartition(7), "g", "v", "id", k=4, n_buckets=4
+    ).to_pandas()
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(4)
+    )
+    key = lambda d: sorted(map(tuple, d[["g", "v", "id"]].to_numpy()))
+    assert key(got) == key(want)
+    # ascending variant
+    got_min = grouped_top_k(
+        rd.from_pandas(df).repartition(3), "g", "v", "id", k=2,
+        descending=False, n_buckets=4,
+    ).to_pandas()
+    want_min = (
+        df.sort_values(["g", "v", "id"]).groupby("g", sort=False).head(2)
+    )
+    assert key(got_min) == key(want_min)

@@ -840,7 +840,16 @@ def q_orders_by_nation(sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow",
     )
-    joined = bucketed_hash_join(per_cust, cust, on="o_custkey")
+    # per_cust ends in an aggregate: pass its (known) schema so the
+    # join's schema probe doesn't execute the whole shuffle twice
+    joined = bucketed_hash_join(
+        per_cust,
+        cust,
+        on="o_custkey",
+        left_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("n", pa.int64())]
+        ),
+    )
     with_nation = broadcast_lookup_join(
         joined, nation_of, key="c_nationkey", out_col="nation"
     )

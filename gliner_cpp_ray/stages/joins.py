@@ -68,33 +68,50 @@ def _as_arrow_type(t) -> pa.DataType:
 
 
 def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
-                       how: str = "inner", suffix: str = "_r"):
+                       how: str = "inner", suffix: str = "_r",
+                       left_schema: pa.Schema | None = None,
+                       right_schema: pa.Schema | None = None):
     """Partitioned hash join of two Datasets on a key column (integer
     fast path; string/other types bucket via the process-stable pandas
     hash).
 
     ``how`` in {"inner", "left"}.  Right-side columns that collide with
     left names (other than ``on``) are renamed with ``suffix`` first.
+
+    ``left_schema`` / ``right_schema``: optional explicit Arrow schemas.
+    Pass them when a side's schema is statically known and its plan ends
+    in a shuffle (groupby/aggregate/sort): ``Dataset.schema()`` on such
+    a plan EXECUTES the whole shuffle just to learn the schema, and the
+    join then executes it again — a silent 2× on that input.  (Inputs
+    that are reads/maps only pay a cheap limit-1 probe; materialized
+    inputs are free.)
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     n_buckets = default_buckets(n_buckets)
-    lschema = left.schema()  # ray.data.Schema: .names + .types
-    rschema = right.schema()
-    lcols = list(lschema.names)
-    ltypes = {n: _as_arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rename = {
-        c: c + suffix for c in rschema.names if c != on and c in set(lcols)
-    }
+
+    def names_types(ds, explicit):
+        if explicit is not None:
+            return list(explicit.names), {
+                f.name: f.type for f in explicit
+            }
+        s = ds.schema()  # ray.data.Schema: .names + .types
+        return list(s.names), {
+            n: _as_arrow_type(t) for n, t in zip(s.names, s.types)
+        }
+
+    lcols, ltypes = names_types(left, left_schema)
+    rnames, rtypes = names_types(right, right_schema)
+    rename = {c: c + suffix for c in rnames if c != on and c in set(lcols)}
     if rename:
         # portable rename (Dataset.rename_columns trips on pandas blocks)
         right = right.map_batches(
             lambda t: t.rename_columns([rename.get(c, c) for c in t.schema.names]),
             batch_format="pyarrow",
         )
-        rschema = right.schema()
-    rtypes = {n: _as_arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
-    rcols = [c for c in rschema.names if c != on]
+        rnames = [rename.get(c, c) for c in rnames]
+        rtypes = {rename.get(c, c): t for c, t in rtypes.items()}
+    rcols = [c for c in rnames if c != on]
 
     # common schema: on + left columns + right columns (+ side marker)
     def pad(side_cols, schema_types):

@@ -658,6 +658,20 @@ def q_order_price_quantiles(sf_dir: str):
     )
 
 
+def q_price_quantiles_by_status(sf_dir: str):
+    """Per-GROUP approximate quantiles: p50/p90/p99 bin of
+    ``o_totalprice`` per order status.  Combinable (group, bin, n)
+    partials, one group-bucket shuffle, vectorized per-bucket reduce —
+    nothing reaches the driver."""
+    from gliner_cpp_ray.stages.sketches import grouped_histogram_quantile_bins
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    return grouped_histogram_quantile_bins(
+        ds, "o_orderstatus", "o_totalprice", lo=0.0, hi=512_000.0,
+        n_bins=64, q_pcts=(50, 90, 99),
+    )
+
+
 _KMV_K = 64
 
 
@@ -990,6 +1004,7 @@ def queries():
         "events_by_type_salted": q_events_by_type_salted,
         "docs_sample_by_lang": q_docs_sample_by_lang,
         "order_price_quantiles": q_order_price_quantiles,
+        "price_quantiles_by_status": q_price_quantiles_by_status,
         "term_doc_frequency": q_term_doc_frequency,
         "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
@@ -1639,6 +1654,21 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "(q.q_pct * (SELECT total FROM t) + 99) // 100) AS bin, "
             "(SELECT total FROM t) AS total "
             "FROM (VALUES (50), (90), (99)) AS q(q_pct)"
+        ),
+        "price_quantiles_by_status": (
+            "WITH b AS (SELECT o_orderstatus AS g, "
+            "CAST(least(greatest(floor(o_totalprice / 8000.0), 0), 63) "
+            "AS BIGINT) AS bin FROM orders), "
+            "c AS (SELECT g, bin, count(*) AS n FROM b GROUP BY g, bin), "
+            "cum AS (SELECT g, bin, "
+            "sum(n) OVER (PARTITION BY g ORDER BY bin) AS cn, "
+            "sum(n) OVER (PARTITION BY g) AS total FROM c) "
+            "SELECT g AS o_orderstatus, CAST(q.q_pct AS BIGINT) AS q_pct, "
+            "CAST(min(bin) AS BIGINT) AS bin, "
+            "CAST(min(total) AS BIGINT) AS total "
+            "FROM cum CROSS JOIN (VALUES (50), (90), (99)) AS q(q_pct) "
+            "WHERE cn >= (q.q_pct * total + 99) // 100 "
+            "GROUP BY g, q.q_pct"
         ),
         "docs_sample_by_lang": (
             "SELECT lang, doc_id FROM ("

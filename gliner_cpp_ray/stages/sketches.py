@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -147,3 +149,100 @@ def histogram_quantile_bins(ds, col: str, lo: float, hi: float,
     return pd.DataFrame(
         {"q_pct": out_q, "bin": out_bin, "total": [total] * len(out_q)}
     ).astype("int64")
+
+
+class GroupedHistogramPartial:
+    """Per-batch (group, bin, count) histogram partial — the combinable
+    first phase of grouped quantiles.  ≤ groups_in_batch × n_bins rows
+    per task, never row-proportional."""
+
+    def __init__(self, group_col: str, col: str, lo: float, hi: float,
+                 n_bins: int):
+        self.group_col, self.col = group_col, col
+        self.lo, self.n_bins = lo, n_bins
+        self.w = (hi - lo) / n_bins
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        v = t.column(self.col).to_numpy(zero_copy_only=False).astype(float)
+        bins = np.clip(
+            np.floor((v - self.lo) / self.w), 0, self.n_bins - 1
+        ).astype("int64")
+        df = pd.DataFrame(
+            {self.group_col: t.column(self.group_col).to_pandas(), "bin": bins}
+        )
+        c = (
+            df.groupby([self.group_col, "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        c["n"] = c["n"].astype("int64")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+
+def grouped_histogram_quantile_bins(ds, group_col: str, col: str, lo: float,
+                                    hi: float, n_bins: int = 64,
+                                    q_pcts=(50, 90, 99),
+                                    n_buckets: int | None = None):
+    """Per-GROUP approximate quantiles as bin indices: for each group
+    and each q, the smallest bin whose within-group cumulative count
+    reaches ``ceil(q% · group_total)``.
+
+    Distributed shape: combinable per-batch (group, bin, n) partials,
+    ONE shuffle on a hash bucket of the group key (whole groups
+    co-locate; partial volume is tasks × groups × n_bins, never rows),
+    then one vectorized pandas reduce per bucket — cumsum + threshold
+    scan across all of the bucket's groups at once, no per-group Python.
+    Nothing reaches the driver; output is groups × |q_pcts| rows."""
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    qs = sorted(int(q) for q in q_pcts)
+
+    partial = ds.map_batches(
+        GroupedHistogramPartial(group_col, col, lo, hi, n_bins),
+        batch_format="pyarrow",
+    )
+
+    def reduce(bdf: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bdf.groupby([group_col, "bin"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        c["cum"] = c.groupby(group_col, sort=False)["n"].cumsum()
+        totals = c.groupby(group_col, sort=False)["n"].sum()
+        frames = []
+        for q in qs:  # |q_pcts| iterations, each vectorized over groups
+            need = ((q * totals + 99) // 100).rename("need")
+            m = c.merge(need, left_on=group_col, right_index=True)
+            sel = (
+                m[m["cum"] >= m["need"]]
+                .groupby(group_col, sort=False)
+                .first()  # rows are bin-sorted: first == smallest bin
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        group_col: sel.index,
+                        "q_pct": np.int64(q),
+                        "bin": sel["bin"].astype("int64").to_numpy(),
+                        "total": totals.loc[sel.index]
+                        .astype("int64")
+                        .to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        partial.map_batches(
+            lambda df: add_key_bucket(df, [group_col], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

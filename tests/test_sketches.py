@@ -85,3 +85,36 @@ def test_histogram_quantile_bins_empty_input(ray_session):
     )
     assert out["bin"].tolist() == [-1, -1, -1]
     assert out["total"].tolist() == [0, 0, 0]
+
+
+def test_grouped_histogram_quantiles(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import grouped_histogram_quantile_bins
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 3000),
+            "v": rng.uniform(0, 100, 3000),
+        }
+    )
+    out = grouped_histogram_quantile_bins(
+        rd.from_pandas(df).repartition(6), "g", "v", lo=0.0, hi=100.0,
+        n_bins=10, q_pcts=(50, 90), n_buckets=4,
+    ).to_pandas()
+    # exact replication: per group, smallest bin whose cumcount reaches
+    # ceil(q% of the group total)
+    for (g, q), row in out.set_index(["g", "q_pct"]).iterrows():
+        vals = df.loc[df["g"] == g, "v"]
+        bins = np.clip(np.floor(vals / 10.0), 0, 9).astype(int)
+        counts = np.bincount(bins, minlength=10)
+        total = counts.sum()
+        need = (q * total + 99) // 100
+        exp_bin = int(np.argmax(counts.cumsum() >= need))
+        assert row["bin"] == exp_bin, (g, q)
+        assert row["total"] == total
+    assert len(out) == 6  # 3 groups x 2 quantiles
+    # uniform data: p50 lands mid-range, p90 high
+    assert set(out.loc[out["q_pct"] == 50, "bin"]) <= {4, 5}
+    assert set(out.loc[out["q_pct"] == 90, "bin"]) <= {8, 9}

@@ -510,30 +510,33 @@ class _PairSetEmitter:
         )
 
 
-def _pair_exact_jaccard(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """One candidate pair per group (two side rows): exact Jaccard of
-    the two hashed n-gram sets."""
-    empty = pd.DataFrame(
-        {
-            "a": pd.Series(dtype="int64"),
-            "b": pd.Series(dtype="int64"),
-            "jaccard": pd.Series(dtype="float64"),
-        }
-    )
-    sides = dict(zip(g["side"], g["set"]))
-    if 0 not in sides or 1 not in sides:
-        return empty
-    sa = np.frombuffer(sides[0], dtype=np.int64)
-    sb = np.frombuffer(sides[1], dtype=np.int64)
-    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-    j = inter / (len(sa) + len(sb) - inter)
-    if j < threshold:
-        return empty
+def _pair_bucket_jaccard(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact Jaccard for ALL candidate pairs in one hash bucket —
+    one Ray group per bucket, not per pair (a per-pair ``map_groups``
+    pays Ray's group overhead on every candidate; bucketing amortizes
+    it the way ``reduce_edge_bucket`` does for KG edges).  The per-pair
+    ``np.intersect1d`` over the two compact int64 sets is the inherent
+    unit of work."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for (a, b), pg in g.groupby(["a", "b"], sort=False):
+        sides = dict(zip(pg["side"], pg["set"]))
+        if 0 not in sides or 1 not in sides:
+            continue
+        sa = np.frombuffer(sides[0], dtype=np.int64)
+        sb = np.frombuffer(sides[1], dtype=np.int64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(j)
     return pd.DataFrame(
         {
-            "a": g["a"].iloc[:1].astype("int64"),
-            "b": g["b"].iloc[:1].astype("int64"),
-            "jaccard": pd.Series([j], dtype="float64"),
+            "a": pd.Series(out_a, dtype="int64"),
+            "b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64"),
         }
     )
 
@@ -600,8 +603,23 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
         _PairSetEmitter(membership, n=n, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
-    return emitted.groupby(["a", "b"]).map_groups(
-        lambda g: _pair_exact_jaccard(g, threshold), batch_format="pandas"
+
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
+    return (
+        emitted.map_batches(
+            lambda df: add_key_bucket(df, ["a", "b"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _pair_bucket_jaccard(
+                g.drop(columns="__bucket"), threshold
+            ),
+            batch_format="pandas",
+        )
     )
 
 

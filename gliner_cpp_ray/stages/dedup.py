@@ -251,29 +251,41 @@ class MinHashSigner:
 
 
 def bucket_candidate_pairs(g: pd.DataFrame, cap: int = 64) -> pd.DataFrame:
-    """Per (band_id, band_key) group: emit candidate doc pairs with their
-    signatures.  Buckets larger than ``cap`` docs are near-identical
-    floods (e.g. empty docs); pair them against the minimum id only,
-    keeping output linear."""
-    docs = g.drop_duplicates("doc_id").sort_values("doc_id")
-    n = len(docs)
-    if n < 2:
-        return pd.DataFrame(
-            {"a": [], "b": [], "sig_a": [], "sig_b": []}
-        ).astype({"a": "int64", "b": "int64"})
-    ids = docs["doc_id"].to_numpy()
-    sigs = docs["signature"].to_numpy()
-    pairs_a, pairs_b, sa, sb = [], [], [], []
-    if n > cap:
-        for j in range(1, n):
-            pairs_a.append(ids[0]); pairs_b.append(ids[j])
-            sa.append(sigs[0]); sb.append(sigs[j])
-    else:
-        for x in range(n):
-            for y in range(x + 1, n):
-                pairs_a.append(ids[x]); pairs_b.append(ids[y])
-                sa.append(sigs[x]); sb.append(sigs[y])
-    return pd.DataFrame({"a": pairs_a, "b": pairs_b, "sig_a": sa, "sig_b": sb})
+    """ALL (band_id, band_key) collision groups in one hash bucket:
+    emit candidate doc pairs with their signatures.  One Ray group per
+    BUCKET, not per collision key — collided buckets are mostly 2-3
+    docs, so per-group pandas/Arrow churn would otherwise scale with
+    dup count (the ``reduce_edge_bucket`` amortization).  Buckets larger
+    than ``cap`` docs are near-identical floods (e.g. empty docs); pair
+    them against the minimum id only, keeping output linear."""
+    pairs_a: list = []
+    pairs_b: list = []
+    sa: list = []
+    sb: list = []
+    for _, pg in g.groupby(["band_id", "band_key"], sort=False):
+        docs = pg.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(docs)
+        if n < 2:
+            continue
+        ids = docs["doc_id"].to_numpy()
+        sigs = docs["signature"].to_numpy()
+        if n > cap:
+            for j in range(1, n):
+                pairs_a.append(ids[0]); pairs_b.append(ids[j])
+                sa.append(sigs[0]); sb.append(sigs[j])
+        else:
+            for x in range(n):
+                for y in range(x + 1, n):
+                    pairs_a.append(ids[x]); pairs_b.append(ids[y])
+                    sa.append(sigs[x]); sb.append(sigs[y])
+    return pd.DataFrame(
+        {
+            "a": pd.Series(pairs_a, dtype="int64"),
+            "b": pd.Series(pairs_b, dtype="int64"),
+            "sig_a": sa,
+            "sig_b": sb,
+        }
+    )
 
 
 def verify_pairs(batch: pa.Table, threshold: float = 0.8, num_perm: int = 64) -> pa.Table:
@@ -383,10 +395,21 @@ def _lsh_candidates(sigs):
     # density-bounded) ships once per worker through the object store;
     # an actor pool here paid 1-2 s of spin-up per query for state that
     # builds in microseconds (see SCALE.md "tasks vs actor pools")
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
     return (
         sigs.map_batches(_HotBucketFilter(hot_by_band), batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_candidate_pairs, batch_format="pandas")
+        .map_batches(
+            lambda df: add_key_bucket(df, ["band_id", "band_key"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: bucket_candidate_pairs(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
     )
 
 
@@ -818,22 +841,31 @@ def hamming64(a: int, b: int) -> int:
 
 
 def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    """Pairs within one (band, key) bucket with Hamming <= max_hamming."""
-    g = g.drop_duplicates("doc_id")
-    if len(g) < 2:
+    """Pairs with Hamming <= max_hamming, for ALL (band, key) collision
+    groups in one hash bucket — one Ray group per bucket, not per
+    collision key (the ``reduce_edge_bucket`` amortization)."""
+    out_a: list = []
+    out_b: list = []
+    for _, pg in g.groupby(["band", "key"], sort=False):
+        pg = pg.drop_duplicates("doc_id")
+        if len(pg) < 2:
+            continue
+        ids = pg["doc_id"].to_numpy()
+        # undo the int64 bit view (XOR/popcount are bit ops; view is exact)
+        hs = pg["simhash"].to_numpy(np.int64).view(np.uint64)
+        xor = hs[:, None] ^ hs[None, :]
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2
+        ).sum(axis=2)
+        ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        out_a.append(np.minimum(ids[ii], ids[jj]).astype(np.int64))
+        out_b.append(np.maximum(ids[ii], ids[jj]).astype(np.int64))
+    if not out_a:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
-    ids = g["doc_id"].to_numpy()
-    # undo the int64 bit view (XOR/popcount are bit ops; view is exact)
-    hs = g["simhash"].to_numpy(np.int64).view(np.uint64)
-    xor = hs[:, None] ^ hs[None, :]
-    ham = np.unpackbits(
-        xor.view(np.uint8).reshape(len(hs), len(hs), 8), axis=2
-    ).sum(axis=2)
-    ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
-    a = np.minimum(ids[ii], ids[jj]).astype(np.int64)
-    b = np.maximum(ids[ii], ids[jj]).astype(np.int64)
-    return pd.DataFrame({"a": a, "b": b})
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    )
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",

@@ -893,11 +893,19 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             )
         return pa.concat_tables(parts)
 
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .map_batches(
+            lambda df: add_key_bucket(df, ["band", "key"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
         .map_groups(
-            lambda g: _simhash_bucket_pairs(g, max_hamming),
+            lambda g: _simhash_bucket_pairs(g.drop(columns="__bucket"), max_hamming),
             batch_format="pandas",
         )
     )

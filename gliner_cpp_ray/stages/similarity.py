@@ -294,18 +294,29 @@ class LshBandExploder:
 
 def _bucket_pairs(g: pd.DataFrame, threshold: float, id_col: str,
                   col: str) -> pd.DataFrame:
-    """All-pairs cosine within one (band, key) bucket; emits a < b."""
-    g = g.drop_duplicates(id_col)
-    if len(g) < 2:
+    """All-pairs cosine for ALL (band, key) collision groups in one hash
+    bucket; emits a < b.  One Ray group per BUCKET, not per collision
+    key — collided buckets are mostly 2-3 vectors, so per-group
+    pandas/Arrow churn would otherwise scale with dup count (the
+    ``reduce_edge_bucket`` amortization)."""
+    out_a: list = []
+    out_b: list = []
+    for _, pg in g.groupby(["band", "key"], sort=False):
+        pg = pg.drop_duplicates(id_col)
+        if len(pg) < 2:
+            continue
+        ids = pg[id_col].to_numpy()
+        m = _normalize(np.stack(pg[col].to_numpy()))
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+        out_a.append(np.minimum(ids[ii], ids[jj]).astype(np.int64))
+        out_b.append(np.maximum(ids[ii], ids[jj]).astype(np.int64))
+    if not out_a:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
-    ids = g[id_col].to_numpy()
-    m = _normalize(np.stack(g[col].to_numpy()))
-    sims = m @ m.T
-    ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
-    a = np.minimum(ids[ii], ids[jj])
-    b = np.maximum(ids[ii], ids[jj])
-    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    )
 
 
 def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
@@ -332,9 +343,21 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
                         id_col=id_col, col=col),
         batch_format="pyarrow",
     )
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold, id_col, col),
-        batch_format="pandas",
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
+    pairs = (
+        exploded.map_batches(
+            lambda df: add_key_bucket(df, ["band", "key"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_pairs(g.drop(columns="__bucket"),
+                                    threshold, id_col, col),
+            batch_format="pandas",
+        )
     )
     # a pair found in several bands must count once
     return (

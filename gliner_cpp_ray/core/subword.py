@@ -77,14 +77,14 @@ class HFSubwordTokenizer:
             self._pure = PureSubwordTokenizer(tokenizer_json_path)
             self.backend = "pure-python"
             # parity-sensitive runs need a signal about which encoder ran:
-            # the pure path applies SentencePiece Precompiled normalizers
-            # as identity and lacks byte-fallback, so ids can diverge from
-            # HF on non-ASCII input (warn once per process, not per actor
-            # call — Python dedupes by message/module/lineno by default)
+            # the pure path implements Precompiled charsmaps and Unigram
+            # byte-fallback, but uncommon normalizers (BertNormalizer
+            # cleanups) still fall back to identity (warn once per
+            # process, not per actor call — Python dedupes by
+            # message/module/lineno by default)
             warnings.warn(
                 "tokenizers wheel not installed: falling back to the "
-                "pure-Python subword encoder (inspect .backend); non-ASCII "
-                "Unigram inputs may diverge from HF semantics",
+                "pure-Python subword encoder (inspect .backend)",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -13,9 +13,10 @@ tokenizer.json format directly, from the format's public documentation:
   segmentation with SentencePiece's unk penalty and consecutive-unk
   fusion).
 * normalizers: Lowercase / NFC / NFD / NFKC / NFKD / Replace / Prepend /
-  Strip / Sequence.  SentencePiece ``Precompiled`` charsmaps cannot be
-  replicated without the blob interpreter and are applied as identity
-  (documented limitation — ASCII inputs are unaffected).
+  Strip / Sequence, and SentencePiece ``Precompiled`` charsmaps via the
+  darts-trie interpreter in ``core/charsmap.py`` (grapheme-segmented
+  transduction, matching the HF ``spm_precompiled`` semantics the
+  reference runs through tokenizers-cpp).
 * pre-tokenizers (as they affect a single word): **Metaspace**
   (``▁`` replacement + prefix scheme, the DeBERTa/SentencePiece case)
   and **ByteLevel** (GPT-2 bytes-to-unicode alphabet +
@@ -82,8 +83,14 @@ def _apply_normalizer(spec: dict | None, text: str) -> str:
         if spec.get("strip_right", True):
             text = text.rstrip()
         return text
-    # Precompiled (SentencePiece charsmap), BertNormalizer cleanups etc.:
-    # identity fallback — documented limitation
+    if t == "Precompiled":
+        b64 = spec.get("precompiled_charsmap")
+        if b64:
+            from gliner_cpp_ray.core.charsmap import precompiled_from_b64
+
+            return precompiled_from_b64(b64).normalize(text)
+        return text
+    # BertNormalizer cleanups etc.: identity fallback — documented limitation
     return text
 
 
@@ -189,6 +196,7 @@ class _Unigram:
     def __init__(self, model: dict):
         self.pieces = [(p, float(s)) for p, s in model["vocab"]]
         self.unk_id = model.get("unk_id")
+        self.byte_fallback = bool(model.get("byte_fallback", False))
         self.scores = {p: s for p, s in self.pieces}
         self.ids = {p: i for i, (p, _) in enumerate(self.pieces)}
         self.max_len = max((len(p) for p, _ in self.pieces), default=1)
@@ -219,22 +227,41 @@ class _Unigram:
             if best[i] + self.unk_score > best[j]:
                 best[j] = best[i] + self.unk_score
                 back[j] = (i, None)
-        pieces: list[str | None] = []
+        segs: list[tuple[str, bool]] = []  # (text, is_unk), reversed
         i = n
         while i > 0:
-            i, piece = back[i]
-            pieces.append(piece)
-        pieces.reverse()
+            i0, piece = back[i]
+            segs.append((word[i0:i] if piece is None else piece, piece is None))
+            i = i0
+        segs.reverse()
         out: list[int] = []
-        prev_unk = False  # SentencePiece fuses consecutive unks into one
-        for piece in pieces:
-            if piece is None:
-                if not prev_unk and self.unk_id is not None:
-                    out.append(self.unk_id)
-                prev_unk = True
-            else:
-                out.append(self.ids[piece])
-                prev_unk = False
+        k = 0
+        while k < len(segs):
+            text, is_unk = segs[k]
+            if not is_unk:
+                out.append(self.ids[text])
+                k += 1
+                continue
+            # SentencePiece fuses consecutive unk chars into ONE segment;
+            # with byte_fallback the fused segment becomes <0xXX> byte
+            # tokens (all must exist in vocab), else a single unk id.
+            j = k
+            fused: list[str] = []
+            while j < len(segs) and segs[j][1]:
+                fused.append(segs[j][0])
+                j += 1
+            if self.byte_fallback:
+                byte_ids = [
+                    self.ids.get(f"<0x{b:02X}>")
+                    for b in "".join(fused).encode("utf-8")
+                ]
+                if all(b is not None for b in byte_ids):
+                    out.extend(byte_ids)
+                    k = j
+                    continue
+            if self.unk_id is not None:
+                out.append(self.unk_id)
+            k = j
         return out
 
 

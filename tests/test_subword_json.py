@@ -130,6 +130,27 @@ def test_unigram_unk_fusion(tmp_path):
     assert tok.encode("xy") == [1, 0]
 
 
+def test_unigram_byte_fallback(tmp_path):
+    spec = _unigram_spec()
+    spec["model"]["byte_fallback"] = True
+    base = len(spec["model"]["vocab"])
+    spec["model"]["vocab"] += [[f"<0x{b:02X}>", -12.0] for b in range(256)]
+    tok = PureSubwordTokenizer(_write(tmp_path, spec))
+    # the fused unknown segment "xy" becomes its UTF-8 byte tokens,
+    # not a single <unk>
+    assert tok.encode("xy") == [1, base + ord("x"), base + ord("y")]
+    # multi-byte char: é = 0xC3 0xA9
+    assert tok.encode("é") == [1, base + 0xC3, base + 0xA9]
+
+
+def test_unigram_byte_fallback_missing_byte_token(tmp_path):
+    spec = _unigram_spec()
+    spec["model"]["byte_fallback"] = True  # but no <0xXX> vocab entries
+    tok = PureSubwordTokenizer(_write(tmp_path, spec))
+    # byte tokens absent from vocab -> falls back to the fused unk id
+    assert tok.encode("xy") == [1, 0]
+
+
 def test_normalizer_sequence_and_replace(tmp_path):
     spec = _wordpiece_spec()
     spec["normalizer"] = {

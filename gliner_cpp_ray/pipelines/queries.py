@@ -644,6 +644,40 @@ def q_term_doc_frequency(sf_dir: str):
     return term_doc_frequency(ds, top_k=50)
 
 
+def q_top_terms_per_lang(sf_dir: str):
+    """Per-language top-10 most frequent terms (grouped heavy hitters):
+    vectorized per-batch (lang, term, n) partials, one bucketed exact
+    sum, then the shuffle-bounded grouped top-k."""
+    from gliner_cpp_ray.stages.text_analysis import top_terms_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return top_terms_per_group(ds, group_col="lang", text_col="text", k=10)
+
+
+def q_docs_above_median_chars(sf_dir: str):
+    """Per-language count of documents whose n_chars bin exceeds the
+    language's median bin — the sketch → broadcast → filter selection
+    pattern (only the per-group threshold table touches the driver)."""
+    from gliner_cpp_ray.stages.sketches import count_above_group_quantile
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return count_above_group_quantile(
+        ds, group_col="lang", col="n_chars", lo=0.0, hi=640.0, n_bins=64,
+        q_pct=50,
+    )
+
+
+def q_event_props_k_stats(sf_dir: str):
+    """Fill rate + sum of the integer ``k`` field extracted from the
+    semi-structured ``props`` JSON column, per event type — one
+    vectorized RE2 kernel, zero-shuffle map + combinable groupby."""
+    from gliner_cpp_ray.stages.semistructured import props_field_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    return props_field_stats(ds, field="k", props_col="props",
+                             group_col="event_type")
+
+
 def q_order_price_quantiles(sf_dir: str):
     """Approximate p50/p90/p99 of ``o_totalprice`` via a fixed-bin
     distributed histogram (combinable per-batch partials; only 64 bin
@@ -1006,6 +1040,9 @@ def queries():
         "order_price_quantiles": q_order_price_quantiles,
         "price_quantiles_by_status": q_price_quantiles_by_status,
         "term_doc_frequency": q_term_doc_frequency,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "docs_above_median_chars": q_docs_above_median_chars,
+        "event_props_k_stats": q_event_props_k_stats,
         "distinct_users_kmv": q_distinct_users_kmv,
         "train_test_split": q_train_test_split,
         "order_lineitem_join": q_order_lineitem_join,
@@ -1642,6 +1679,47 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "AS x(tok) WHERE t <> '') "
             "SELECT term, count(*) AS df FROM toks GROUP BY term "
             "ORDER BY df DESC, term LIMIT 50"
+        ),
+        "top_terms_per_lang": (
+            f"WITH tt AS (SELECT lang, {_TRIM_SQL} AS t FROM documents), "
+            "toks AS (SELECT lang, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) "
+            "AS x(tok) WHERE t <> ''), "
+            "c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY lang, term), "
+            "r AS (SELECT *, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c) "
+            "SELECT lang, term, n FROM r WHERE rn <= 10"
+        ),
+        "docs_above_median_chars": (
+            # replicate the histogram quantile (same integer binning as
+            # the Ray stage: width 10 over [0, 640), clamp to [0, 63]),
+            # then count rows whose bin strictly exceeds the group's
+            # median bin
+            "WITH b AS (SELECT lang, "
+            "CAST(least(greatest(floor(n_chars / 10.0), 0), 63) AS BIGINT) "
+            "AS bin FROM documents), "
+            "c AS (SELECT lang, bin, count(*) AS n FROM b GROUP BY lang, bin), "
+            "cum AS (SELECT lang, bin, "
+            "sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cn, "
+            "sum(n) OVER (PARTITION BY lang) AS total FROM c), "
+            "thr AS (SELECT lang, CAST(min(bin) AS BIGINT) AS q_bin "
+            "FROM cum WHERE cn >= (50 * total + 99) // 100 GROUP BY lang) "
+            "SELECT b.lang, CAST(count(*) AS BIGINT) AS n_above, "
+            "CAST(min(thr.q_bin) AS BIGINT) AS q_bin "
+            "FROM b JOIN thr ON b.lang = thr.lang "
+            "WHERE b.bin > thr.q_bin GROUP BY b.lang"
+        ),
+        "event_props_k_stats": (
+            # the same RE2 int-field pattern the Ray stage compiles
+            "WITH e AS (SELECT event_type, "
+            "TRY_CAST(regexp_extract(props, "
+            "'\"k\"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT) AS k FROM events) "
+            "SELECT event_type, count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_k, "
+            "CAST(sum(COALESCE(k, 0)) AS BIGINT) AS sum_k "
+            "FROM e GROUP BY event_type"
         ),
         "order_price_quantiles": (
             "WITH t AS (SELECT count(*) AS total FROM orders), "

@@ -246,3 +246,60 @@ def grouped_histogram_quantile_bins(ds, group_col: str, col: str, lo: float,
             batch_format="pandas",
         )
     )
+
+
+class _AboveBinFilter:
+    """Keep rows whose histogram bin EXCEEDS their group's threshold
+    bin.  A callable instance (plain tasks, not an actor pool — state
+    is a group-cardinality-bounded dict that builds in microseconds and
+    ships once per worker via the object store)."""
+
+    def __init__(self, thresholds: dict, group_col: str, col: str,
+                 lo: float, hi: float, n_bins: int):
+        self.thresholds = thresholds
+        self.group_col, self.col = group_col, col
+        self.lo, self.n_bins = lo, n_bins
+        self.w = (hi - lo) / n_bins
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        v = t.column(self.col).to_numpy(zero_copy_only=False).astype(float)
+        bins = np.clip(
+            np.floor((v - self.lo) / self.w), 0, self.n_bins - 1
+        ).astype("int64")
+        g = t.column(self.group_col).to_pandas()
+        thr = g.map(self.thresholds).to_numpy(na_value=np.iinfo(np.int64).max)
+        return t.filter(pa.array(bins > thr.astype(np.int64)))
+
+
+def count_above_group_quantile(ds, group_col: str, col: str, lo: float,
+                               hi: float, n_bins: int = 64, q_pct: int = 50):
+    """Per-group count of rows whose ``col`` lands in a histogram bin
+    STRICTLY ABOVE the group's q-quantile bin — the
+    sketch → broadcast → filter composition behind "keep documents
+    above the per-language median quality" style selection.
+
+    Movement: the quantile pass is ``grouped_histogram_quantile_bins``
+    (combinable partials, one group-bucket shuffle); only the
+    groups × 1 threshold table reaches the driver (bounded by group
+    cardinality, never rows), ships back broadcast inside a filter
+    instance, and the counting pass is a pure streaming map + one
+    combinable groupby.  Bin arithmetic is integer-exact on both sides,
+    so the DuckDB oracle replicates the threshold AND the filter."""
+    from ray.data.aggregate import Count
+
+    qb = grouped_histogram_quantile_bins(
+        ds, group_col, col, lo, hi, n_bins, q_pcts=(q_pct,)
+    ).to_pandas()
+    thresholds = dict(zip(qb[group_col], qb["bin"].astype("int64")))
+    flt = _AboveBinFilter(thresholds, group_col, col, lo, hi, n_bins)
+    counts = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n_above"))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        thr = [thresholds[g] for g in t.column(group_col).to_pylist()]
+        return t.append_column("q_bin", pa.array(thr, pa.int64()))
+
+    return counts.map_batches(attach, batch_format="pyarrow")

@@ -300,6 +300,76 @@ def term_doc_frequency_partial(batch: pa.Table, text_col: str = "text") -> pa.Ta
     )
 
 
+def grouped_term_counts_partial(batch: pa.Table, group_col: str = "lang",
+                                text_col: str = "text") -> pa.Table:
+    """Per-batch (group, term, n) occurrence-count partial — the
+    combinable first phase of per-group heavy hitters (corpus
+    vocabulary reports, per-language stopword discovery).  Unlike
+    ``term_doc_frequency_partial`` this counts every OCCURRENCE, not
+    once per document.  Tokenization pinned to ``token_counts``'s SQL
+    definition (RE2 ``\\s+`` split of RE2-trimmed text), lowercased."""
+    trimmed = _re2_trim(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    groups = batch.column(group_col).to_pandas().to_numpy()
+    df = pd.DataFrame({"g": groups[parents], "term": flat.to_pandas()})
+    df = df[nonempty[parents]]
+    counts = df.groupby(["g", "term"], sort=False).size().reset_index(name="n")
+    return pa.table(
+        {
+            group_col: pa.array(counts["g"], pa.string()),
+            "term": pa.array(counts["term"], pa.string()),
+            "n": pa.array(counts["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def top_terms_per_group(ds, group_col: str = "lang", text_col: str = "text",
+                        k: int = 10):
+    """Per-group top-k most frequent terms (heavy hitters per group),
+    ties broken by term asc — deterministic and SQL-replicable
+    (``row_number() OVER (PARTITION BY g ORDER BY n DESC, term)``).
+
+    Movement: vectorized per-batch (group, term, n) partials bound each
+    task's output by its batch vocabulary; one hash-bucket shuffle on
+    (group, term) sums exact counts with a whole-bucket vectorized
+    reduce; ``grouped_top_k`` then bounds the second shuffle at
+    tasks × groups × k.  Raw tokens never cross the wire."""
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    n_buckets = default_buckets(None)
+
+    def reduce_bucket(bdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bdf.groupby([group_col, "term"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (
+        ds.map_batches(
+            lambda t: grouped_term_counts_partial(t, group_col, text_col),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda df: add_key_bucket(df, [group_col, "term"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+    return grouped_top_k(counts, group_col, "n", "term", k)
+
+
 def term_doc_frequency(ds, text_col: str = "text", top_k: int = 50):
     """Corpus document-frequency table, top_k by (df desc, term asc).
 

@@ -134,6 +134,65 @@ def q_kg_nodes(sf_dir: str):
     )
 
 
+def q_page_links(sf_dir: str):
+    """Crawl link-graph edges: one regex pass per batch over html, packed
+    per-batch pair combiner, exact groupby-sum — raw link occurrences
+    never cross the wire."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import page_link_edges
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    return page_link_edges(ds)
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank over the crawl link graph in EXACT
+    integer arithmetic — rank state stays a distributed Dataset, one
+    bucketed join + one groupby-sum per iteration."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import _src_ids, page_link_edges, pagerank
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    edges = page_link_edges(pages)
+
+    def node_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.array(_src_ids(t.column("url")))})
+
+    nodes = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url"]
+    ).map_batches(node_ids, batch_format="pyarrow")
+    return pagerank(edges, nodes, n_iters=3)
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host crawl rollup (host parsed from url; page count + total
+    extracted-text chars) — trivially distributive groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "text"])
+
+    def host_chars(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("url"), r"^https://(?P<host>[^/]+)/")
+        return pa.table(
+            {
+                "host": pc.struct_field(ex, "host"),
+                "chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(host_chars, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_pages"), Sum("chars", alias_name="total_chars"))
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def q_doc_stats_by_lang(sf_dir: str):
@@ -184,6 +243,55 @@ def q_minhash_clusters(sf_dir: str):
     hash-matched check, not rows-only."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup_clusters(ds, threshold=0.8)
+
+
+def q_minhash_dedup_keep(sf_dir: str):
+    """End-to-end dedup composition: MinHash+LSH clustering → keep one
+    canonical doc per near-dup cluster (the min doc_id — each cluster's
+    own id).  The streaming filter never materializes the corpus."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup_clusters(ds, threshold=0.8)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return t.filter(m).select(["doc_id"])
+
+    return clusters.map_batches(keep, batch_format="pyarrow")
+
+
+_TFIDF_TERMS = ["scan", "window", "agg", "dup"]
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Integer-exact TF-IDF ranked retrieval (log-free idf variant so
+    the score arithmetic is pure int64 and the oracle replicates it
+    bit-for-bit).  DF pass is query-bounded; score pass carries a
+    per-batch top-k combiner."""
+    from gliner_cpp_ray.stages.retrieval import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, _TFIDF_TERMS, k=20)
+
+
+def _tfidf_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in _TFIDF_TERMS)
+    return (
+        f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t FROM documents), "
+        "lst AS (SELECT doc_id, list_filter(string_split_regex(t, '\\s+'), "
+        "x -> x <> '') AS l FROM tt), "
+        "tok AS (SELECT doc_id, unnest(l) AS w FROM lst), "
+        f"q AS (SELECT * FROM (VALUES {terms}) t(w)), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok JOIN q USING (w) "
+        "GROUP BY doc_id, w), "
+        "dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "sc AS (SELECT tf.doc_id, "
+        "CAST(sum(tf.tf * ((1000000 * n.n) // dfq.df)) AS BIGINT) AS score_micro "
+        "FROM tf JOIN dfq USING (w) CROSS JOIN n GROUP BY tf.doc_id) "
+        "SELECT doc_id, score_micro, CAST(row_number() OVER ("
+        "ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank "
+        "FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20"
+    )
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -1007,6 +1115,9 @@ def queries():
         "kg_edges": q_kg_edges,
         "kg_mentions_by_label": q_kg_mentions_by_label,
         "kg_nodes": q_kg_nodes,
+        "page_links": q_page_links,
+        "pagerank": q_pagerank,
+        "host_stats": q_host_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1014,6 +1125,8 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "minhash_clusters": q_minhash_clusters,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "tfidf_topk": q_tfidf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_contamination": q_ngram_contamination,
@@ -1487,6 +1600,35 @@ def _dup_components_sql() -> str:
     )
 
 
+def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
+    """Literal transcription of stages/linkgraph.pagerank: exact-integer
+    rank updates (micro-units, damping 17/20, floor division), unrolled
+    ``n_iters`` times.  Bit-identical to the distributed result because
+    both sides use only int64 floor arithmetic."""
+    parts = [
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), ",
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1)) AS t(u)), ",
+        "edges AS (SELECT DISTINCT src, dst FROM links), ",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), ",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM h), ",
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS id, "
+            f"CAST(sum((r.r * 17) // (20 * d.deg)) AS BIGINT) AS c "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"r{k} AS (SELECT h.id, CAST(150000 + coalesce(c.c, 0) AS BIGINT)"
+            f" AS r FROM h LEFT JOIN c{k} c ON c.id = h.id), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return sql + f" SELECT id AS node_id, r AS rank_micro FROM r{n_iters}"
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -1536,9 +1678,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT canon_id, label, count(*) AS mention_count "
             "FROM u GROUP BY canon_id, label"
         ),
+        "page_links": (
+            # identical RE2 pattern to stages/linkgraph._PAGE_HREF; nav
+            # links ("/", "/about") don't match and fall out on both sides
+            "WITH h AS (SELECT url, decode(html) AS s FROM "
+            f"read_parquet('{pages_glob}')), "
+            "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+            " AS src_id, CAST(u AS BIGINT) AS dst_id "
+            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1))"
+            " AS t(u)) "
+            "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
+        ),
+        "pagerank": _pagerank_sql(pages_glob),
+        "host_stats": (
+            "SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars "
+            f"FROM read_parquet('{pages_glob}') GROUP BY host"
+        ),
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _simhash_sql(),
         "minhash_clusters": _minhash_sql(),
+        "minhash_dedup_keep": (
+            f"SELECT doc_id FROM ({_minhash_sql()}) t WHERE doc_id = cluster_id"
+        ),
+        "tfidf_topk": _tfidf_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

@@ -87,6 +87,18 @@ ENDPOINTS_EXPECTED_SCHEMA = pa.schema(
 _LANGS = ["en", "de", "uk", "zh", "es"]
 _LANG_P = [0.80, 0.05, 0.05, 0.05, 0.05]
 
+# crawl spans N_HOSTS distinct sites; host assignment is a pure function
+# of the page index so every table builder (and the SQL oracles) can
+# recompute a page's url without coordination
+N_HOSTS = 199
+_LINK_P = 0.35  # per-rendered-paragraph probability of one outbound link
+
+
+def url_of(i: int) -> str:
+    """Canonical url of page ``i`` — the single definition shared by the
+    page builder, the expected-table builders, and link-target rendering."""
+    return f"https://site{i % N_HOSTS:03d}.example.org/p/{i:08d}"
+
 _CAPITAL_CITIES = sorted(world.CAPITALS)
 _ALL_CITIES = sorted(world.CITIES)
 _ALL_PEOPLE = sorted(world.PEOPLE)
@@ -203,7 +215,9 @@ def _page_plan(i: int, seed: int):
     return lang, title, paragraphs, records, mention_records, repeat
 
 
-def _render_html(rng: np.random.Generator, title: str, paragraphs: list[str]) -> str:
+def _render_html(
+    rng: np.random.Generator, title: str, paragraphs: list[str], n_pages: int
+) -> str:
     parts = [
         "<!DOCTYPE html>\n<html><head><title>", escape(title, quote=False),
         "</title>\n<style>body { font: 14px sans-serif; }</style>\n",
@@ -214,6 +228,14 @@ def _render_html(rng: np.random.Generator, title: str, paragraphs: list[str]) ->
     ]
     for para in paragraphs:
         body = escape(para, quote=False)
+        # outbound link: wrap the LAST word in an anchor to another page
+        # — html-layer only (the tag strips to its inner text, so the
+        # extracted-text byte-identity contract is untouched)
+        if rng.random() < _LINK_P:
+            j = int(rng.integers(0, max(1, n_pages)))
+            head, sep, last = body.rpartition(" ")
+            if sep:
+                body = f'{head} <a href="{url_of(j)}">{last}</a>'
         style = rng.random()
         if style < 0.25:  # inline markup around the first word
             head, _, tail = body.partition(" ")
@@ -236,14 +258,20 @@ def _plans(indices: np.ndarray, seed: int):
     return [(int(i), _page_plan(int(i), seed)) for i in indices]
 
 
-def make_page_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
+def make_page_batch(
+    indices: np.ndarray, seed: int, plans=None, n_pages: int | None = None
+) -> pa.Table:
+    # link targets are drawn from [0, n_pages); direct small-scale callers
+    # (tests) may omit it, in which case the local index range is the world
+    if n_pages is None:
+        n_pages = int(indices.max()) + 1 if len(indices) else 1
     urls, ts, htmls, texts, langs = [], [], [], [], []
     for i, (lang, title, paragraphs, _, _, repeat) in (plans or _plans(indices, seed)):
         body_paras = paragraphs * repeat
         rng = np.random.default_rng([seed, i, 1])  # render-only randomness
-        html = _render_html(rng, title, body_paras)
+        html = _render_html(rng, title, body_paras, n_pages)
         text = normalize_text(title + "\n" + "\n".join(body_paras))
-        urls.append(f"https://example.org/p/{i:08d}")
+        urls.append(url_of(i))
         ts.append(_EPOCH_2024_US + i * 1_000_000)
         htmls.append(html.encode("utf-8"))
         texts.append(text)
@@ -264,7 +292,7 @@ def make_expected_batch(indices: np.ndarray, seed: int, plans=None) -> pa.Table:
     for i, (lang, _, _, records, _, repeat) in (plans or _plans(indices, seed)):
         if lang != "en" or not records:
             continue  # pipeline filters to the 'en' allowlist
-        url = f"https://example.org/p/{i:08d}"
+        url = url_of(i)
         did = doc_id_of(url)
         for _ in range(repeat):
             for s, pred, o, sc, oc, sl, ol in records:
@@ -322,7 +350,7 @@ def make_expected_mentions_batch(indices: np.ndarray, seed: int, plans=None) -> 
     for i, (lang, _, _, _, mention_records, repeat) in (plans or _plans(indices, seed)):
         if lang != "en" or not mention_records:
             continue
-        url = f"https://example.org/p/{i:08d}"
+        url = url_of(i)
         did = doc_id_of(url)
         for _ in range(repeat):
             for surface, label in mention_records:
@@ -339,7 +367,7 @@ def make_expected_endpoints_batch(indices: np.ndarray, seed: int, plans=None) ->
     for i, (lang, _, _, records, _, repeat) in (plans or _plans(indices, seed)):
         if lang != "en" or not records:
             continue
-        url = f"https://example.org/p/{i:08d}"
+        url = url_of(i)
         did = doc_id_of(url)
         for _ in range(repeat):
             for s, _pred, o, sc, oc, sl, ol in records:
@@ -356,7 +384,7 @@ def make_expected_endpoints_batch(indices: np.ndarray, seed: int, plans=None) ->
 
 # bump when generator/world semantics change: stale cached corpora under
 # /tmp would otherwise silently disagree with the code that reads them
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 
 def corpus_dir_for(n_pages: int, seed: int = 7, root: str = "/tmp/kgray_corpus") -> str:
@@ -399,22 +427,25 @@ def ensure_corpus(
 
         @ray.remote
         def gen(lo: int, hi: int) -> None:
-            _write_shard(lo, hi, seed, pages_dir, expected_dir)
+            _write_shard(lo, hi, seed, pages_dir, expected_dir, n_pages)
 
         ray.get([gen.remote(lo, hi) for lo, hi in bounds])
     else:
         for lo, hi in bounds:
-            _write_shard(lo, hi, seed, pages_dir, expected_dir)
+            _write_shard(lo, hi, seed, pages_dir, expected_dir, n_pages)
     with open(marker, "w") as f:
         f.write(f"n_pages={n_pages} seed={seed}\n")
     return out
 
 
-def _write_shard(lo: int, hi: int, seed: int, pages_dir: str, expected_dir: str) -> None:
+def _write_shard(
+    lo: int, hi: int, seed: int, pages_dir: str, expected_dir: str,
+    n_pages: int | None = None,
+) -> None:
     idx = np.arange(lo, hi, dtype=np.int64)
     plans = _plans(idx, seed)
     pq.write_table(
-        make_page_batch(idx, seed, plans),
+        make_page_batch(idx, seed, plans, n_pages=n_pages),
         os.path.join(pages_dir, f"part-{lo:08d}.parquet"),
     )
     pq.write_table(

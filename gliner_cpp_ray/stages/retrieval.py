@@ -1,0 +1,168 @@
+"""Ranked retrieval over the document corpus: integer-exact TF-IDF.
+
+The IR building block a training-data pipeline needs for corpus search,
+targeted subset selection ("all docs about X"), and relevance-ranked
+sampling.  Classic BM25/TF-IDF weighting uses ``ln`` — a transcendental
+whose last-ulp rounding may differ between engines, which would break
+this repo's bit-exact oracle discipline.  We use the log-free idf
+variant ``w_t = (SCALE * N) // df_t`` (pure int64 floor arithmetic):
+monotone in 1/df like the classic form, and every intermediate is
+integer, so a DuckDB transcription reproduces the distributed result
+bit-for-bit.
+
+Shape (two passes, both streaming):
+1. DF pass — per-batch partials emit one row per QUERY term per batch
+   (plus one ``__n_docs__`` row), so the shuffle is bounded by
+   tasks × |terms|; a tiny groupby-sum lands |terms|+1 rows on the
+   driver (query-bounded, never corpus-bounded).
+2. Score pass — term weights ride into each task as plain instance
+   state (broadcast once via cloudpickle); per-batch scoring is
+   vectorized (token flatten + ``is_in`` mask + ``np.bincount`` per
+   term); a per-batch top-k combiner bounds the final shuffle at
+   tasks × k rows.
+
+int64 headroom: ``SCALE * N * tf`` must stay below 2^63 — at 10^12
+docs use SCALE=1e3 (weights keep 3 significant digits vs the 1e6
+default used here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 1_000_000
+_N_DOCS_KEY = "__n_docs__"
+
+
+def _tokens(batch: pa.Table, text_col: str):
+    """Tokenization pinned to the token_counts SQL definition: RE2
+    ``\\s+`` split of RE2-trimmed text, lowercased."""
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    trimmed = _re2_trim(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    keep = nonempty[parents]
+    return flat.filter(pa.array(keep)), parents[keep]
+
+
+class QueryDfPartial:
+    """Per-batch (term, df) partial restricted to the query terms, plus
+    the ``__n_docs__`` counter row — one combinable pass for both."""
+
+    def __init__(self, terms: list[str], text_col: str = "text"):
+        self.terms = sorted(set(t.lower() for t in terms))
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens(batch, self.text_col)
+        out_terms = [_N_DOCS_KEY]
+        out_n = [batch.num_rows]
+        if len(flat):
+            mask = pc.is_in(flat, value_set=pa.array(self.terms)).to_numpy(
+                zero_copy_only=False
+            )
+            if mask.any():
+                hit_terms = flat.filter(pa.array(mask)).to_pandas().to_numpy()
+                hit_docs = parents[mask]
+                per_doc = pd.DataFrame(
+                    {"t": hit_terms, "d": hit_docs}
+                ).drop_duplicates()
+                counts = per_doc.groupby("t", sort=False).size()
+                out_terms += list(counts.index)
+                out_n += [int(v) for v in counts.to_numpy()]
+        return pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+class TfIdfScorer:
+    """Vectorized per-batch scorer + top-k combiner.  ``weights`` is the
+    query-bounded {term: w_t} table (broadcast as instance state)."""
+
+    def __init__(self, weights: dict[str, int], k: int,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.terms = sorted(weights)
+        self.w = np.array([weights[t] for t in self.terms], np.int64)
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokens(batch, self.text_col)
+        score = np.zeros(n, np.int64)
+        flat_np = flat.to_pandas().to_numpy() if len(flat) else np.array([], object)
+        for ti, term in enumerate(self.terms):
+            m = flat_np == term
+            if m.any():
+                tf = np.bincount(parents[m], minlength=n)
+                score += tf * self.w[ti]
+        hit = score > 0
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column(self.id_col).to_pandas().to_numpy()[hit],
+                "score_micro": score[hit],
+            }
+        ).sort_values(["score_micro", "doc_id"], ascending=[False, True]).head(self.k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("doc_id", batch.schema.field(self.id_col).type),
+                       ("score_micro", pa.int64())])
+        )
+
+
+def tfidf_topk(ds, terms: list[str], k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k docs by integer TF-IDF for a bag-of-terms query.
+
+    Returns a Dataset (doc_id, score_micro, rank) with rank 1..k by
+    (score desc, doc_id asc) — deterministic and SQL-replicable.
+    """
+    from ray.data.aggregate import Sum
+
+    df_rows = (
+        ds.map_batches(QueryDfPartial(terms, text_col), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |terms|+1 rows — query-bounded, never corpus-bounded
+    )
+    by_term = dict(zip(df_rows["term"], df_rows["n"].astype(int)))
+    n_docs = by_term.pop(_N_DOCS_KEY, 0)
+    weights = {
+        t: (SCALE * n_docs) // df for t, df in by_term.items() if df > 0
+    }
+    if not weights or n_docs == 0:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array([], t.schema.field(id_col).type),
+                    "score_micro": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).limit(0)
+
+    scored = ds.map_batches(TfIdfScorer(weights, k, id_col, text_col),
+                            batch_format="pyarrow")
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_micro", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # combiner output is ≤ tasks × k rows; one coalesce + one tiny sort
+    return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Unit tests for the link-graph operators (stages/linkgraph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gliner_cpp_ray.stages.linkgraph import (
+    _src_ids,
+    extract_page_links,
+    page_link_edges,
+    pagerank,
+)
+
+
+def _batch(urls, htmls):
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([h.encode() for h in htmls], pa.binary()),
+        }
+    )
+
+
+def test_extract_attributes_links_to_the_right_source_row():
+    b = _batch(
+        [
+            "https://site001.example.org/p/00000001",
+            "https://site002.example.org/p/00000002",
+            "https://site003.example.org/p/00000003",
+        ],
+        [
+            '<a href="https://x/p/00000002">a</a> <a href="https://x/p/00000002">b</a>',
+            '<nav><a href="/">Home</a></nav>no page links',
+            '<a href="https://x/p/00000001">c</a>',
+        ],
+    )
+    t = extract_page_links(b).to_pandas().sort_values(["src_id", "dst_id"])
+    assert t.values.tolist() == [[1, 2, 2], [3, 1, 1]]
+
+
+def test_extract_empty_batch():
+    t = extract_page_links(_batch([], []))
+    assert t.num_rows == 0
+    assert t.schema.names == ["src_id", "dst_id", "n"]
+
+
+def test_src_ids_parse():
+    ids = _src_ids(pa.array(["https://a/p/00000042", "https://b/p/00000007"]))
+    assert ids.tolist() == [42, 7]
+
+
+def _pagerank_numpy(edges, n_nodes, n_iters=3):
+    """Literal integer-arithmetic reference."""
+    edges = sorted(set(edges))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1_000_000 for v in range(n_nodes)}
+    for _ in range(n_iters):
+        nxt = {v: 150_000 for v in range(n_nodes)}
+        for s, d in edges:
+            nxt[d] += (r[s] * 17) // (20 * deg[s])
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pagerank_matches_integer_reference(ray_session, seed):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    edges = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(120)
+    ]
+    uniq = sorted(set(edges))
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in uniq], pa.int64()),
+                "dst_id": pa.array([e[1] for e in uniq], pa.int64()),
+            }
+        )
+    )
+    nodes_ds = rd.from_arrow(
+        pa.table({"node_id": pa.array(list(range(n)), pa.int64())})
+    )
+    got = (
+        pagerank(edges_ds, nodes_ds, n_iters=3)
+        .to_pandas()
+        .set_index("node_id")["rank_micro"]
+        .to_dict()
+    )
+    want = _pagerank_numpy(edges, n)
+    assert got == want
+
+
+def test_pagerank_no_edges_keeps_teleport_rank(ray_session):
+    import ray.data as rd
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+            }
+        )
+    )
+    nodes_ds = rd.from_arrow(pa.table({"node_id": pa.array([0, 1, 2], pa.int64())}))
+    got = pagerank(edges_ds, nodes_ds, n_iters=2).to_pandas()
+    assert sorted(got["rank_micro"].tolist()) == [150_000] * 3
+
+
+def test_page_link_edges_on_generated_corpus(ray_session):
+    import os
+    import re
+
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import ensure_corpus
+
+    corpus = ensure_corpus(300, 7)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    got = page_link_edges(ds).to_pandas()
+    # brute-force reference over the same files
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(corpus, "pages")).to_table(
+        columns=["url", "html"]
+    )
+    ref: dict[tuple, int] = {}
+    pat = re.compile(r'href="[^"]*/p/(\d{8})"')
+    for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        src = int(re.search(r"/p/(\d+)$", u).group(1))
+        for m in pat.finditer(h.decode()):
+            k = (src, int(m.group(1)))
+            ref[k] = ref.get(k, 0) + 1
+    got_d = {
+        (int(r.src_id), int(r.dst_id)): int(r.n) for r in got.itertuples()
+    }
+    assert got_d == ref
+    assert len(ref) > 100  # the corpus really contains links

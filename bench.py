@@ -92,8 +92,13 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t, 3)
 
     if not os.environ.get("KGRAY_SKIP_SECONDARY"):
+        timed("page_links", q.q_page_links)
+        timed("pagerank", q.q_pagerank)
+        timed("host_stats", q.q_host_stats)
+        timed("tfidf_topk", q.q_tfidf_topk)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
+        timed("minhash_dedup_keep", q.q_minhash_dedup_keep)
         timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
         timed("simhash_pairs", q.q_simhash_pairs)
         timed("ngram_contamination", q.q_ngram_contamination)

@@ -435,10 +435,18 @@ def build_bloom(keys_ds, key: str, n_bits: int = 1 << 23,
 
 
 def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
-                    n_hashes: int = 4, n_buckets: int | None = None):
-    """EXACT semi join with a Bloom map-side prefilter: keep the left
+                    n_hashes: int = 4, n_buckets: int | None = None,
+                    broadcast_threshold: int = 1_000_000):
+    """EXACT semi join with an ADAPTIVE physical plan: keep the left
     rows whose key appears in ``right``.  Returns left columns only.
 
+    Small right side (distinct keys <= ``broadcast_threshold``): the
+    exact key set broadcasts once (plain instance state through the
+    object store) and the semi join is a pure map-side ``is_in``
+    filter — ZERO shuffle of the big side.  This is the classic
+    dimension-filter plan; 10^6 int64 keys is ~8 MB of broadcast.
+
+    Large right side: Bloom prefilter + exact verify —
     1. bloom = distributed OR-aggregate over right keys (bitmap
        broadcast once via ``ray.put``);
     2. left rows failing the bloom test are dropped map-side (zero
@@ -453,6 +461,21 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
 
     from ray.data.aggregate import Count
 
+    distinct_keys = (
+        right.groupby(on)
+        .aggregate(Count(alias_name="__n"))
+        .select_columns([on])
+        .materialize()  # key-cardinality bounded; avoids schema re-execution
+    )
+    if distinct_keys.count() <= broadcast_threshold:
+        keys = distinct_keys.to_pandas()[on].to_numpy()
+        key_arr = pa.array(keys)
+
+        def exact_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(on), value_set=key_arr))
+
+        return left.map_batches(exact_filter, batch_format="pyarrow")
+
     bits = build_bloom(right, on, n_bits=n_bits, n_hashes=n_hashes)
     bits_ref = ray.put(bits)
 
@@ -461,12 +484,6 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
         return t.filter(pa.array(_bloom_member(b, t.column(on), n_hashes)))
 
     survivors = left.map_batches(prefilter, batch_format="pyarrow")
-    distinct_keys = (
-        right.groupby(on)
-        .aggregate(Count(alias_name="__n"))
-        .select_columns([on])
-        .materialize()  # key-cardinality bounded; avoids schema re-execution
-    )
     return bucketed_hash_join(
         survivors, distinct_keys, on=on, n_buckets=n_buckets, how="inner"
     )

@@ -305,12 +305,21 @@ def test_bloom_semi_join_exact_despite_false_positives(ray_session):
         on="k",
         n_bits=64,  # 64 bits for 40 keys: nearly every probe collides
         n_buckets=4,
+        broadcast_threshold=0,  # force the bloom + exact-verify path
     ).to_pandas()
     want = left[left["k"].isin(right_keys)]
     key = lambda d: sorted(map(tuple, d[["k", "v"]].to_numpy()))
     assert key(got) == key(want)
     # dup right keys must not duplicate left rows (semi, not inner)
     assert len(got) == len(want)
+
+    # the adaptive broadcast path (small right side) must agree exactly
+    got_bc = bloom_semi_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+    ).to_pandas()
+    assert key(got_bc) == key(want)
 
 
 def test_bloom_semi_join_string_keys(ray_session):
@@ -322,10 +331,12 @@ def test_bloom_semi_join_string_keys(ray_session):
         {"k": ["en", "de", "fr", "zh", "en", "es"], "v": range(6)}
     )
     right = pd.DataFrame({"k": ["en", "zh"]})
-    got = bloom_semi_join(
-        rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=2
-    ).to_pandas()
-    assert sorted(got["v"]) == [0, 3, 4]
+    for thresh in (0, 1_000_000):  # bloom path AND broadcast path
+        got = bloom_semi_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=2,
+            broadcast_threshold=thresh,
+        ).to_pandas()
+        assert sorted(got["v"]) == [0, 3, 4]
 
 
 def test_grouped_top_k(ray_session):

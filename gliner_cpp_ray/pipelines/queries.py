@@ -29,7 +29,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
-from gliner_cpp_ray.sources.pages import corpus_dir_for, ensure_corpus, n_pages_for_sf
+from gliner_cpp_ray.sources.pages import (
+    N_HOSTS as _N_HOSTS,
+    corpus_dir_for,
+    ensure_corpus,
+    n_pages_for_sf,
+)
 from gliner_cpp_ray.stages.dedup import (
     MinHashSigner,
     exact_dedup,
@@ -166,6 +171,31 @@ def q_pagerank(sf_dir: str):
         os.path.join(corpus, "pages"), columns=["url"]
     ).map_batches(node_ids, batch_format="pyarrow")
     return pagerank(edges, nodes, n_iters=3)
+
+
+def q_anchor_texts(sf_dir: str):
+    """Top incoming anchor text per target page — the link-graph signal
+    entity linking and IR features feed on."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import top_anchor_per_target
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["html"])
+    return top_anchor_per_target(ds)
+
+
+def q_host_links(sf_dir: str):
+    """Host-level link-graph rollup from the page edge table (pure map +
+    groupby-sum; html is scanned once by the page-edge extraction)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.linkgraph import host_link_edges, page_link_edges
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    return host_link_edges(page_link_edges(ds), N_HOSTS)
 
 
 def q_host_stats(sf_dir: str):
@@ -1117,6 +1147,8 @@ def queries():
         "kg_nodes": q_kg_nodes,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
+        "anchor_texts": q_anchor_texts,
+        "host_links": q_host_links,
         "host_stats": q_host_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1690,6 +1722,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
         ),
         "pagerank": _pagerank_sql(pages_glob),
+        "anchor_texts": (
+            # DuckDB zips parallel unnests of the two capture-group lists
+            "WITH h AS (SELECT decode(html) AS s FROM "
+            f"read_parquet('{pages_glob}')), "
+            "m AS (SELECT "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\">([^<]*)</a>', 1)) AS d, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\">([^<]*)</a>', 2)) AS a "
+            "FROM h), "
+            "c AS (SELECT CAST(d AS BIGINT) AS dst_id, a AS anchor, "
+            "count(*) AS n FROM m GROUP BY d, a) "
+            "SELECT dst_id, anchor, n FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY dst_id ORDER BY n DESC, anchor) AS rn FROM c) "
+            "WHERE rn = 1"
+        ),
+        "host_links": (
+            "WITH h AS (SELECT url, decode(html) AS s FROM "
+            f"read_parquet('{pages_glob}')), "
+            "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+            " AS src_id, CAST(u AS BIGINT) AS dst_id "
+            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1))"
+            " AS t(u)) "
+            f"SELECT src_id % {_N_HOSTS} AS src_host, "
+            f"dst_id % {_N_HOSTS} AS dst_host, count(*) AS n "
+            "FROM l GROUP BY src_host, dst_host"
+        ),
         "host_stats": (
             "SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
             "count(*) AS n_pages, "

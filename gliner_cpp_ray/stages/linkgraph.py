@@ -96,6 +96,79 @@ def page_link_edges(pages_ds):
     )
 
 
+# anchor pattern: page-link href + its inner text (never contains '<')
+_ANCHOR = re.compile(r'href="[^"]*/p/(\d{8})">([^<]*)</a>')
+
+_ANCHOR_SCHEMA = pa.schema(
+    [("dst_id", pa.int64()), ("anchor", pa.string()), ("n", pa.int64())]
+)
+
+
+def extract_anchor_texts(batch: pa.Table) -> pa.Table:
+    """html → per-batch PARTIAL (dst_id, anchor, n) counts.  Anchor text
+    is the entity-linking / IR signal of the link graph (what other
+    pages call a target).  One regex pass per batch buffer; the
+    (dst, anchor) combiner bounds the shuffle."""
+    import pandas as pd
+
+    htmls = batch.column("html").to_pylist()
+    dsts, texts = [], []
+    for h in htmls:
+        for m in _ANCHOR.finditer(h.decode("utf-8")):
+            dsts.append(int(m.group(1)))
+            texts.append(m.group(2))
+    if not dsts:
+        return _ANCHOR_SCHEMA.empty_table()
+    c = (
+        pd.DataFrame({"dst_id": dsts, "anchor": texts})
+        .groupby(["dst_id", "anchor"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    return pa.Table.from_pandas(c, preserve_index=False).cast(_ANCHOR_SCHEMA)
+
+
+def top_anchor_per_target(pages_ds):
+    """(dst_id, anchor, n): each target page's most frequent incoming
+    anchor text (ties → anchor asc).  Per-batch combiner → exact
+    groupby-sum → shuffle-bounded grouped top-1."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    counts = (
+        pages_ds.map_batches(extract_anchor_texts, batch_format="pyarrow")
+        .groupby(["dst_id", "anchor"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return grouped_top_k(counts, "dst_id", "n", "anchor", k=1)
+
+
+def host_link_edges(edges_ds, n_hosts: int):
+    """Page-level edge table → host-level edge rollup
+    (src_host, dst_host, n).  Host assignment is id % n_hosts (the
+    corpus url scheme), so the rollup is a pure map + groupby-sum —
+    no second pass over html."""
+    from ray.data.aggregate import Sum
+
+    def to_host(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False) % n_hosts
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False) % n_hosts
+        return pa.table(
+            {
+                "src_host": pa.array(src.astype(np.int64)),
+                "dst_host": pa.array(dst.astype(np.int64)),
+                "n": t.column("n"),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(to_host, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 _RANK_SCHEMA = pa.schema([("node_id", pa.int64()), ("c", pa.int64())])
 
 # damping 0.85 as the exact rational 17/20; ranks in micro-units.

@@ -101,6 +101,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)
+        timed("leakage_safe_split", q.q_leakage_safe_split)
+        timed("cms_term_counts", q.q_cms_term_counts)
         timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
         timed("simhash_pairs", q.q_simhash_pairs)
         timed("ngram_contamination", q.q_ngram_contamination)

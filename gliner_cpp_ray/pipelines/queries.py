@@ -324,6 +324,78 @@ def _tfidf_sql() -> str:
     )
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Near-dup-aware train/test split: every member of a MinHash
+    near-dup cluster lands on the SAME side (split keyed on cluster_id,
+    not doc_id), so train/test contamination through near-duplicates is
+    impossible by construction.  Same md5-prefix predicate as
+    ``train_test_split`` — shuffle-free given the cluster map."""
+    from gliner_cpp_ray.stages.skew import train_test_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup_clusters(ds, threshold=0.8)
+    return train_test_split(clusters, "cluster_id", 80).select_columns(
+        ["doc_id", "split"]
+    )
+
+
+def _leakage_split_sql() -> str:
+    from gliner_cpp_ray.stages.skew import split_threshold_hex
+
+    th = split_threshold_hex(80)
+    return (
+        f"SELECT doc_id, CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)),"
+        f" 1, 8) < '{th}' THEN 'train' ELSE 'test' END AS split "
+        f"FROM ({_minhash_sql()}) t"
+    )
+
+
+_CMS_TERMS = ["scan", "window", "agg", "dup", "zzz-absent"]
+
+
+def q_cms_term_counts(sf_dir: str):
+    """Count-Min sketch occurrence estimates for query terms.  The
+    sketch is ONE distributed aggregate whose accumulator is the fixed
+    (d, w) count matrix — movement O(tasks · d·w) regardless of corpus
+    size; md5-u60 term hash + Mersenne-31 universal family make every
+    step SQL-expressible, so the approximate ESTIMATES themselves are
+    hash-checked (the KMV discipline applied to Count-Min)."""
+    from gliner_cpp_ray.stages.sketches import cms_term_estimates
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return cms_term_estimates(ds, _CMS_TERMS, d=4, w=1024)
+
+
+def _cms_sql() -> str:
+    from gliner_cpp_ray.stages.sketches import cms_params
+
+    a, b = cms_params(4)
+    perm = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(4)
+    )
+    terms = ", ".join(
+        f"('{t}')" for t in sorted(set(_CMS_TERMS))
+    )
+    u60 = "CAST(concat('0x', substr(md5({0}), 1, 15)) AS BIGINT)"
+    cell = "((p.a * ({0} % 2147483647) + p.b) % 2147483647) % 1024"
+    return (
+        f"WITH tt AS (SELECT lower({_TRIM_SQL}) AS t FROM documents), "
+        "lst AS (SELECT list_filter(string_split_regex(t, '\\s+'), "
+        "x -> x <> '') AS l FROM tt), "
+        "tok AS (SELECT unnest(l) AS w FROM lst), "
+        f"xh AS (SELECT {u60.format('w')} AS x FROM tok), "
+        f"perm AS (SELECT * FROM (VALUES {perm}) t(i, a, b)), "
+        f"cells AS (SELECT p.i, {cell.format('x.x')} AS cell, "
+        "count(*) AS n FROM xh x CROSS JOIN perm p GROUP BY p.i, cell), "
+        f"q AS (SELECT * FROM (VALUES {terms}) t(term)), "
+        f"qc AS (SELECT q.term, p.i, {cell.format(u60.format('q.term'))} AS cell "
+        "FROM q CROSS JOIN perm p) "
+        "SELECT qc.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n "
+        "FROM qc LEFT JOIN cells c ON c.i = qc.i AND c.cell = qc.cell "
+        "GROUP BY qc.term"
+    )
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """EXACT word-trigram Jaccard near-dup pairs: MinHash-LSH over the
     hashed n-gram sets generates candidates, then each candidate is
@@ -1158,7 +1230,9 @@ def queries():
         "lang_id": q_lang_id,
         "minhash_clusters": q_minhash_clusters,
         "minhash_dedup_keep": q_minhash_dedup_keep,
+        "leakage_safe_split": q_leakage_safe_split,
         "tfidf_topk": q_tfidf_topk,
+        "cms_term_counts": q_cms_term_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_contamination": q_ngram_contamination,
@@ -1759,7 +1833,9 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "minhash_dedup_keep": (
             f"SELECT doc_id FROM ({_minhash_sql()}) t WHERE doc_id = cluster_id"
         ),
+        "leakage_safe_split": _leakage_split_sql(),
         "tfidf_topk": _tfidf_sql(),
+        "cms_term_counts": _cms_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

@@ -303,3 +303,100 @@ def count_above_group_quantile(ds, group_col: str, col: str, lo: float,
         return t.append_column("q_bin", pa.array(thr, pa.int64()))
 
     return counts.map_batches(attach, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- Count-Min
+
+_CMS_P = 2_147_483_647  # Mersenne prime 2^31-1 (same family as MinHash)
+_CMS_SEED = 11
+
+
+def cms_params(d: int, seed: int = _CMS_SEED):
+    """Seeded universal-hash family ((a*x + b) mod p) mod w — constants
+    are reproducible on both sides, so the oracle can inline them."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _CMS_P, size=d).astype(np.int64)
+    b = rng.integers(0, _CMS_P, size=d).astype(np.int64)
+    return a, b
+
+
+def _md5_u60(s: str) -> int:
+    """First 15 hex digits of md5 — int64-safe and SQL-expressible
+    (``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)``)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _cms_cells(x: np.ndarray, a: np.ndarray, b: np.ndarray, w: int) -> np.ndarray:
+    """(d, len(x)) cell indices; every intermediate fits int64:
+    a < 2^31, (x mod p) < 2^31 → a*(x%p) < 2^62."""
+    xm = x % _CMS_P
+    return ((a[:, None] * xm[None, :] + b[:, None]) % _CMS_P) % w
+
+
+def cms_build(ds, text_col: str = "text", d: int = 4, w: int = 1024,
+              seed: int = _CMS_SEED) -> np.ndarray:
+    """Distributed Count-Min sketch over the token stream.
+
+    Mergeable like KMV: the accumulator is the fixed-size (d, w) int64
+    count matrix — per-block vectorized accumulation (tokens → per-batch
+    DISTINCT term counts via ``np.unique``; md5 hashed once per distinct
+    term, never per occurrence), tree ``+`` merge.  Data movement is
+    O(tasks · d·w · 8 B), independent of corpus size — the property that
+    makes heavy-hitter estimation a single aggregate at 100 TB.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    a, b = cms_params(d, seed)
+
+    def acc_block(mat: np.ndarray, block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        trimmed = _re2_trim(t.column(text_col))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        words = flat.filter(pa.array(nonempty[parents])).to_pandas().to_numpy()
+        if not len(words):
+            return mat
+        uniq, counts = np.unique(words, return_counts=True)
+        x = np.fromiter((_md5_u60(s) for s in uniq), np.int64, len(uniq))
+        cells = _cms_cells(x, a, b, w)
+        mat = mat.copy()
+        for i in range(d):
+            np.add.at(mat[i], cells[i], counts)
+        return mat
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros((d, w), np.int64),
+        merge=lambda m1, m2: m1 + m2,
+        accumulate_block=acc_block,
+        name="cms",
+    )
+    return ds.aggregate(agg)["cms"]
+
+
+def cms_term_estimates(ds, terms: list[str], text_col: str = "text",
+                       d: int = 4, w: int = 1024,
+                       seed: int = _CMS_SEED) -> pa.Table:
+    """(term, est_n): Count-Min occurrence estimates for query terms —
+    ``min_i sketch[i, h_i(term)]`` (classic CM upper-bound estimator).
+    Pure int64 arithmetic end to end, so the DuckDB transcription of
+    the sketch reproduces the estimates bit-exactly."""
+    a, b = cms_params(d, seed)
+    mat = cms_build(ds, text_col=text_col, d=d, w=w, seed=seed)
+    terms = sorted(set(t.lower() for t in terms))
+    x = np.fromiter((_md5_u60(t) for t in terms), np.int64, len(terms))
+    cells = _cms_cells(x, a, b, w)
+    est = np.min(
+        np.stack([mat[i, cells[i]] for i in range(d)], axis=0), axis=0
+    )
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "est_n": pa.array(est.astype(np.int64)),
+        }
+    )

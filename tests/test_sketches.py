@@ -118,3 +118,47 @@ def test_grouped_histogram_quantiles(ray_session):
     # uniform data: p50 lands mid-range, p90 high
     assert set(out.loc[out["q_pct"] == 50, "bin"]) <= {4, 5}
     assert set(out.loc[out["q_pct"] == 90, "bin"]) <= {8, 9}
+
+
+def test_cms_estimates_upper_bound_and_exactness(ray_session):
+    """CM estimates are exact when no collisions occur (w >> vocab) and
+    are always >= the true count (classic upper-bound property)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import cms_term_estimates
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "  apple  ",
+                "",
+                "durian durian durian durian",
+            ]
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    got = (
+        cms_term_estimates(ds, ["apple", "banana", "cherry", "absent"], w=4096)
+        .to_pandas()
+        .set_index("term")["est_n"]
+        .to_dict()
+    )
+    true = {"absent": 0, "apple": 3, "banana": 2, "cherry": 1}
+    for t, n in true.items():
+        assert got[t] >= n  # never underestimates
+    # with w=4096 and a 5-word vocabulary, collisions are (deterministically)
+    # absent for this seed — estimates are exact
+    assert got == true
+
+
+def test_cms_merge_is_order_independent(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import cms_build
+
+    docs = pd.DataFrame({"text": [f"w{i % 7} filler" for i in range(100)]})
+    m1 = cms_build(rd.from_pandas(docs).repartition(1))
+    m8 = cms_build(rd.from_pandas(docs).repartition(8))
+    assert (m1 == m8).all()

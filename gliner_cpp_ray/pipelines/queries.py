@@ -801,6 +801,29 @@ def q_event_sessions(sf_dir: str):
     return session_counts(ds, gap_s=1800)
 
 
+def q_events_rolling_value(sf_dir: str):
+    """Per-user trailing-3-row rolling value sum, per EVENT — the
+    feature-engineering window shape (ROWS BETWEEN k PRECEDING).  One
+    key-hash bucket shuffle; per-bucket sort + C-level rolling."""
+    from gliner_cpp_ray.stages.windows import rolling_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rolling_per_key(
+        ds, "user_id", "ts", "value_micro", "event_id", window=3
+    )
+
+
 def q_max_order_by_cust(sf_dir: str):
     from ray.data.aggregate import Count, Max
 
@@ -1252,6 +1275,7 @@ def queries():
         "events_hourly": q_events_hourly,
         "events_sliding_3h": q_events_sliding_3h,
         "event_sessions": q_event_sessions,
+        "events_rolling_value": q_events_rolling_value,
         "max_order_by_cust": q_max_order_by_cust,
         "distinct_event_types": q_distinct_event_types,
         "events_by_type_salted": q_events_by_type_salted,
@@ -2073,6 +2097,12 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "events_rolling_value": (
+            "SELECT event_id, CAST(sum(CAST(floor(value * 1000000) AS BIGINT))"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum "
+            "FROM events"
         ),
         "events_asof_order": (
             "WITH m AS (SELECT e.event_id, e.value, o.o_orderkey, "

@@ -119,3 +119,58 @@ def session_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("__bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def rolling_per_key(ds, key_col: str, ts_col: str, val_col: str,
+                    id_col: str, window: int,
+                    n_buckets: int | None = None):
+    """Per-key ordered ROWS window: for every row, the sum of ``val_col``
+    over the last ``window`` rows of its key (inclusive), ordered by
+    (ts, id) — the feature-engineering staple (trailing spend, rolling
+    activity) and the fourth window shape next to tumbling / sliding /
+    session.
+
+    -> Dataset(id, roll_sum) — per-ROW output, so the oracle
+    (``sum(v) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``) hash-checks every row's
+    window, not just aggregates.
+
+    Scale shape: ONE hash-bucket shuffle co-locates each key's rows;
+    the per-bucket reduce is a single sort + pandas C-level
+    ``groupby(...).rolling(...)`` — no per-key Python."""
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: np.zeros(0, np.int64),
+                 "roll_sum": np.zeros(0, np.int64)}
+            )
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        roll = (
+            g.groupby(key_col, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .sum()
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "roll_sum": roll.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

@@ -151,6 +151,16 @@ def _register_builtins() -> None:
     register_stage(
         "term_df_partial", term_doc_frequency_partial, batch_format="pyarrow",
     )
+    from gliner_cpp_ray.stages.linkgraph import (
+        extract_anchor_texts,
+        extract_page_links,
+    )
+    from gliner_cpp_ray.stages.text_analysis import pii_redact, repetition_stats
+
+    register_stage("page_links", extract_page_links, batch_format="pyarrow")
+    register_stage("anchor_texts", extract_anchor_texts, batch_format="pyarrow")
+    register_stage("pii_redact", pii_redact, batch_format="pyarrow")
+    register_stage("repetition_stats", repetition_stats, batch_format="pyarrow")
 
 
 _register_builtins()

@@ -13,9 +13,12 @@ computed with identical tie-breaking).
 
 KG queries run over the deterministic synthetic pages corpus (generated
 idempotently under /tmp, sized by sf) with closed-form expected triples
-as the oracle side.  Non-SQL-expressible ops (NER mentions, MinHash
-clusters, language id, nodes) have no oracle entry — the driver records
-a rows-only check for those.
+as the oracle side.  EVERY query carries a full oracle — the hash
+families were chosen SQL-expressible by design (md5-u60/u64 word and
+shingle hashes, Mersenne-31 universal permutations, literal
+hyperplane/centroid constants), so even the approximate operators
+(MinHash/SimHash/LSH/IVF/KMV/CMS/histogram) are hash-checked rather
+than waived as rows-only.
 """
 
 from __future__ import annotations

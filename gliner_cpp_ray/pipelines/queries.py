@@ -142,6 +142,24 @@ def q_kg_nodes(sf_dir: str):
     )
 
 
+def q_kg_cooccurrence(sf_dir: str):
+    """Entity co-mention graph: documents co-mentioning each unordered
+    canonical-entity pair (context-free canon, as in the node stage).
+    One doc-hash shuffle + whole-bucket vectorized pair expansion —
+    see stages/cooccur.py for the 100-TB shape."""
+    import pickle
+
+    from gliner_cpp_ray.stages.cooccur import cooccurrence_counts
+
+    _, out = _run_kg(sf_dir)
+    with open(os.path.join(out, "canon", "canon_map.pkl"), "rb") as f:
+        canon_map = pickle.load(f)
+    mentions = _read_out(out, "mentions").select_columns(
+        ["doc_id", "text", "label"]
+    )
+    return cooccurrence_counts(mentions, canon_map)
+
+
 def q_page_links(sf_dir: str):
     """Crawl link-graph edges: one regex pass per batch over html, packed
     per-batch pair combiner, exact groupby-sum — raw link occurrences
@@ -1243,6 +1261,7 @@ def queries():
         "kg_edges": q_kg_edges,
         "kg_mentions_by_label": q_kg_mentions_by_label,
         "kg_nodes": q_kg_nodes,
+        "kg_cooccurrence": q_kg_cooccurrence,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -1810,6 +1829,19 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "u AS (SELECT * FROM m UNION ALL SELECT * FROM e) "
             "SELECT canon_id, label, count(*) AS mention_count "
             "FROM u GROUP BY canon_id, label"
+        ),
+        "kg_cooccurrence": (
+            # context-free canon co-mentions: the generator's
+            # expected_mentions records every injected occurrence with
+            # its canon_mention, so distinct-per-doc + self-join is the
+            # closed form of the pipeline's dedup + pair expansion
+            "WITH m AS (SELECT DISTINCT doc_id, canon_mention AS canon_id "
+            f"FROM read_parquet('{mentions_glob}')) "
+            "SELECT a.canon_id AS canon_a, b.canon_id AS canon_b, "
+            "count(*) AS n_docs "
+            "FROM m a JOIN m b ON a.doc_id = b.doc_id "
+            "AND a.canon_id < b.canon_id "
+            "GROUP BY canon_a, canon_b"
         ),
         "page_links": (
             # identical RE2 pattern to stages/linkgraph._PAGE_HREF; nav

@@ -102,6 +102,11 @@ def _register_builtins() -> None:
         batch_format="pyarrow",
         concurrency=default_concurrency(),
     )
+    from gliner_cpp_ray.stages.cooccur import doc_canon_partial
+
+    # caller supplies fn_kwargs={"canon_map": ...} (the pipeline's
+    # persisted canonicalization map) as a per-stage override
+    register_stage("doc_canon_mentions", doc_canon_partial, batch_format="pyarrow")
     from gliner_cpp_ray.stages.windows import add_time_bucket
 
     register_stage("time_bucket", add_time_bucket, batch_format="pyarrow")

@@ -160,6 +160,26 @@ def q_kg_cooccurrence(sf_dir: str):
     return cooccurrence_counts(mentions, canon_map)
 
 
+def q_kg_top_cooccurring(sf_dir: str):
+    """Top-3 co-occurring partners per entity (related-entity ranking,
+    the KG serving primitive built on C48): symmetrize the pair table
+    inside ``map_batches`` — the pair aggregate is already
+    vocabulary²-bounded — then the shuffle-bounded per-group top-k
+    (C33) with a deterministic partner-name tie-break."""
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    _SYM_NAMES = ["entity", "partner", "n_docs"]
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        fwd = t.select(["canon_a", "canon_b", "n_docs"]).rename_columns(_SYM_NAMES)
+        rev = t.select(["canon_b", "canon_a", "n_docs"]).rename_columns(_SYM_NAMES)
+        return pa.concat_tables([fwd, rev])
+
+    co = q_kg_cooccurrence(sf_dir)
+    sym = co.map_batches(symmetrize, batch_format="pyarrow")
+    return grouped_top_k(sym, "entity", "n_docs", "partner", k=3)
+
+
 def q_page_links(sf_dir: str):
     """Crawl link-graph edges: one regex pass per batch over html, packed
     per-batch pair combiner, exact groupby-sum — raw link occurrences
@@ -1262,6 +1282,7 @@ def queries():
         "kg_mentions_by_label": q_kg_mentions_by_label,
         "kg_nodes": q_kg_nodes,
         "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_top_cooccurring": q_kg_top_cooccurring,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -1842,6 +1863,22 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM m a JOIN m b ON a.doc_id = b.doc_id "
             "AND a.canon_id < b.canon_id "
             "GROUP BY canon_a, canon_b"
+        ),
+        "kg_top_cooccurring": (
+            # symmetrized C48 pair table + per-entity top-3 by doc
+            # count, partner-name tie-break — exactly the Ray side's
+            # grouped_top_k ordering (n_docs DESC, partner ASC)
+            "WITH m AS (SELECT DISTINCT doc_id, canon_mention AS canon_id "
+            f"FROM read_parquet('{mentions_glob}')), "
+            "p AS (SELECT a.canon_id AS canon_a, b.canon_id AS canon_b, "
+            "count(*) AS n_docs FROM m a JOIN m b ON a.doc_id = b.doc_id "
+            "AND a.canon_id < b.canon_id GROUP BY canon_a, canon_b), "
+            "s AS (SELECT canon_a AS entity, canon_b AS partner, n_docs FROM p "
+            "UNION ALL SELECT canon_b, canon_a, n_docs FROM p) "
+            "SELECT entity, partner, n_docs FROM ("
+            "SELECT entity, partner, n_docs, row_number() OVER ("
+            "PARTITION BY entity ORDER BY n_docs DESC, partner) AS rn FROM s"
+            ") WHERE rn <= 3"
         ),
         "page_links": (
             # identical RE2 pattern to stages/linkgraph._PAGE_HREF; nav

@@ -1782,7 +1782,7 @@ def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
         "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
         f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), ",
         "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
-        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1)) AS t(u)), ",
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), ",
         "edges AS (SELECT DISTINCT src, dst FROM links), ",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), ",
         "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM h), ",
@@ -1887,7 +1887,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"read_parquet('{pages_glob}')), "
             "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
             " AS src_id, CAST(u AS BIGINT) AS dst_id "
-            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1))"
+            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1))"
             " AS t(u)) "
             "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
         ),
@@ -1897,8 +1897,8 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WITH h AS (SELECT decode(html) AS s FROM "
             f"read_parquet('{pages_glob}')), "
             "m AS (SELECT "
-            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\">([^<]*)</a>', 1)) AS d, "
-            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\">([^<]*)</a>', 2)) AS a "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\">([^<]*)</a>', 1)) AS d, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\">([^<]*)</a>', 2)) AS a "
             "FROM h), "
             "c AS (SELECT CAST(d AS BIGINT) AS dst_id, a AS anchor, "
             "count(*) AS n FROM m GROUP BY d, a) "
@@ -1911,7 +1911,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"read_parquet('{pages_glob}')), "
             "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
             " AS src_id, CAST(u AS BIGINT) AS dst_id "
-            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d{8})\"', 1))"
+            "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1))"
             " AS t(u)) "
             f"SELECT src_id % {_N_HOSTS} AS src_host, "
             f"dst_id % {_N_HOSTS} AS dst_host, count(*) AS n "

@@ -1,6 +1,6 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Scale shapes (see /opt/skills/guides/ray_guide.md "Aggregation at scale"):
+Scale shapes:
 
 * exact: vectorized content-hash column → ``groupby(hash)`` keep-first —
   one shuffle on the hash key;

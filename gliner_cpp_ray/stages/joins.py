@@ -1,4 +1,4 @@
-"""Join strategies (guide: "Joins and lookups").
+"""Join strategies.
 
 * ``broadcast_lookup_join`` — small side broadcast as a dict; vectorized
   pandas map inside ``map_batches``.  No shuffle.  THE default when one
@@ -436,15 +436,19 @@ def build_bloom(keys_ds, key: str, n_bits: int = 1 << 23,
 
 def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
                     n_hashes: int = 4, n_buckets: int | None = None,
-                    broadcast_threshold: int = 1_000_000):
+                    broadcast_threshold: int = 1_000_000,
+                    broadcast_byte_cap: int = 64 << 20):
     """EXACT semi join with an ADAPTIVE physical plan: keep the left
     rows whose key appears in ``right``.  Returns left columns only.
 
-    Small right side (distinct keys <= ``broadcast_threshold``): the
-    exact key set broadcasts once (plain instance state through the
-    object store) and the semi join is a pure map-side ``is_in``
-    filter — ZERO shuffle of the big side.  This is the classic
-    dimension-filter plan; 10^6 int64 keys is ~8 MB of broadcast.
+    Small right side (distinct keys <= ``broadcast_threshold`` AND
+    total key bytes <= ``broadcast_byte_cap``): the exact key set
+    broadcasts once (plain instance state through the object store) and
+    the semi join is a pure map-side ``is_in`` filter — ZERO shuffle of
+    the big side.  This is the classic dimension-filter plan; 10^6
+    int64 keys is ~8 MB of broadcast.  The byte cap matters for wide
+    STRING keys (urls, digests), where a count gate alone would let the
+    driver pull and every task hold an arbitrarily large value set.
 
     Large right side: Bloom prefilter + exact verify —
     1. bloom = distributed OR-aggregate over right keys (bitmap
@@ -467,7 +471,10 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
         .select_columns([on])
         .materialize()  # key-cardinality bounded; avoids schema re-execution
     )
-    if distinct_keys.count() <= broadcast_threshold:
+    if (
+        distinct_keys.count() <= broadcast_threshold
+        and distinct_keys.size_bytes() <= broadcast_byte_cap
+    ):
         keys = distinct_keys.to_pandas()[on].to_numpy()
         key_arr = pa.array(keys)
 

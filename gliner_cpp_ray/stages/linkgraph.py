@@ -8,8 +8,9 @@ onto documents.  Two operators:
   scan is ONE compiled-regex pass over a per-batch concatenated buffer
   (match → source-row attribution via ``np.searchsorted`` on cumulative
   offsets), never a per-row Python ``findall``; per-batch partial counts
-  (packed-u64 ``np.unique``) bound the shuffle at tasks × distinct
-  edges, so raw link occurrences never cross the wire.
+  (packed-u64 ``np.unique`` while ids fit 32 bits, a width-safe
+  structured-view ``np.unique`` above that) bound the shuffle at tasks ×
+  distinct edges, so raw link occurrences never cross the wire.
 
 * ``pagerank``: fixed-iteration PageRank in EXACT integer arithmetic
   (micro-units, damping 17/20, floor division) so the distributed result
@@ -38,8 +39,11 @@ import pyarrow.compute as pc
 from gliner_cpp_ray.stages.joins import bucketed_hash_join
 
 # one pass, one pattern: only hrefs that point at a crawled page match
-# (nav/"about" links fall out for free)
-_PAGE_HREF = re.compile(r'href="[^"]*/p/(\d{8})"')
+# (nav/"about" links fall out for free).  \d+ (not a fixed width): the
+# corpus zero-pads ids to 8 digits but grows past that at >=1e8 pages —
+# a fixed {8} would silently drop every link above that id.  The closing
+# '"' anchors the match.
+_PAGE_HREF = re.compile(r'href="[^"]*/p/(\d+)"')
 _URL_ID = r"/p/(?P<id>\d+)$"  # pc.extract_regex requires named groups
 
 _EDGE_SCHEMA = pa.schema(
@@ -49,6 +53,14 @@ _EDGE_SCHEMA = pa.schema(
 
 def _src_ids(urls: pa.ChunkedArray | pa.Array) -> np.ndarray:
     ex = pc.extract_regex(urls, _URL_ID)
+    # null-safety: a url not matching the pattern yields a null struct,
+    # which to_numpy would surface as NaN and a later int cast would
+    # turn into garbage ids — fail loudly instead
+    if ex.null_count:
+        bad = urls.filter(pc.is_null(ex)).slice(0, 3).to_pylist()
+        raise ValueError(
+            f"{ex.null_count} urls do not match {_URL_ID!r} (e.g. {bad})"
+        )
     return pc.struct_field(ex, "id").cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
@@ -72,17 +84,33 @@ def extract_page_links(batch: pa.Table) -> pa.Table:
     row = np.searchsorted(ends, np.asarray(starts, np.int64), side="right")
     src_m = src[row]
     dst_m = np.asarray(dsts, np.int64)
-    # combiner: pack (src, dst) into u64, count distinct pairs in C
-    packed = (src_m.astype(np.uint64) << np.uint64(32)) | dst_m.astype(np.uint64)
-    uniq, counts = np.unique(packed, return_counts=True)
+    src_u, dst_u, counts = _count_distinct_pairs(src_m, dst_m)
     return pa.table(
-        {
-            "src_id": (uniq >> np.uint64(32)).astype(np.int64),
-            "dst_id": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-            "n": counts.astype(np.int64),
-        },
+        {"src_id": src_u, "dst_id": dst_u, "n": counts.astype(np.int64)},
         schema=_EDGE_SCHEMA,
     )
+
+
+def _count_distinct_pairs(src: np.ndarray, dst: np.ndarray):
+    """Distinct (src, dst) pairs + counts, in C.  Fast path packs both
+    ids into one u64 (valid only while both fit 32 bits — checked, not
+    assumed); ids >= 2^32 take the structured-view path, which is
+    width-safe for the full int64 id space."""
+    if src.size and src.max() < (1 << 32) and dst.max() < (1 << 32) \
+            and src.min() >= 0 and dst.min() >= 0:
+        packed = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(np.uint64)
+        uniq, counts = np.unique(packed, return_counts=True)
+        return (
+            (uniq >> np.uint64(32)).astype(np.int64),
+            (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            counts,
+        )
+    pairs = np.ascontiguousarray(
+        np.stack([src.astype(np.int64), dst.astype(np.int64)], axis=1)
+    )
+    view = pairs.view([("s", np.int64), ("d", np.int64)]).ravel()
+    uniq, counts = np.unique(view, return_counts=True)
+    return uniq["s"].copy(), uniq["d"].copy(), counts
 
 
 def page_link_edges(pages_ds):
@@ -97,7 +125,7 @@ def page_link_edges(pages_ds):
 
 
 # anchor pattern: page-link href + its inner text (never contains '<')
-_ANCHOR = re.compile(r'href="[^"]*/p/(\d{8})">([^<]*)</a>')
+_ANCHOR = re.compile(r'href="[^"]*/p/(\d+)">([^<]*)</a>')
 
 _ANCHOR_SCHEMA = pa.schema(
     [("dst_id", pa.int64()), ("anchor", pa.string()), ("n", pa.int64())]
@@ -180,8 +208,11 @@ _R0 = 1_000_000
 def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None):
     """Integer-exact fixed-iteration PageRank.
 
-    ``edges_ds``: (src_id, dst_id[, n]) — multiplicity is ignored
-    (distinct edges).  ``nodes_ds``: (node_id) — the full vertex set
+    ``edges_ds``: (src_id, dst_id[, n]) — REQUIRED to be distinct
+    (src, dst) pairs; duplicates would inflate both out-degree and
+    contributions.  ``page_link_edges`` satisfies this by construction
+    (it groupby-aggregates to one row per pair); other callers must
+    dedupe first.  ``nodes_ds``: (node_id) — the full vertex set
     (nodes without in-links keep the teleport rank).
 
     Returns a Dataset (node_id, rank_micro).  Exact-integer semantics:

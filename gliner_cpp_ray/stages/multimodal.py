@@ -72,8 +72,9 @@ class FakeDecoder:
 class MediaFeatureStage:
     """Actor-pool stage: payload -> 16-bin byte histogram feature vector.
 
-    Run with SMALL ``batch_size`` (large binary rows; see ray_guide
-    "Memory-aware"): ``map_batches(MediaFeatureStage, batch_size=32,
+    Run with SMALL ``batch_size`` — large binary rows mean a batch ×
+    concurrency must still fit a worker heap:
+    ``map_batches(MediaFeatureStage, batch_size=32,
     concurrency=default_concurrency(), batch_format="pyarrow")``.
     """
 

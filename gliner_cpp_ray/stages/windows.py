@@ -2,14 +2,16 @@
 
 Ray Data is a batch engine with no event-time watermarks; stream-shaped
 semantics are expressed over the events table treated as an ordered,
-partitioned log (see /opt/skills/guides/ray_guide.md, "Streaming-shaped
-workloads"):
+partitioned log:
 
 * ``tumbling_counts`` — fixed windows: vectorized bucket assignment in
   ``map_batches`` + one grouped aggregate (partial-friendly);
 * ``sliding_counts`` — overlapping windows built FROM the tumbling
   aggregate: each event contributes to ``span/step`` buckets, so the
-  slide runs over the (tiny) bucket table, never over raw events;
+  slide runs over the (tiny) bucket table, never over raw events —
+  and the final rolling pass is SPARSE (searchsorted over the sorted
+  present buckets), so a years-wide timestamp range with sparse
+  activity costs O(present buckets), never O(range);
 * ``session_counts`` — per-key gap-based sessions, bucketed by key
   hash: one ``groupby(bucket).map_groups`` whose reduce sorts the WHOLE
   bucket by (key, ts) and counts session starts with one vectorized
@@ -54,15 +56,32 @@ def sliding_counts(ds, ts_col: str = "ts", step_s: int = 3600,
                    span_steps: int = 3) -> pd.DataFrame:
     """Sliding count: for each step bucket b, events in buckets
     (b - span_steps, b].  Computed from the tumbling aggregate (small),
-    finished with a dense rolling sum on the driver."""
+    finished with a SPARSE rolling sum on the driver: candidate output
+    buckets are {p + k : p present, 0 <= k < span} (every such window
+    contains p, so all are non-empty and none are missed), and each
+    window sum is a cumsum difference located by ``searchsorted`` over
+    the sorted present buckets.  Cost is O(present · span), independent
+    of the bucket-id RANGE — a sparse log spanning years at fine
+    granularity never allocates a dense index."""
     base = tumbling_counts(ds, ts_col, step_s).to_pandas()
-    base = base.sort_values("bucket").set_index("bucket")
-    full = np.arange(base.index.min(), base.index.max() + 1, dtype=np.int64)
-    dense = base.reindex(full, fill_value=0)
-    rolled = dense["n"].rolling(span_steps, min_periods=1).sum().astype(np.int64)
-    out = pd.DataFrame({"bucket": full, "n_window": rolled.to_numpy()})
-    # only emit rows where the window is non-empty
-    return out[out["n_window"] > 0].reset_index(drop=True)
+    base = base.sort_values("bucket")
+    present = base["bucket"].to_numpy(dtype=np.int64)
+    counts = base["n"].to_numpy(dtype=np.int64)
+    if not len(present):
+        return pd.DataFrame(
+            {"bucket": np.zeros(0, np.int64), "n_window": np.zeros(0, np.int64)}
+        )
+    cand = np.unique(
+        (present[:, None] + np.arange(span_steps, dtype=np.int64)).ravel()
+    )
+    # window domain ends at the last populated bucket (matches the SQL
+    # form that rolls over generate_series(min(bucket), max(bucket)))
+    cand = cand[cand <= present[-1]]
+    cs = np.concatenate([[0], np.cumsum(counts)])
+    lo = np.searchsorted(present, cand - span_steps, side="right")
+    hi = np.searchsorted(present, cand, side="right")
+    n_window = cs[hi] - cs[lo]
+    return pd.DataFrame({"bucket": cand, "n_window": n_window})
 
 
 def sessions_per_key_reference(g: pd.DataFrame, key_col: str, ts_col: str,
@@ -136,8 +155,10 @@ def rolling_per_key(ds, key_col: str, ts_col: str, val_col: str,
     window, not just aggregates.
 
     Scale shape: ONE hash-bucket shuffle co-locates each key's rows;
-    the per-bucket reduce is a single sort + pandas C-level
-    ``groupby(...).rolling(...)`` — no per-key Python."""
+    the per-bucket reduce is a single sort + a vectorized per-key
+    cumsum-difference (int64-exact for the full int64 range — pandas
+    ``rolling().sum()`` would round-trip through float64 and silently
+    break exactness past 2^53) — no per-key Python."""
     from gliner_cpp_ray.stages.joins import add_bucket
     from gliner_cpp_ray.stages.sizing import default_buckets
 
@@ -150,12 +171,15 @@ def rolling_per_key(ds, key_col: str, ts_col: str, val_col: str,
                  "roll_sum": np.zeros(0, np.int64)}
             )
         g = g.sort_values([key_col, ts_col, id_col], kind="stable")
-        roll = (
-            g.groupby(key_col, sort=False)[val_col]
-            .rolling(window, min_periods=1)
-            .sum()
-            .to_numpy()
-        )
+        # int64-exact rolling sum via per-key cumsum differences —
+        # pandas rolling().sum() goes through float64 and silently
+        # loses exactness past 2^53; cumsum-shift stays integer
+        grp = g.groupby(key_col, sort=False)
+        gcs = grp[val_col].cumsum().to_numpy(dtype=np.int64)
+        pos = grp.cumcount().to_numpy()
+        idx = np.arange(len(g))
+        prev = np.where(pos >= window, idx - window, 0)
+        roll = gcs - np.where(pos >= window, gcs[prev], 0)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),

@@ -140,3 +140,44 @@ def test_page_link_edges_on_generated_corpus(ray_session):
     }
     assert got_d == ref
     assert len(ref) > 100  # the corpus really contains links
+
+
+def test_count_distinct_pairs_width_safe():
+    """ids >= 2^32 must take the structured-view path and stay exact
+    (the u64 pack would corrupt them)."""
+    from gliner_cpp_ray.stages.linkgraph import _count_distinct_pairs
+
+    big = np.int64(1) << np.int64(40)
+    src = np.array([big, big, 1, 1], np.int64)
+    dst = np.array([2, 2, big + 5, 3], np.int64)
+    s, d, n = _count_distinct_pairs(src, dst)
+    got = {(int(a), int(b)): int(c) for a, b, c in zip(s, d, n)}
+    assert got == {(int(big), 2): 2, (1, int(big + 5)): 1, (1, 3): 1}
+
+
+def test_src_ids_raise_on_nonmatching_url():
+    import pyarrow as pa
+    import pytest
+
+    from gliner_cpp_ray.stages.linkgraph import _src_ids
+
+    urls = pa.array(["https://a.example.org/p/00000001", "https://a.example.org/about"])
+    with pytest.raises(ValueError, match="do not match"):
+        _src_ids(urls)
+
+
+def test_page_href_matches_nine_digit_ids():
+    """Link extraction must not silently drop ids past the 8-digit pad
+    (>= 1e8 pages)."""
+    from gliner_cpp_ray.stages.linkgraph import extract_page_links
+
+    html = (
+        '<p><a href="https://h.example.org/p/123456789">x</a>'
+        '<a href="https://h.example.org/p/00000002">y</a></p>'
+    ).encode()
+    t = pa.table(
+        {"url": ["https://h.example.org/p/100000000"], "html": [html]}
+    )
+    out = extract_page_links(t).to_pydict()
+    got = set(zip(out["src_id"], out["dst_id"]))
+    assert got == {(100000000, 123456789), (100000000, 2)}

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def test_session_counts_bucketed_matches_per_key_reference(ray_session):
@@ -37,3 +38,62 @@ def test_session_counts_bucketed_matches_per_key_reference(ray_session):
     assert got == want
     # no one-row-per-key frames: bucket count bounds the group count
     assert len(got) == len(want) == df["user_id"].nunique()
+
+
+def test_sliding_counts_sparse_wide_range(ray_session):
+    """A bucket-id range spanning ~10^9 with only a handful of populated
+    buckets must complete in O(present buckets) — the dense-reindex
+    implementation would allocate a 10^9-row index here."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import sliding_counts
+
+    # second-granularity buckets: 0 (2 events), 1 (1), 10 (1), 10**9 (3)
+    # — a 10^9-wide bucket range; the dense reindex would allocate an
+    # ~8 GB index for these 4 populated buckets
+    bucket_of = [0, 0, 1, 10, 10**9, 10**9, 10**9]
+    base = np.datetime64("1970-01-01T00:00:00.500", "us")
+    ts = np.array([base + np.timedelta64(b, "s") for b in bucket_of])
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+
+    out = sliding_counts(rd.from_arrow(t), step_s=1, span_steps=3)
+    got = dict(zip(out["bucket"], out["n_window"]))
+    # window (b-3, b]: bucket 0 -> 2; 1 -> 3; 2 -> 3 (trailing from 0,1);
+    # 3 -> 1; 10 -> 1; 11/12 -> 1; 10**9 -> 3; beyond max(present) cut
+    assert got == {0: 2, 1: 3, 2: 3, 3: 1, 10: 1, 11: 1, 12: 1, 10**9: 3}
+
+
+def test_rolling_per_key_int64_exact_past_2_53(ray_session):
+    """Window sums beyond 2^53 must stay integer-exact (a float64
+    round-trip would corrupt the low bits)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import rolling_per_key
+
+    big = 2**60
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.zeros(4, np.int64),
+            "ts": pd.to_datetime(
+                np.datetime64("2024-01-01", "us")
+                + np.arange(4).astype("timedelta64[s]")
+            ),
+            "value_micro": np.array([big, big + 1, big + 3, 7], np.int64),
+        }
+    )
+    out = (
+        rolling_per_key(
+            rd.from_pandas(df), "user_id", "ts", "value_micro",
+            "event_id", window=3, n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("event_id")["roll_sum"]
+        .to_dict()
+    )
+    assert out == {
+        0: big,
+        1: 2 * big + 1,
+        2: 3 * big + 4,
+        3: (big + 1) + (big + 3) + 7,
+    }

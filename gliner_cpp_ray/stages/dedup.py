@@ -13,7 +13,10 @@ Scale shapes:
 * the pairwise n-gram Jaccard verifier is shared by tests and callers.
 
 Candidate-pair lists are bounded by true near-duplicate density, not
-corpus size, so the final union-find is driver-side (state/union_find).
+corpus size, so the final union-find is driver-side (state/union_find)
+in the expected case — and SIZE-GATED: past ``KGRAY_UF_DRIVER_PAIR_LIMIT``
+verified pairs (adversarially duplicate-heavy crawls), components come
+from the distributed label propagation in stages/graph.py instead.
 """
 
 from __future__ import annotations
@@ -441,7 +444,8 @@ class _HotBucketFilter:
         return t.filter(pa.array(mask))
 
 
-def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | None = None):
+def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | None = None,
+                           driver_pair_limit: int | None = None):
     """Dataset(doc_id, text) -> Dataset (doc_id, cluster_id).
 
     cluster_id = min doc_id of the near-duplicate component.  The
@@ -450,9 +454,25 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
     back and assignment happens inside ``map_batches`` — the driver
     never materializes the id column (at 10^12 docs that column alone
     is terabytes).
+
+    SIZE GATE: the "bounded by dup density" assumption breaks on a
+    mirror-heavy or boilerplate-flooded crawl, where the verified pair
+    list grows quadratically inside big clusters.  When it exceeds
+    ``driver_pair_limit`` (env ``KGRAY_UF_DRIVER_PAIR_LIMIT``, default
+    5e6 pairs ≈ 80 MB), the components are computed DISTRIBUTED instead
+    (``graph.cc_label_propagation`` — per-round bucketed join +
+    groupby-min, O(1) driver traffic per round), and only the resulting
+    (node, label) table — LINEAR in duplicated docs where the pair list
+    is quadratic — is pulled for the broadcast component map.
     """
+    import os
+
     from gliner_cpp_ray.state.union_find import UnionFind
 
+    if driver_pair_limit is None:
+        driver_pair_limit = int(
+            os.environ.get("KGRAY_UF_DRIVER_PAIR_LIMIT", 5_000_000)
+        )
     signer_kwargs = signer_kwargs or {}
     # materialize: the signature table is consumed twice (bucket counts,
     # then the hot-bucket semi-join) and is small relative to the corpus
@@ -476,8 +496,18 @@ def minhash_dedup_clusters(ds, threshold: float = 0.8, signer_kwargs: dict | Non
 
     verified = cands.map_batches(
         verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
-    )
-    pairs = verified.select_columns(["a", "b"]).to_pandas()
+    ).select_columns(["a", "b"]).materialize()  # consumed twice: count + (pull | CC)
+    if verified.count() > driver_pair_limit:
+        from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+        labels = cc_label_propagation(verified, a_col="a", b_col="b")
+        lab = labels.to_pandas()  # linear in duplicated docs (see docstring)
+        comp = {
+            int(k): int(v)
+            for k, v in zip(lab["node"].to_numpy(), lab["label"].to_numpy())
+        }
+        return assign(comp)
+    pairs = verified.to_pandas()
     uf = UnionFind()
     for x, y in pairs.itertuples(index=False):
         uf.union(int(x), int(y))
@@ -666,15 +696,28 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     store so it is computed once and consumed by both sides — the gram
     table is token-proportional and spillable; it never touches the
     driver.  The train side reduces to DISTINCT gram hashes
-    (vocabulary-bounded); the test side LEFT-joins against it on the
-    hash (bucketed shuffle join), so one final groupby yields both the
-    per-doc gram total and the hit count.  Three shuffles total; no
-    document text crosses the wire — only int64 hashes."""
+    (vocabulary-bounded).  The test side is BLOOM-PREFILTERED map-side
+    (a fixed-size bitmap of the train gram hashes, built by one
+    distributed OR-aggregate and broadcast once via ``ray.put``): test
+    grams that definitely don't occur in train — the vast majority of
+    an uncontaminated corpus — never enter the shuffle at all.
+    Survivors (true hits + bloom false positives) are verified by an
+    exact bucketed inner join against the distinct train grams; per-doc
+    gram TOTALS come from a separate cheap groupby over the unfiltered
+    test grams, and a final doc-keyed left join attaches hit counts
+    (0 where no gram survived).  The answer is exact either way — the
+    bloom only cuts shuffle volume.  No document text crosses the
+    wire — only int64 hashes."""
+    import ray
     import ray.data  # noqa: F401  (ensures Dataset API present)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
-    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.joins import (
+        _bloom_member,
+        bucketed_hash_join,
+        build_bloom,
+    )
     from gliner_cpp_ray.stages.skew import split_threshold_hex
 
     th = split_threshold_hex(train_pct)
@@ -699,10 +742,9 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
 
     grams = ds.map_batches(emit_grams, batch_format="pyarrow").materialize()
 
-    # distinct train gram hashes, carrying a hit marker for the left
-    # join: per-batch sets are already distinct (ngram_hash_set returns
-    # unique values); one groupby dedupes across batches.
-    # Vocabulary-bounded, never corpus-proportional.
+    # distinct train gram hashes: per-batch sets are already distinct
+    # (ngram_hash_set returns unique values); one groupby dedupes across
+    # batches.  Vocabulary-bounded, never corpus-proportional.
     train_x = (
         grams.map_batches(
             lambda t: t.filter(t.column("train")).select(["x"]),
@@ -710,17 +752,9 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
         )
         .groupby("x")
         .aggregate(Count(alias_name="__n"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "x": t.column("x"),
-                    "hit": pa.array(np.ones(t.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        # vocabulary-bounded; materialized so the join's schema() probe
-        # doesn't re-execute the whole distinct aggregate a second time
+        .select_columns(["x"])
+        # vocabulary-bounded; materialized so the bloom build and the
+        # join's schema() probe don't re-execute the distinct aggregate
         .materialize()
     )
 
@@ -731,21 +765,42 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
         batch_format="pyarrow",
     )
 
-    marked = bucketed_hash_join(
-        test_grams, train_x, on="x", n_buckets=n_buckets, how="left"
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "hit": pc.fill_null(t.column("hit"), 0).cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+    # per-doc gram totals: one cheap doc-keyed aggregate over the
+    # UNFILTERED test grams (the bloom below drops non-hits, so totals
+    # must be counted before it)
+    totals = (
+        test_grams.groupby("doc_id")
+        .aggregate(Count(alias_name="n_grams"))
+        .materialize()  # doc-bounded (one row per test doc)
     )
 
-    out = marked.groupby("doc_id").aggregate(
-        Count(alias_name="n_grams"),
-        Sum("hit", alias_name="n_contaminated"),
+    # bloom prefilter: drop definitely-uncontaminated grams map-side
+    n_hashes = 4
+    bits_ref = ray.put(build_bloom(train_x, "x", n_hashes=n_hashes))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)  # zero-copy plasma read, once per task
+        return t.filter(pa.array(_bloom_member(b, t.column("x"), n_hashes)))
+
+    survivors = test_grams.map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: inner join removes bloom false positives; each
+    # (doc, gram) row is unique, so the per-doc count IS the number of
+    # distinct contaminated grams
+    hits = (
+        bucketed_hash_join(
+            survivors, train_x, on="x", n_buckets=n_buckets, how="inner"
+        )
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_contaminated"))
+    )
+    hits_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_contaminated", pa.int64())]
+    )
+
+    out = bucketed_hash_join(
+        totals, hits, on="doc_id", n_buckets=n_buckets, how="left",
+        right_schema=hits_schema,
     )
 
     def cast_int(t: pa.Table) -> pa.Table:
@@ -753,7 +808,9 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
             {
                 "doc_id": t.column("doc_id"),
                 "n_grams": t.column("n_grams").cast(pa.int64()),
-                "n_contaminated": t.column("n_contaminated").cast(pa.int64()),
+                "n_contaminated": pc.fill_null(
+                    t.column("n_contaminated"), 0
+                ).cast(pa.int64()),
             }
         )
 

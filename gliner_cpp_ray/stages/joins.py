@@ -17,9 +17,10 @@
   sorted ``merge_asof`` / equi-merge + between-filter.
 
 Skew note: a hot join key floods one bucket; the fix is salting the
-probe side and replicating the build side per salt (see stages/skew.py
-for the aggregation analog).  The KG pipeline itself avoids keyed skew
-by pre-aggregating before every shuffle.
+probe side and replicating the build side per salt — implemented as
+``bucketed_hash_join(..., salt=N)`` (see stages/skew.py for the
+aggregation analog).  The KG pipeline itself avoids keyed skew by
+pre-aggregating before every shuffle.
 """
 
 from __future__ import annotations
@@ -70,13 +71,26 @@ def _as_arrow_type(t) -> pa.DataType:
 def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
                        how: str = "inner", suffix: str = "_r",
                        left_schema: pa.Schema | None = None,
-                       right_schema: pa.Schema | None = None):
+                       right_schema: pa.Schema | None = None,
+                       salt: int = 1):
     """Partitioned hash join of two Datasets on a key column (integer
     fast path; string/other types bucket via the process-stable pandas
     hash).
 
     ``how`` in {"inner", "left"}.  Right-side columns that collide with
     left names (other than ``on``) are renamed with ``suffix`` first.
+
+    ``salt`` (default 1 = off): hot-key handling.  A key holding a
+    large fraction of the LEFT side floods one bucket group, and that
+    group's merge becomes the straggler (and the peak-memory site).
+    With ``salt=N`` each left row lands in one of N sub-buckets
+    (``bucket*N + row_position%N``) and every RIGHT row is replicated
+    into all N — per-bucket left volume drops ~N× for the hot key at
+    the cost of N× the (small) right side.  Sub-buckets are DISTINCT
+    buckets, so no build row is seen twice by one merge group and
+    inner/left semantics are unchanged.  Use when the left side is
+    probe-heavy with known skew and the right side is the smaller
+    build side.
 
     ``left_schema`` / ``right_schema``: optional explicit Arrow schemas.
     Pass them when a side's schema is statically known and its plan ends
@@ -88,6 +102,8 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     n_buckets = default_buckets(n_buckets)
 
     def names_types(ds, explicit):
@@ -116,8 +132,19 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
     # common schema: on + left columns + right columns (+ side marker)
     def pad(side_cols, schema_types):
         def fn(t: pa.Table, side: int) -> pa.Table:
+            if salt > 1 and side == 1:
+                # replicate the build side into every sub-bucket
+                t = pa.concat_tables([t] * salt)
             t = add_bucket(t, on, n_buckets)
             n = t.num_rows
+            bucket = t.column("__bucket").to_numpy(zero_copy_only=False)
+            if salt > 1:
+                if side == 0:
+                    sub = np.arange(n, dtype=np.int64) % salt
+                else:
+                    # concat order: replica r occupies rows [r*m, (r+1)*m)
+                    sub = (np.arange(n, dtype=np.int64) * salt) // n
+                bucket = bucket * salt + sub
             arrays, names = [], []
             for name, typ in schema_types:
                 names.append(name)
@@ -126,7 +153,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
                 else:
                     arrays.append(pa.nulls(n, typ))
             names += ["__bucket", "__side"]
-            arrays += [t.column("__bucket"), pa.array(np.full(n, side, np.int8))]
+            arrays += [pa.array(bucket), pa.array(np.full(n, side, np.int8))]
             return pa.table(dict(zip(names, arrays)))
 
         return fn
@@ -159,7 +186,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
 
     return (
         lt.union(rt)
-        .repartition(max(n_buckets, 8))  # coalesce slivers pre-shuffle
+        .repartition(max(n_buckets * salt, 8))  # coalesce slivers pre-shuffle
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )

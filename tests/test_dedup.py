@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -249,3 +250,32 @@ def test_simhash_batch_matches_reference_and_sql_oracle():
     con = duckdb.connect()
     con.register("documents", t)
     assert [int(r[1]) for r in con.execute(sig_sql).fetchall()] == got
+
+
+def test_minhash_clusters_distributed_cc_gate(ray_session):
+    """An all-duplicates corpus forced through the size gate
+    (driver_pair_limit=0) must complete via the distributed label
+    propagation and agree exactly with the driver union-find path."""
+    import ray.data as rd
+
+    text = "the same boilerplate page body repeated across every mirror host"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(24)), pa.int64()),
+            "text": pa.array(
+                [text + (" extra" if i % 2 else "") for i in range(24)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    via_driver = (
+        minhash_dedup_clusters(ds, threshold=0.7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    via_cc = (
+        minhash_dedup_clusters(ds, threshold=0.7, driver_pair_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_driver, via_cc)
+    # the corpus really is duplicate-heavy: one giant cluster
+    assert (via_cc["cluster_id"] == 0).sum() >= 12

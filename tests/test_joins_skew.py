@@ -371,3 +371,59 @@ def test_grouped_top_k(ray_session):
         df.sort_values(["g", "v", "id"]).groupby("g", sort=False).head(2)
     )
     assert key(got_min) == key(want_min)
+
+
+def test_bucketed_hash_join_salted_matches_unsalted(ray_session):
+    """salt=N must preserve inner AND left join results exactly while
+    splitting the hot key's probe rows across N sub-buckets."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import add_bucket, bucketed_hash_join
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    # one key holds 50% of the probe side
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n))
+    left = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(0, 150, dtype=np.int64)),
+            "w": pa.array(np.arange(0, 150, dtype=np.int64) * 10),
+        }
+    )
+
+    for how in ("inner", "left"):
+        base = (
+            bucketed_hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k",
+                n_buckets=8, how=how,
+            )
+            .to_pandas().sort_values(["v"]).reset_index(drop=True)
+        )
+        salted = (
+            bucketed_hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k",
+                n_buckets=8, how=how, salt=4,
+            )
+            .to_pandas().sort_values(["v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            base[sorted(base.columns)], salted[sorted(salted.columns)]
+        )
+
+    # white-box: per-bucket probe volume for the hot key drops ~salt×
+    salt = 4
+    bucketed = add_bucket(left, "k", 8).to_pandas()
+    hot = bucketed[bucketed["k"] == 7]
+    unsalted_peak = hot.groupby("__bucket").size().max()
+    sub = np.arange(len(bucketed), dtype=np.int64) % salt
+    bucketed["__salted"] = bucketed["__bucket"] * salt + sub
+    salted_peak = (
+        bucketed[bucketed["k"] == 7].groupby("__salted").size().max()
+    )
+    assert salted_peak <= unsalted_peak / (salt - 1)

@@ -75,6 +75,25 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(_sf_path(sf_dir, table), columns=columns)
 
 
+def _join_buckets(sf_dir: str, *tables: str) -> int:
+    """Data-scaled bucket count for a bucketed join over sf tables.
+
+    The call site knows its input files, so bucket count follows INPUT
+    BYTES (capped at 2×cluster CPUs) per ``bytes_scaled_partitions`` —
+    not raw cluster size.  Two reasons this beats ``default_buckets``
+    here: (1) small inputs pay ~0.1 s of fixed cost per extra bucket
+    across the repartition+groupby pair for zero gain (the r3 bench
+    regression on the as-of/interval joins was exactly 16→64 buckets on
+    a 5 MB input); (2) on the FIXED input of the two-cluster-size
+    scaling run, data-scaled buckets keep shuffle shape identical at
+    both CPU counts instead of inflating fixed costs 4× at the larger
+    one."""
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    total = sum(os.path.getsize(_sf_path(sf_dir, t)) for t in tables)
+    return bytes_scaled_partitions(total)
+
+
 def _corpus(sf_dir: str) -> str:
     return ensure_corpus(n_pages_for_sf(sf_dir), KG_SEED)
 
@@ -1044,7 +1063,10 @@ def q_order_lineitem_join(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, on="o_orderkey")
+    joined = bucketed_hash_join(
+        li, orders, on="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "orders"),
+    )
     return (
         joined.groupby("o_orderpriority")
         .aggregate(
@@ -1093,6 +1115,7 @@ def q_events_asof_order(sf_dir: str):
     joined = asof_join_bucketed(
         ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         tiebreak="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "events", "orders"),
     )
     return joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_events"),
@@ -1144,6 +1167,7 @@ def q_events_in_order_window(sf_dir: str):
     joined = interval_join_bucketed(
         ev, wins, key="user_id", point_col="ts", lo_col="win_lo",
         hi_col="win_hi",
+        n_buckets=_join_buckets(sf_dir, "events", "orders"),
     )
     return joined.groupby("o_orderkey").aggregate(
         Count(alias_name="n_events"),
@@ -1184,6 +1208,7 @@ def q_orders_by_nation(sf_dir: str):
         per_cust,
         cust,
         on="o_custkey",
+        n_buckets=_join_buckets(sf_dir, "orders", "customer"),
         left_schema=pa.schema(
             [("o_custkey", pa.int64()), ("n", pa.int64())]
         ),
@@ -1248,7 +1273,10 @@ def q_lineitem_europe_semi(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag", "l_orderkey"]
     )
-    semi = bloom_semi_join(li, supp_keys, on="l_suppkey")
+    semi = bloom_semi_join(
+        li, supp_keys, on="l_suppkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "supplier"),
+    )
     return semi.groupby("l_returnflag").aggregate(
         Count(alias_name="n_items"),
         Sum("l_orderkey", alias_name="sum_orderkey"),

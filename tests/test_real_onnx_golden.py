@@ -121,3 +121,63 @@ def test_kyiv_golden_through_ner_actor_pool(
             label,
         )
         assert abs(row["prob"] - prob) < PROB_TOL
+
+
+# ---------------------------------------------------------------------
+# Fixture-replay path: runs WITHOUT wheels once tests/fixtures/ holds the
+# outputs of tools/generate_goldens.py (produced in any onnxruntime-
+# capable environment and committed).  Pins A6-A13 on REAL logits.
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+KYIV_NPZ = os.path.join(FIXTURES, "kyiv_logits.npz")
+TOKENIZER_GOLDEN = os.path.join(FIXTURES, "tokenizer_golden.json")
+
+requires_fixture = pytest.mark.skipif(
+    not (os.path.exists(KYIV_NPZ) and os.path.exists(TOKENIZER_GOLDEN)),
+    reason=(
+        "kyiv_logits.npz fixture absent — generate with "
+        "tools/generate_goldens.py in an onnxruntime-capable environment "
+        "and commit tests/fixtures/"
+    ),
+)
+
+
+@requires_fixture
+def test_kyiv_golden_replayed_from_fixture():
+    """Wheel-free weights-level parity: (a) our processor + pure-Python
+    tokenizer must rebuild the recorded ONNX feeds bit-for-bit, and
+    (b) the recorded REAL logits replayed through decode_span_batch must
+    yield the reference golden spans (tests/test.cpp:80-114)."""
+    import numpy as np
+
+    from gliner_cpp_ray.config import GlinerConfig
+    from gliner_cpp_ray.core.decoder import decode_span_batch
+    from gliner_cpp_ray.core.processor import GlinerProcessor
+    from gliner_cpp_ray.core.subword import HFSubwordTokenizer
+
+    rec = np.load(KYIV_NPZ)
+    cfg = GlinerConfig(max_width=12, max_length=512)
+    proc = GlinerProcessor(cfg, HFSubwordTokenizer(TOKENIZER_GOLDEN))
+    batch = proc.prepare_batch([TEXT], LABELS)
+
+    for name, ours in [
+        ("input_ids", batch.input_ids),
+        ("attention_mask", batch.attention_mask),
+        ("words_mask", batch.words_mask),
+        ("text_lengths", batch.text_lengths),
+        ("span_idx", batch.span_idx),
+        ("span_mask", batch.span_mask),
+    ]:
+        np.testing.assert_array_equal(
+            np.asarray(ours), rec[name], err_msg=f"feed {name} diverged"
+        )
+
+    (spans,) = decode_span_batch(
+        batch, [TEXT], LABELS, rec["logits"], flat_ner=True, threshold=0.5
+    )
+    assert len(spans) == len(GOLDEN)
+    for span, (start, end, text, label, prob) in zip(spans, GOLDEN):
+        assert (span.start, span.end, span.text, span.label) == (
+            start, end, text, label,
+        )
+        assert abs(span.prob - prob) < PROB_TOL

@@ -7,6 +7,7 @@ SentencePiece Unigram Viterbi.  If the ``tokenizers`` wheel is present
 """
 
 import json
+import os
 
 import pytest
 
@@ -179,3 +180,32 @@ def test_parity_with_hf_wheel_if_present(tmp_path):
     pure = PureSubwordTokenizer(path)
     for w in ["unaffable", "Kyiv", "citys", "zzz", "a"]:
         assert pure.encode(w) == list(hf.encode(w, add_special_tokens=False).ids)
+
+
+# ---------------------------------------------------------------------
+# Checked-in-golden parity: broad-corpus encodings generated by the REAL
+# rust-tokenizers wheel (tools/generate_goldens.py, run in a capable
+# environment and committed) replayed against the pure-Python encoder.
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+_PARITY_JSON = os.path.join(_FIXTURES, "tokenizer_parity.json")
+_TOKENIZER_GOLDEN = os.path.join(_FIXTURES, "tokenizer_golden.json")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(_PARITY_JSON) and os.path.exists(_TOKENIZER_GOLDEN)),
+    reason=(
+        "tokenizer_parity.json fixture absent — generate with "
+        "tools/generate_goldens.py and commit tests/fixtures/"
+    ),
+)
+def test_parity_against_checked_in_goldens():
+    import json as _json
+
+    with open(_PARITY_JSON) as f:
+        fixture = _json.load(f)
+    pure = PureSubwordTokenizer(_TOKENIZER_GOLDEN)
+    for row in fixture["rows"]:
+        assert pure.encode(row["text"]) == row["ids"], (
+            f"divergence on probe {row['text']!r}"
+        )

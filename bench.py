@@ -94,6 +94,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("KGRAY_SKIP_SECONDARY"):
         timed("page_links", q.q_page_links)
         timed("pagerank", q.q_pagerank)
+        timed("hits", q.q_hits)
         timed("anchor_texts", q.q_anchor_texts)
         timed("host_links", q.q_host_links)
         timed("host_stats", q.q_host_stats)

@@ -234,6 +234,27 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iters=3)
 
 
+def q_hits(sf_dir: str):
+    """Fixed-iteration HITS hubs/authorities over the crawl link graph
+    in EXACT integer arithmetic — two bucketed join + groupby-sum
+    half-steps per iteration, score state distributed end to end."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import _src_ids, hits_scores, page_link_edges
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    edges = page_link_edges(pages)
+
+    def node_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pa.array(_src_ids(t.column("url")))})
+
+    nodes = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url"]
+    ).map_batches(node_ids, batch_format="pyarrow")
+    return hits_scores(edges, nodes, n_iters=2)
+
+
 def q_anchor_texts(sf_dir: str):
     """Top incoming anchor text per target page — the link-graph signal
     entity linking and IR features feed on."""
@@ -1349,6 +1370,7 @@ def queries():
         "kg_top_cooccurring": q_kg_top_cooccurring,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "anchor_texts": q_anchor_texts,
         "host_links": q_host_links,
         "host_stats": q_host_stats,
@@ -1855,6 +1877,43 @@ def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
     return sql + f" SELECT id AS node_id, r AS rank_micro FROM r{n_iters}"
 
 
+def _hits_sql(pages_glob: str, n_iters: int = 2, scale_shift: int = 0) -> str:
+    """Literal transcription of stages/linkgraph.hits_scores: exact-int
+    HITS half-steps unrolled ``n_iters`` times — bit-identical to the
+    distributed result (int64 sums, optional floor-division rescale)."""
+    div = f" // {1 << scale_shift}" if scale_shift else ""
+    parts = [
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), ",
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), ",
+        "edges AS (SELECT DISTINCT src, dst FROM links), ",
+        "h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM h), ",
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"a{k}s AS (SELECT e.dst AS id, CAST(sum(x.s){div} AS BIGINT) AS s "
+            f"FROM edges e JOIN h{k - 1} x ON x.id = e.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"a{k} AS (SELECT h.id, CAST(coalesce(a.s, 0) AS BIGINT) AS s "
+            f"FROM h LEFT JOIN a{k}s a ON a.id = h.id), "
+        )
+        parts.append(
+            f"h{k}s AS (SELECT e.src AS id, CAST(sum(x.s){div} AS BIGINT) AS s "
+            f"FROM edges e JOIN a{k} x ON x.id = e.dst GROUP BY e.src), "
+        )
+        parts.append(
+            f"h{k} AS (SELECT h.id, CAST(coalesce(x.s, 0) AS BIGINT) AS s "
+            f"FROM h LEFT JOIN h{k}s x ON x.id = h.id), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return sql + (
+        f" SELECT a.id AS node_id, a.s AS auth_micro, x.s AS hub_micro "
+        f"FROM a{n_iters} a JOIN h{n_iters} x ON x.id = a.id"
+    )
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -1945,6 +2004,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
         ),
         "pagerank": _pagerank_sql(pages_glob),
+        "hits": _hits_sql(pages_glob),
         "anchor_texts": (
             # DuckDB zips parallel unnests of the two capture-group lists
             "WITH h AS (SELECT decode(html) AS s FROM "

@@ -322,3 +322,140 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
         )
 
     return ranks.map_batches(final, batch_format="pyarrow")
+
+
+def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
+                n_buckets: int | None = None, scale_shift: int = 0):
+    """Integer-exact fixed-iteration HITS (hubs & authorities) — the
+    second classic link-graph centrality next to ``pagerank``, and the
+    standard crawl-quality prior distinguishing directories (hubs) from
+    endorsed content (authorities).
+
+    ``edges_ds``: (src_id, dst_id[, n]) — REQUIRED distinct pairs
+    (``page_link_edges`` output qualifies); multiplicity is ignored.
+    ``nodes_ds``: (node_id) — full vertex set, so isolated nodes emit
+    score 0 rows.
+
+    Exact-integer semantics (every engine reproduces them bit-for-bit):
+      h_0(u) = 1_000_000
+      a_k(v) = (Σ_{(u,v)∈E} h_{k-1}(u)) // 2^scale_shift
+      h_k(u) = (Σ_{(u,v)∈E} a_k(v))     // 2^scale_shift
+    No float normalization — magnitudes grow like
+    (max_indeg · max_outdeg)^k · 1e6, so int64 holds n_iters=2 up to
+    degree ~2e3 at shift 0; set ``scale_shift`` (a per-half-step floor
+    right-shift, SQL-replicable as ``// (1 << shift)``) to buy headroom
+    on hub-heavy graphs.
+
+    Returns Dataset (node_id, auth_micro, hub_micro).
+
+    Scale shape (same as ``pagerank``): the two edge layouts (keyed by
+    src for the authority step, by dst for the hub step) materialize
+    ONCE into the object store; each half-step is one bucketed hash
+    join + one groupby-sum, all exchanges partitioned on node id; score
+    state stays a distributed Dataset end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    score_schema = pa.schema([("node_id", pa.int64()), ("s", pa.int64())])
+    edge_schema = pa.schema([("node_id", pa.int64()), ("other", pa.int64())])
+
+    def keyed(t: pa.Table, key: str, other: str) -> pa.Table:
+        return pa.table(
+            {"node_id": t.column(key), "other": t.column(other)},
+            schema=edge_schema,
+        )
+
+    by_src = edges_ds.map_batches(
+        lambda t: keyed(t, "src_id", "dst_id"), batch_format="pyarrow"
+    ).materialize()
+    by_dst = edges_ds.map_batches(
+        lambda t: keyed(t, "dst_id", "src_id"), batch_format="pyarrow"
+    ).materialize()
+    if n_buckets is None:
+        n_buckets = max(
+            8, min(default_buckets(None), by_src.count() // 250_000)
+        )
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "s": pa.array(np.zeros(t.num_rows, np.int64)),
+            },
+            schema=score_schema,
+        )
+
+    nodes_zero = nodes_ds.map_batches(zero, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "s": pa.array(np.full(t.num_rows, 1_000_000, np.int64)),
+            },
+            schema=score_schema,
+        )
+
+    def half_step(edge_tbl, scores):
+        """scores keyed on edge_tbl's node_id -> summed onto 'other'."""
+        joined = bucketed_hash_join(
+            edge_tbl,
+            scores,
+            on="node_id",
+            n_buckets=n_buckets,
+            left_schema=edge_schema,
+            right_schema=score_schema,
+        )
+
+        def flip(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node_id": t.column("other"), "s": t.column("s")},
+                schema=score_schema,
+            )
+
+        summed = (
+            joined.map_batches(flip, batch_format="pyarrow")
+            .union(nodes_zero)
+            .groupby("node_id")
+            .aggregate(Sum("s", alias_name="s"))
+        )
+
+        def rescale(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            if scale_shift:
+                s = s >> scale_shift  # == // (1 << shift); s never negative
+            return pa.table(
+                {"node_id": t.column("node_id"), "s": pa.array(s)},
+                schema=score_schema,
+            )
+
+        return summed.map_batches(rescale, batch_format="pyarrow")
+
+    hub = nodes_ds.map_batches(seed, batch_format="pyarrow")
+    auth = None
+    for _ in range(n_iters):
+        auth = half_step(by_src, hub).materialize()  # reused by the hub step
+        hub = half_step(by_dst, auth)
+
+    final = bucketed_hash_join(
+        auth,
+        hub,
+        on="node_id",
+        n_buckets=n_buckets,
+        suffix="_h",
+        left_schema=score_schema,
+        right_schema=score_schema,
+    )
+
+    def name_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "auth_micro": t.column("s"),
+                "hub_micro": t.column("s_h"),
+            }
+        )
+
+    return final.map_batches(name_out, batch_format="pyarrow")

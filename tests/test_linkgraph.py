@@ -181,3 +181,78 @@ def test_page_href_matches_nine_digit_ids():
     out = extract_page_links(t).to_pydict()
     got = set(zip(out["src_id"], out["dst_id"]))
     assert got == {(100000000, 123456789), (100000000, 2)}
+
+
+def _hits_numpy(edges, n, n_iters=2, shift=0):
+    """Reference exact-integer HITS on the driver."""
+    h = {i: 1_000_000 for i in range(n)}
+    a = {}
+    for _ in range(n_iters):
+        a = {i: 0 for i in range(n)}
+        for s, d in edges:
+            a[d] += h[s]
+        a = {i: v >> shift for i, v in a.items()}
+        h = {i: 0 for i in range(n)}
+        for s, d in edges:
+            h[s] += a[d]
+        h = {i: v >> shift for i, v in h.items()}
+    return a, h
+
+
+@pytest.mark.parametrize("seed,shift", [(0, 0), (1, 0), (2, 3)])
+def test_hits_matches_integer_reference(ray_session, seed, shift):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import hits_scores
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    edges = sorted(
+        {(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(120)}
+    )
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in edges], pa.int64()),
+                "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    nodes_ds = rd.from_arrow(
+        pa.table({"node_id": pa.array(list(range(n)), pa.int64())})
+    )
+    got = (
+        hits_scores(edges_ds, nodes_ds, n_iters=2, scale_shift=shift)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    want_a, want_h = _hits_numpy(edges, n, 2, shift)
+    assert got["auth_micro"].tolist() == [want_a[i] for i in range(n)]
+    assert got["hub_micro"].tolist() == [want_h[i] for i in range(n)]
+
+
+def test_hits_isolated_nodes_score_zero(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import hits_scores
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([0], pa.int64()),
+                "dst_id": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    nodes_ds = rd.from_arrow(pa.table({"node_id": pa.array([0, 1, 2], pa.int64())}))
+    got = (
+        hits_scores(edges_ds, nodes_ds, n_iters=2)
+        .to_pandas()
+        .set_index("node_id")
+    )
+    # node 2 is isolated: both scores 0
+    assert got.loc[2, "auth_micro"] == 0 and got.loc[2, "hub_micro"] == 0
+    # node 0 points at 1: auth(0)=0, hub(1)=0
+    assert got.loc[0, "auth_micro"] == 0
+    assert got.loc[1, "hub_micro"] == 0

@@ -110,11 +110,19 @@ def decode_span_batch(
 
     ends_grid = np.arange(W, dtype=np.int64)[:, None] + np.arange(K, dtype=np.int64)[None, :]
 
+    # ONE batch-level argwhere: rows come out sorted by (b, s, w, e)
+    # row-major, so each doc's slice preserves the reference flat-scan
+    # candidate order; end < ntok ⇒ start < ntok (width ≥ 0)
+    ntoks = np.fromiter(
+        (len(t) for t in batch.token_texts), np.int64, count=B
+    )
+    valid3 = ends_grid[None, :, :] < ntoks[:, None, None]
+    cand_all = np.argwhere(over & valid3[:, :, :, None])
+    bounds = np.searchsorted(cand_all[:, 0], np.arange(B + 1))
+
     results: list[list[Span]] = []
     for b in range(B):
-        ntok = len(batch.token_texts[b])
-        valid = ends_grid < ntok  # end < ntok ⇒ start < ntok (width ≥ 0)
-        cand = np.argwhere(over[b] & valid[:, :, None])  # row-major = flat order
+        cand = cand_all[bounds[b]: bounds[b + 1], 1:]
         spans: list[Span] = []
         if cand.size:
             tstarts = batch.token_starts[b]

@@ -95,6 +95,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("page_links", q.q_page_links)
         timed("pagerank", q.q_pagerank)
         timed("hits", q.q_hits)
+        timed("link_triangles", q.q_link_triangles)
         timed("anchor_texts", q.q_anchor_texts)
         timed("host_links", q.q_host_links)
         timed("host_stats", q.q_host_stats)

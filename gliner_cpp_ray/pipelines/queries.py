@@ -255,6 +255,19 @@ def q_hits(sf_dir: str):
     return hits_scores(edges, nodes, n_iters=2)
 
 
+def q_link_triangles(sf_dir: str):
+    """Per-node triangle counts on the undirected link graph —
+    degree-ordered orientation tames hub skew (one apex per triangle,
+    out-degree O(sqrt(E)) on any graph)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import page_link_edges, triangle_counts
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
+    return triangle_counts(page_link_edges(pages))
+
+
 def q_anchor_texts(sf_dir: str):
     """Top incoming anchor text per target page — the link-graph signal
     entity linking and IR features feed on."""
@@ -1371,6 +1384,7 @@ def queries():
         "page_links": q_page_links,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "link_triangles": q_link_triangles,
         "anchor_texts": q_anchor_texts,
         "host_links": q_host_links,
         "host_stats": q_host_stats,
@@ -1914,6 +1928,37 @@ def _hits_sql(pages_glob: str, n_iters: int = 2, scale_shift: int = 0) -> str:
     )
 
 
+def _triangles_sql(pages_glob: str) -> str:
+    """Literal transcription of stages/linkgraph.triangle_counts:
+    undirected distinct edges, (degree, id)-ordered orientation (ties
+    to the smaller id, i.e. ``deg_u <= deg_v`` since u < v), wedge
+    self-join with ``dst_b < dst_c``, closing join on the same packed
+    int64 key, one credit per triangle corner."""
+    return (
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), "
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+        "e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM links WHERE src <> dst), "
+        "deg AS (SELECT node_id, count(*) AS deg FROM (SELECT u AS node_id "
+        "FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node_id), "
+        "o AS (SELECT CASE WHEN du.deg <= dv.deg THEN e0.u ELSE e0.v END AS src, "
+        "CASE WHEN du.deg <= dv.deg THEN e0.v ELSE e0.u END AS dst "
+        "FROM e0 JOIN deg du ON du.node_id = e0.u "
+        "JOIN deg dv ON dv.node_id = e0.v), "
+        "w AS (SELECT o1.src AS a, o1.dst * 4294967296 + o2.dst AS k "
+        "FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst), "
+        "ek AS (SELECT u * 4294967296 + v AS k FROM e0), "
+        "tri AS (SELECT w.a, w.k FROM w JOIN ek ON ek.k = w.k), "
+        "cr AS (SELECT a AS node_id FROM tri UNION ALL "
+        "SELECT k // 4294967296 FROM tri UNION ALL "
+        "SELECT k % 4294967296 FROM tri) "
+        "SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM cr GROUP BY node_id"
+    )
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -2005,6 +2050,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "pagerank": _pagerank_sql(pages_glob),
         "hits": _hits_sql(pages_glob),
+        "link_triangles": _triangles_sql(pages_glob),
         "anchor_texts": (
             # DuckDB zips parallel unnests of the two capture-group lists
             "WITH h AS (SELECT decode(html) AS s FROM "

@@ -459,3 +459,186 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
         )
 
     return final.map_batches(name_out, batch_format="pyarrow")
+
+
+def triangle_counts(edges_ds, n_buckets: int | None = None):
+    """Per-node triangle counts on the undirected link graph — the
+    clustering/spam-farm signal (dense mutual-link neighborhoods) next
+    to the two centralities.
+
+    ``edges_ds``: (src_id, dst_id[, n]) directed page links; direction
+    and multiplicity are ignored, self-loops dropped.
+
+    Returns Dataset (node_id, n_triangles) for nodes in >= 1 triangle.
+
+    Scale shape — DEGREE-ORDERED orientation, the standard skew tamer:
+    every undirected edge is directed from its (degree, id)-smaller
+    endpoint, so each triangle has exactly ONE apex (its minimum vertex
+    in that order) and per-apex out-degree is O(sqrt(|E|)) on ANY graph
+    — a celebrity page with 10^7 in-links generates wedges only from
+    its few low-degree-endpoint out-edges, never 10^14 pairs.  Stages:
+    two bucketed joins attach endpoint degrees, one apex-hash shuffle
+    expands wedges per whole bucket (vectorized pandas self-merge), one
+    bucketed semi-join closes wedges against the edge set, and a final
+    groupby-sum credits each triangle to its three corners.
+
+    The closing join packs (b, c) into one int64 (``b * 2**32 + c``,
+    replicated literally by the SQL oracle); ids must fit 31 bits —
+    checked, with the width-safe struct-key alternative documented at
+    ``_count_distinct_pairs``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+    from gliner_cpp_ray.stages.joins import add_bucket, bucketed_hash_join
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    und_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        if s.size and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
+                       or s.min() < 0 or d.min() < 0):
+            raise ValueError(
+                "triangle_counts packs (b, c) into int64: node ids must "
+                "be in [0, 2^31); use a struct key beyond that"
+            )
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"u": np.minimum(s, d), "v": np.maximum(s, d)},
+            schema=und_schema,
+        )
+
+    und = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["u", "v"])
+        .materialize()  # consumed three times: degrees, orient, close
+    )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.concat_arrays(
+                    [t.column("u").combine_chunks(),
+                     t.column("v").combine_chunks()]
+                )
+            }
+        )
+
+    deg = (
+        und.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Count(alias_name="deg"))
+    )
+    deg_schema = pa.schema([("node_id", pa.int64()), ("deg", pa.int64())])
+
+    j1 = bucketed_hash_join(
+        und.map_batches(
+            lambda t: t.rename_columns(["node_id", "v"]), batch_format="pyarrow"
+        ),
+        deg,
+        on="node_id",
+        n_buckets=n_buckets,
+        left_schema=pa.schema([("node_id", pa.int64()), ("v", pa.int64())]),
+        right_schema=deg_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": t.column("node_id"), "node_id": t.column("v"),
+             "deg_u": t.column("deg")}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        deg,
+        on="node_id",
+        n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [("u", pa.int64()), ("node_id", pa.int64()), ("deg_u", pa.int64())]
+        ),
+        right_schema=deg_schema,
+    )
+
+    oriented_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("node_id").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg").to_numpy(zero_copy_only=False)
+        # ties go to u: u < v by construction, so (deg, id) order
+        # reduces to deg_u <= deg_v
+        take_u = du <= dv
+        return pa.table(
+            {
+                "src": np.where(take_u, u, v),
+                "dst": np.where(take_u, v, u),
+            },
+            schema=oriented_schema,
+        )
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "k": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g[["src", "dst"]]
+        m = g.merge(g, on="src", suffixes=("_b", "_c"))
+        m = m[m["dst_b"] < m["dst_c"]]
+        k = m["dst_b"].to_numpy(np.int64) * np.int64(1 << 32) + m[
+            "dst_c"
+        ].to_numpy(np.int64)
+        return pd.DataFrame({"a": m["src"].to_numpy(np.int64), "k": k})
+
+    wedges = (
+        oriented.map_batches(
+            lambda t: add_bucket(t, "src", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(wedge_bucket, batch_format="pandas")
+    )
+
+    und_keys = und.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.add(
+                    pc.multiply(t.column("u"), pa.scalar(1 << 32, pa.int64())),
+                    t.column("v"),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    tri = bucketed_hash_join(
+        wedges,
+        und_keys,
+        on="k",
+        n_buckets=n_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64())]),
+    )
+
+    def credits(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = k >> np.int64(32)
+        c = k & np.int64((1 << 32) - 1)
+        return pa.table({"node_id": np.concatenate([a, b, c])})
+
+    return (
+        tri.map_batches(credits, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Count(alias_name="n_triangles"))
+    )

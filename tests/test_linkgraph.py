@@ -256,3 +256,67 @@ def test_hits_isolated_nodes_score_zero(ray_session):
     # node 0 points at 1: auth(0)=0, hub(1)=0
     assert got.loc[0, "auth_micro"] == 0
     assert got.loc[1, "hub_micro"] == 0
+
+
+def _triangles_numpy(edges):
+    """Reference per-node triangle counts on the undirected graph."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_triangle_counts_match_reference(ray_session, seed):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import triangle_counts
+
+    rng = np.random.default_rng(seed)
+    n = 25
+    edges = sorted(
+        {(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(90)}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in edges], pa.int64()),
+                "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = (
+        triangle_counts(ds)
+        .to_pandas()
+        .set_index("node_id")["n_triangles"]
+        .to_dict()
+    )
+    want = _triangles_numpy(edges)
+    assert got == want
+    assert want  # the random graph actually has triangles
+
+
+def test_triangle_counts_rejects_wide_ids(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import triangle_counts
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([1 << 31], pa.int64()),
+                "dst_id": pa.array([5], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="2\\^31|int64|struct"):
+        triangle_counts(ds).to_pandas()

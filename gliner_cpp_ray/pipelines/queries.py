@@ -177,7 +177,20 @@ def q_kg_cooccurrence(sf_dir: str):
     mentions = _read_out(out, "mentions").select_columns(
         ["doc_id", "text", "label"]
     )
-    return cooccurrence_counts(mentions, canon_map)
+    # data-scaled shuffle parallelism: the caller can see the checkpoint
+    # parquet bytes, so the doc-hash bucket count follows input volume
+    # (floor 8) instead of cluster CPUs — see _join_buckets for why
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    mbytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, names in os.walk(os.path.join(out, "mentions"))
+        for f in names
+        if f.endswith(".parquet")
+    )
+    return cooccurrence_counts(
+        mentions, canon_map, n_buckets=bytes_scaled_partitions(mbytes)
+    )
 
 
 def q_kg_top_cooccurring(sf_dir: str):

@@ -493,8 +493,6 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
     from gliner_cpp_ray.stages.joins import add_bucket, bucketed_hash_join
     from gliner_cpp_ray.stages.sizing import default_buckets
 
-    n_buckets = default_buckets(n_buckets)
-
     und_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
     def undirect(t: pa.Table) -> pa.Table:
@@ -520,6 +518,11 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
         .select_columns(["u", "v"])
         .materialize()  # consumed three times: degrees, orient, close
     )
+    if n_buckets is None:
+        # rows-scaled, cluster-capped (same rationale as pagerank): the
+        # ~8 exchanges pay per-group fixed costs, so small graphs must
+        # not fan out to per_cpu × CPUs groups
+        n_buckets = max(8, min(default_buckets(None), und.count() // 250_000))
 
     def both_ends(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -82,7 +82,7 @@ _CP_S = regex.compile(r"\s", regex.UNICODE)
 def _split_unicode(text: str) -> tuple[np.ndarray, np.ndarray, list[str]]:
     global _CP_TABLES
     try:
-        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
     except UnicodeEncodeError:  # lone surrogates: regex path handles them
         return _split_regex(text)
     if _CP_TABLES is None:

@@ -75,6 +75,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(_sf_path(sf_dir, table), columns=columns)
 
 
+def _path_bytes(path: str) -> int:
+    """Total parquet bytes under ``path`` (a file or a directory)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+
 def _join_buckets(sf_dir: str, *tables: str) -> int:
     """Data-scaled bucket count for a bucketed join over sf tables.
 
@@ -90,8 +102,36 @@ def _join_buckets(sf_dir: str, *tables: str) -> int:
     one."""
     from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
 
-    total = sum(os.path.getsize(_sf_path(sf_dir, t)) for t in tables)
+    total = sum(_path_bytes(_sf_path(sf_dir, t)) for t in tables)
     return bytes_scaled_partitions(total)
+
+
+def _ray_session_tag() -> str:
+    """Current Ray session identity for cache invalidation: a cached
+    MaterializedDataset's blocks die with the session, so a cache hit
+    from a previous ``ray.init`` must be treated as a miss."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.get_runtime_context().get_job_id() or "none"
+    except Exception:
+        pass
+    return "none"
+
+
+# per-sf_dir caches for materialized SMALL intermediates that several
+# registry queries share (the driver runs them back-to-back in one
+# process).  Keyed by (sf_dir, ray session) — see _ray_session_tag.
+_QUERY_CACHE: dict[tuple[str, str, str], Any] = {}
+
+
+def _cached(kind: str, sf_dir: str, build):
+    key = (kind, sf_dir, _ray_session_tag())
+    got = _QUERY_CACHE.get(key)
+    if got is None:
+        got = _QUERY_CACHE[key] = build()
+    return got
 
 
 def _corpus(sf_dir: str) -> str:
@@ -182,12 +222,7 @@ def q_kg_cooccurrence(sf_dir: str):
     # (floor 8) instead of cluster CPUs — see _join_buckets for why
     from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
 
-    mbytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, names in os.walk(os.path.join(out, "mentions"))
-        for f in names
-        if f.endswith(".parquet")
-    )
+    mbytes = _path_bytes(os.path.join(out, "mentions"))
     return cooccurrence_counts(
         mentions, canon_map, n_buckets=bytes_scaled_partitions(mbytes)
     )
@@ -213,37 +248,50 @@ def q_kg_top_cooccurring(sf_dir: str):
     return grouped_top_k(sym, "entity", "n_docs", "partner", k=3)
 
 
+def _link_graph(sf_dir: str):
+    """(edges, nodes) of the crawl link graph, materialized ONCE per
+    (sf_dir, ray session): four registry queries (page_links, pagerank,
+    hits, link_triangles) consume the same full-corpus regex scan, and
+    both tables are distinct-edge / node-id bounded — small relative to
+    the corpus, spillable in the object store."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import _src_ids, page_link_edges
+
+    def build():
+        corpus = _corpus(sf_dir)
+        pages = rd.read_parquet(
+            os.path.join(corpus, "pages"), columns=["url", "html"]
+        )
+        edges = page_link_edges(pages).materialize()
+
+        def node_ids(t: pa.Table) -> pa.Table:
+            return pa.table({"node_id": pa.array(_src_ids(t.column("url")))})
+
+        nodes = (
+            rd.read_parquet(os.path.join(corpus, "pages"), columns=["url"])
+            .map_batches(node_ids, batch_format="pyarrow")
+            .materialize()
+        )
+        return edges, nodes
+
+    return _cached("link_graph", sf_dir, build)
+
+
 def q_page_links(sf_dir: str):
     """Crawl link-graph edges: one regex pass per batch over html, packed
     per-batch pair combiner, exact groupby-sum — raw link occurrences
     never cross the wire."""
-    import ray.data as rd
-
-    from gliner_cpp_ray.stages.linkgraph import page_link_edges
-
-    corpus = _corpus(sf_dir)
-    ds = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-    return page_link_edges(ds)
+    return _link_graph(sf_dir)[0]
 
 
 def q_pagerank(sf_dir: str):
     """Fixed-iteration PageRank over the crawl link graph in EXACT
     integer arithmetic — rank state stays a distributed Dataset, one
     bucketed join + one groupby-sum per iteration."""
-    import ray.data as rd
+    from gliner_cpp_ray.stages.linkgraph import pagerank
 
-    from gliner_cpp_ray.stages.linkgraph import _src_ids, page_link_edges, pagerank
-
-    corpus = _corpus(sf_dir)
-    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-    edges = page_link_edges(pages)
-
-    def node_ids(t: pa.Table) -> pa.Table:
-        return pa.table({"node_id": pa.array(_src_ids(t.column("url")))})
-
-    nodes = rd.read_parquet(
-        os.path.join(corpus, "pages"), columns=["url"]
-    ).map_batches(node_ids, batch_format="pyarrow")
+    edges, nodes = _link_graph(sf_dir)
     return pagerank(edges, nodes, n_iters=3)
 
 
@@ -251,20 +299,9 @@ def q_hits(sf_dir: str):
     """Fixed-iteration HITS hubs/authorities over the crawl link graph
     in EXACT integer arithmetic — two bucketed join + groupby-sum
     half-steps per iteration, score state distributed end to end."""
-    import ray.data as rd
+    from gliner_cpp_ray.stages.linkgraph import hits_scores
 
-    from gliner_cpp_ray.stages.linkgraph import _src_ids, hits_scores, page_link_edges
-
-    corpus = _corpus(sf_dir)
-    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-    edges = page_link_edges(pages)
-
-    def node_ids(t: pa.Table) -> pa.Table:
-        return pa.table({"node_id": pa.array(_src_ids(t.column("url")))})
-
-    nodes = rd.read_parquet(
-        os.path.join(corpus, "pages"), columns=["url"]
-    ).map_batches(node_ids, batch_format="pyarrow")
+    edges, nodes = _link_graph(sf_dir)
     return hits_scores(edges, nodes, n_iters=2)
 
 
@@ -272,13 +309,10 @@ def q_link_triangles(sf_dir: str):
     """Per-node triangle counts on the undirected link graph —
     degree-ordered orientation tames hub skew (one apex per triangle,
     out-degree O(sqrt(E)) on any graph)."""
-    import ray.data as rd
+    from gliner_cpp_ray.stages.linkgraph import triangle_counts
 
-    from gliner_cpp_ray.stages.linkgraph import page_link_edges, triangle_counts
-
-    corpus = _corpus(sf_dir)
-    pages = rd.read_parquet(os.path.join(corpus, "pages"), columns=["url", "html"])
-    return triangle_counts(page_link_edges(pages))
+    edges, _ = _link_graph(sf_dir)
+    return triangle_counts(edges)
 
 
 def q_anchor_texts(sf_dir: str):
@@ -378,16 +412,12 @@ def q_lang_id(sf_dir: str):
 # cluster_id) row per doc — object-store-resident, spillable) is cached
 # per sf_dir instead of re-running the whole signature+LSH+verify
 # pipeline three times
-_MINHASH_CLUSTER_CACHE: dict[str, Any] = {}
-
-
 def _minhash_clusters_cached(sf_dir: str):
-    got = _MINHASH_CLUSTER_CACHE.get(sf_dir)
-    if got is None:
+    def build():
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        got = minhash_dedup_clusters(ds, threshold=0.8).materialize()
-        _MINHASH_CLUSTER_CACHE[sf_dir] = got
-    return got
+        return minhash_dedup_clusters(ds, threshold=0.8).materialize()
+
+    return _cached("minhash_clusters", sf_dir, build)
 
 
 def q_minhash_clusters(sf_dir: str):

@@ -798,8 +798,15 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
         [("doc_id", pa.int64()), ("n_contaminated", pa.int64())]
     )
 
+    # the final join is DOC-bounded (one row per test doc), not
+    # gram-bounded: size its buckets from the materialized totals count
+    # instead of reusing the gram-scale n_buckets (per-bucket fixed
+    # costs dominate a tiny join — the r3 as-of-join lesson)
+    from gliner_cpp_ray.stages.sizing import default_buckets as _db
+
+    doc_buckets = max(8, min(_db(n_buckets), totals.count() // 100_000))
     out = bucketed_hash_join(
-        totals, hits, on="doc_id", n_buckets=n_buckets, how="left",
+        totals, hits, on="doc_id", n_buckets=doc_buckets, how="left",
         right_schema=hits_schema,
     )
 

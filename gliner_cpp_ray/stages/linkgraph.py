@@ -358,6 +358,8 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
 
     from gliner_cpp_ray.stages.sizing import default_buckets
 
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
     score_schema = pa.schema([("node_id", pa.int64()), ("s", pa.int64())])
     edge_schema = pa.schema([("node_id", pa.int64()), ("other", pa.int64())])
 

@@ -61,6 +61,13 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
     from gliner_cpp_ray.stages.joins import bucketed_hash_join
 
     adj = _undirected_adjacency(edges_ds, a_col, b_col).materialize()
+    if n_buckets is None:
+        # rows-scaled, cluster-capped (pagerank/triangles rationale):
+        # every round pays per-bucket fixed costs across a join + a
+        # groupby, so small graphs must not fan out to 2×CPU groups
+        from gliner_cpp_ray.stages.sizing import default_buckets
+
+        n_buckets = max(8, min(default_buckets(None), adj.count() // 250_000))
     # round 0: label(u) = min neighbor (self loop ⇒ includes u)
     labels = (
         adj.groupby("node").aggregate(Min("nbr", alias_name="label"))

@@ -175,29 +175,54 @@ def decode_token_batch(
 
     results: list[list[Span]] = [[] for _ in range(B)]
     cand = np.argwhere(start_p >= threshold)  # (b, s, e) row-major = start_id order
+    if not cand.size:
+        return results
+    # The scan from a start position only *reads* positions whose END
+    # score clears the threshold (an under-threshold end `continue`s
+    # without consulting the inside score) and stops at the first such
+    # position whose INSIDE score fails.  So per (doc, entity) column we
+    # precompute: the end-qualified position list `idxs`, their inside
+    # values, and the indices within `idxs` where inside fails
+    # (`bad_js`).  A candidate start s then emits exactly
+    # idxs[j0:jb] where j0 = first idx >= s and jb = first bad >= j0 —
+    # O(log + emitted) per candidate instead of O(W), with the running
+    # inside-mean reproduced by an in-order cumsum over the same float64
+    # additions the sequential loop performs.
+    ntoks = [len(tt) for tt in batch.token_texts]
+    tbs: dict[int, bytes] = {}
+    helpers: dict[tuple[int, int], tuple] = {}
     for b, s, e in cand:
-        ntok = len(batch.token_texts[b])
+        b, s, e = int(b), int(s), int(e)
+        ntok = ntoks[b]
         if s >= ntok:
             continue  # guard (see docstring)
-        tstarts = batch.token_starts[b]
-        tends = batch.token_ends[b]
-        tb = texts[b].encode("utf-8")
+        h = helpers.get((b, e))
+        if h is None:
+            stop = min(W, ntok)  # reference scans to W; guard caps at ntok
+            idxs = np.flatnonzero(end_p[b, :stop, e] >= threshold)
+            ins_vals = inside_p[b, idxs, e].astype(np.float64)
+            bad_js = np.flatnonzero(ins_vals < threshold)
+            helpers[(b, e)] = h = (idxs, ins_vals, bad_js)
+        idxs, ins_vals, bad_js = h
+        j0 = int(np.searchsorted(idxs, s))
+        if j0 >= len(idxs):
+            continue
+        k = int(np.searchsorted(bad_js, j0))
+        jb = int(bad_js[k]) if k < len(bad_js) else len(idxs)
+        if jb <= j0:
+            continue
+        tb = tbs.get(b)
+        if tb is None:
+            tbs[b] = tb = texts[b].encode("utf-8")
+        si = int(batch.token_starts[b][s])
+        ps = np.cumsum(ins_vals[j0:jb])
+        ps /= np.arange(1, jb - j0 + 1, dtype=np.float64)
         label = entities[e]
-        score_sum = 0.0
-        n = 0
-        si = int(tstarts[s])
+        tends = batch.token_ends[b]
         spans_b = results[b]
-        stop = min(W, ntok)  # reference scans to W; guard caps at ntok
-        for t in range(s, stop):
-            if end_p[b, t, e] < threshold:
-                continue
-            ins = float(inside_p[b, t, e])
-            if ins < threshold:
-                break
-            score_sum += ins
-            n += 1
-            ei = int(tends[t])
+        for off, j in enumerate(range(j0, jb)):
+            ei = int(tends[idxs[j]])
             spans_b.append(
-                Span(si, ei, tb[si:ei].decode("utf-8"), label, score_sum / n)
+                Span(si, ei, tb[si:ei].decode("utf-8"), label, float(ps[off]))
             )
     return [greedy_search(sp, flat_ner, multi_label) for sp in results]

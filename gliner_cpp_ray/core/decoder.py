@@ -188,9 +188,25 @@ def decode_token_batch(
     # O(log + emitted) per candidate instead of O(W), with the running
     # inside-mean reproduced by an in-order cumsum over the same float64
     # additions the sequential loop performs.
+    # A candidate's emissions form a *chain*: spans sharing one byte
+    # start with strictly increasing ends.  Under the greedy pass this
+    # structure collapses (multi_label=False only — identical spans
+    # never conflict under multi_label, breaking the collapse at chain
+    # boundaries): consecutive chain elements always conflict (same
+    # start), so a chain reduces to its first maximum-prob element; and
+    # because byte starts are nondecreasing in candidate order, the
+    # running candidate `prev` conflicts with a later chain iff
+    # ``chain_start <= prev.end`` — uniformly for every element, in both
+    # flat and nested modes (the extra nested branches are subsumed:
+    # prev.start <= chain_start always holds).  So for multi_label=False
+    # we fold chains directly into the final output without
+    # materializing the (worst-case quadratic) emission list the
+    # reference walks; output is element-identical.
+    fold = not multi_label
     ntoks = [len(tt) for tt in batch.token_texts]
     tbs: dict[int, bytes] = {}
     helpers: dict[tuple[int, int], tuple] = {}
+    prevs: list[tuple | None] = [None] * B  # per-doc running candidate
     for b, s, e in cand:
         b, s, e = int(b), int(s), int(e)
         ntok = ntoks[b]
@@ -211,18 +227,49 @@ def decode_token_batch(
         jb = int(bad_js[k]) if k < len(bad_js) else len(idxs)
         if jb <= j0:
             continue
-        tb = tbs.get(b)
-        if tb is None:
-            tbs[b] = tb = texts[b].encode("utf-8")
         si = int(batch.token_starts[b][s])
         ps = np.cumsum(ins_vals[j0:jb])
         ps /= np.arange(1, jb - j0 + 1, dtype=np.float64)
-        label = entities[e]
         tends = batch.token_ends[b]
+        if fold:
+            # first-wins chain max (greedy's strict-> running compare)
+            kmax = int(np.argmax(ps))
+            p = float(ps[kmax])
+            ei = int(tends[idxs[j0 + kmax]])
+            prev = prevs[b]
+            if prev is None:
+                prevs[b] = (si, ei, e, p)
+            elif si <= prev[1]:  # conflicts with every chain element
+                if p > prev[3]:
+                    prevs[b] = (si, ei, e, p)
+            else:
+                results[b].append(prev)
+                prevs[b] = (si, ei, e, p)
+            continue
+        tb = tbs.get(b)
+        if tb is None:
+            tbs[b] = tb = texts[b].encode("utf-8")
+        label = entities[e]
         spans_b = results[b]
         for off, j in enumerate(range(j0, jb)):
             ei = int(tends[idxs[j]])
             spans_b.append(
                 Span(si, ei, tb[si:ei].decode("utf-8"), label, float(ps[off]))
             )
-    return [greedy_search(sp, flat_ner, multi_label) for sp in results]
+    if not fold:
+        return [greedy_search(sp, flat_ner, multi_label) for sp in results]
+    out: list[list[Span]] = []
+    for b in range(B):
+        prev = prevs[b]
+        if prev is not None:
+            results[b].append(prev)
+        tb = tbs.get(b)
+        if tb is None and results[b]:
+            tb = texts[b].encode("utf-8")
+        out.append(
+            [
+                Span(si, ei, tb[si:ei].decode("utf-8"), entities[e], p)
+                for si, ei, e, p in results[b]
+            ]
+        )
+    return out

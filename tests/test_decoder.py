@@ -241,3 +241,44 @@ def test_randomized_token_parity(seed):
     for flat in (True, False):
         for ml in (True, False):
             run_both_token(batch, texts, ents, logits, flat_ner=flat, multi_label=ml)
+
+
+def test_token_long_same_label_run_not_quadratic():
+    """A contiguous run of n same-label hits makes every start's scan
+    reach the end of the run: the reference loop materializes O(n^2)
+    emissions before greedy.  The fold path must produce the identical
+    final output (cross-checked vs the oracle at small n) in O(total
+    chain length) numpy work, with no per-emission Python objects."""
+    import time
+
+    ents = ["x"]
+    # exactness at oracle-affordable size: distinct above-threshold
+    # logits (an exact tie is ulp-sensitive: the float64 oracle and the
+    # float32 implementation — like the reference's float math — round
+    # running means differently, so selection in a tie is unspecified)
+    rng = np.random.default_rng(42)
+    texts = [" ".join(["aa"] * 200)]
+    batch = make_batch(texts, ents, max_width=12, model_type=TOKEN_LEVEL)
+    logits = rng.uniform(1.0, 5.0, size=(3, 1, batch.num_words, 1)).astype(np.float32)
+    out = run_both_token(batch, texts, ents, logits)
+    assert len(out[0]) > 0
+
+    # exact-tie case: pin the implementation's (float32-sigmoid) result —
+    # constant running means never strictly exceed the first, so every
+    # chain collapses to its single-word head
+    logits = np.full((3, 1, batch.num_words, 1), 4.0, dtype=np.float32)
+    out = decode_token_batch(batch, texts, ents, logits, True, 0.5, False)
+    assert len(out[0]) == 200
+    assert all(s.end - s.start == 2 for s in out[0])
+
+    # scale: 5k-run would be ~12.5M Span objects on the materializing
+    # path; the fold does ~12.5M float64 cumsum steps instead
+    texts = [" ".join(["aa"] * 5000)]
+    batch = make_batch(texts, ents, max_width=12, model_type=TOKEN_LEVEL)
+    logits = np.full(3 * batch.num_words, 4.0, dtype=np.float32)
+    t0 = time.perf_counter()
+    out = decode_token_batch(batch, texts, ents, logits, True, 0.5, False)
+    dt = time.perf_counter() - t0
+    assert len(out[0]) == 5000
+    assert all(s.end - s.start == 2 for s in out[0])
+    assert dt < 10.0, f"token decode took {dt:.1f}s — quadratic materialization?"

@@ -478,6 +478,134 @@ def _tfidf_sql() -> str:
     )
 
 
+def q_bm25_topk(sf_dir: str):
+    """Integer-exact BM25 ranked retrieval (C52): log-free idf + the
+    k1=1.2 / b=0.75 length normalizer carried through scaled int64
+    rationals — same two-pass streaming shape as TF-IDF (query-bounded
+    stats shuffle, broadcast weights, per-batch top-k combiner)."""
+    from gliner_cpp_ray.stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, _TFIDF_TERMS, k=20)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in _TFIDF_TERMS)
+    return (
+        f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t FROM documents), "
+        "lst AS (SELECT doc_id, list_filter(string_split_regex(t, '\\s+'), "
+        "x -> x <> '') AS l FROM tt), "
+        "tok AS (SELECT doc_id, unnest(l) AS w FROM lst), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+        "av AS (SELECT n, (1000 * tot) // n AS avgdl_milli FROM "
+        "(SELECT (SELECT count(*) FROM documents) AS n, "
+        "(SELECT count(*) FROM tok) AS tot)), "
+        f"q AS (SELECT * FROM (VALUES {terms}) t(w)), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok JOIN q USING (w) "
+        "GROUP BY doc_id, w), "
+        "dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w), "
+        # per-(doc,term) contribution floored exactly as the Ray side:
+        # (w_t · 22·tf·avgdl_milli) // (10·tf·avgdl_milli + 3·avgdl_milli
+        # + 9000·dl) with w_t = (10000·N)//df
+        "sc AS (SELECT tf.doc_id, CAST(sum("
+        "(((10000 * av.n) // dfq.df) * (22 * tf.tf * av.avgdl_milli)) // "
+        "(10 * tf.tf * av.avgdl_milli + 3 * av.avgdl_milli + 9000 * dl.dl)"
+        ") AS BIGINT) AS score_micro "
+        "FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN av "
+        "GROUP BY tf.doc_id) "
+        "SELECT doc_id, score_micro, CAST(row_number() OVER ("
+        "ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank "
+        "FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20"
+    )
+
+
+def q_kg_inferred_country(sf_dir: str):
+    """KG relation composition (C53): infer a country for every entity
+    with a city-valued edge (org headquartered_in CITY, person born_in
+    CITY) by composing with the city→country edges (located_in ∪
+    capital_of).  The location side is vocabulary-bounded (one row per
+    (city, country) canon pair), so it is collected once and broadcast
+    map-side — the corpus-scale entity side never shuffles for the
+    join; one (subj, country) groupby-sum lands the result."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges")
+    loc_preds = pa.array(["located_in", "capital_of"])
+    ent_preds = pa.array(["headquartered_in", "born_in"])
+
+    def loc_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("pred"), value_set=loc_preds))
+
+    # city→country weight table: canon-vocabulary-bounded (≤ |cities|
+    # × |countries| in any world), safe to collect and broadcast
+    loc = (
+        edges.map_batches(loc_rows, batch_format="pyarrow")
+        .groupby(["subj_canon", "obj_canon"])
+        .aggregate(Sum("weight", alias_name="w_loc"))
+        .to_pandas()
+        .rename(columns={"subj_canon": "city", "obj_canon": "country"})
+    )
+
+    def compose(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("pred"), value_set=ent_preds))
+        df = pd.DataFrame(
+            {
+                "subj_canon": t.column("subj_canon").to_pandas(),
+                "city": t.column("obj_canon").to_pandas(),
+                "w_ent": t.column("weight").to_pandas(),
+            }
+        )
+        j = df.merge(loc, on="city")
+        return pa.table(
+            {
+                "subj_canon": pa.array(j["subj_canon"], pa.string()),
+                "obj_canon": pa.array(j["country"], pa.string()),
+                "support": pa.array(
+                    (j["w_ent"].to_numpy() * j["w_loc"].to_numpy()).astype("int64")
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(compose, batch_format="pyarrow")
+        .groupby(["subj_canon", "obj_canon"])
+        .aggregate(Count(alias_name="n_paths"), Sum("support", alias_name="support"))
+    )
+
+
+def q_host_link_components(sf_dir: str):
+    """Weakly connected components of the INTRA-host link graph (C54):
+    site-structure clusters — which pages of one host link into one
+    navigable group.  Host membership is a pure function of the page id
+    (sources/pages.url_of), so the filter is map-side arithmetic on the
+    cached edge table; components come from the distributed
+    label-propagation CC (the same stage the dedup keep-list gates to
+    under adversarial dup density)."""
+    import numpy as np
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+
+    edges, _ = _link_graph(sf_dir)
+
+    def intra(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((src % N_HOSTS) == (dst % N_HOSTS)))
+
+    cc = cc_label_propagation(
+        edges.map_batches(intra, batch_format="pyarrow"),
+        a_col="src_id",
+        b_col="dst_id",
+    )
+    return cc.map_batches(
+        lambda t: t.rename_columns(["node_id", "component"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1403,7 +1531,11 @@ def queries():
     round since r1/r2 — sit at the tail where a budget cut costs the
     least fresh information."""
     return {
-        # -- never driver-checked before round 4: run these FIRST
+        # -- new in round 4, never driver-checked: run these FIRST
+        "bm25_topk": q_bm25_topk,
+        "kg_inferred_country": q_kg_inferred_country,
+        "host_link_components": q_host_link_components,
+        # -- never driver-checked before round 4
         "top_terms_per_lang": q_top_terms_per_lang,
         "docs_above_median_chars": q_docs_above_median_chars,
         "event_props_k_stats": q_event_props_k_stats,
@@ -2092,6 +2224,45 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
         ),
         "pagerank": _pagerank_sql(pages_glob),
+        "host_link_components": (
+            # intra-host edge filter is id arithmetic (host = id % N_HOSTS,
+            # sources/pages.url_of); components via recursive reachability
+            # closure + min-id per node — closure volume is bounded by
+            # Σ |component|², tiny for host-local subgraphs
+            "WITH RECURSIVE l AS ("
+            "SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+            " AS src_id, CAST(u AS BIGINT) AS dst_id "
+            f"FROM (SELECT url, decode(html) AS s FROM read_parquet('{pages_glob}')) h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+            "e AS (SELECT DISTINCT src_id, dst_id FROM l "
+            f"WHERE src_id % {_N_HOSTS} = dst_id % {_N_HOSTS}), "
+            "und AS (SELECT src_id a, dst_id b FROM e "
+            "UNION SELECT dst_id, src_id FROM e), "
+            "reach(a, b) AS (SELECT a, a FROM und UNION SELECT a, b FROM und "
+            "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) "
+            "SELECT a AS node_id, CAST(min(b) AS BIGINT) AS component "
+            "FROM reach GROUP BY a"
+        ),
+        "kg_inferred_country": (
+            # closed form over the generator's expected triples: canon
+            # edges regrouped, location side (located_in ∪ capital_of)
+            # composed onto city-valued entity edges
+            "WITH e AS (SELECT subj_canon, pred, obj_canon, "
+            "count(*) AS weight "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon), "
+            "loc AS (SELECT subj_canon AS city, obj_canon AS country, "
+            "CAST(sum(weight) AS BIGINT) AS w FROM e "
+            "WHERE pred IN ('located_in', 'capital_of') "
+            "GROUP BY subj_canon, obj_canon), "
+            "ent AS (SELECT subj_canon, obj_canon AS city, weight FROM e "
+            "WHERE pred IN ('headquartered_in', 'born_in')) "
+            "SELECT ent.subj_canon, loc.country AS obj_canon, "
+            "count(*) AS n_paths, "
+            "CAST(sum(ent.weight * loc.w) AS BIGINT) AS support "
+            "FROM ent JOIN loc USING (city) "
+            "GROUP BY ent.subj_canon, loc.country"
+        ),
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
         "anchor_texts": (
@@ -2133,6 +2304,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "leakage_safe_split": _leakage_split_sql(),
         "tfidf_topk": _tfidf_sql(),
+        "bm25_topk": _bm25_sql(),
         "cms_term_counts": _cms_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),

@@ -166,3 +166,142 @@ def tfidf_topk(ds, terms: list[str], k: int = 20,
 
     # combiner output is ≤ tasks × k rows; one coalesce + one tiny sort
     return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- BM25
+
+_N_TOKENS_KEY = "__n_tokens__"
+BM25_SCALE = 10_000  # idf scale; smaller than TF-IDF's because the
+# per-term contribution multiplies w_t by the 22·tf·avgdl_milli
+# numerator: w_t·NUM must stay under 2^63.  Headroom at sf scales:
+# w_t <= 1e4·N/df, NUM <= 22·dl·avgdl_milli — with 1e6 docs of ~1e3
+# tokens that is ~1e10·2e10 only if df=1 AND tf=dl; real query terms
+# keep both factors orders of magnitude lower.  At 10^12 docs drop
+# BM25_SCALE to 1 (3 fewer digits of idf resolution), as retrieval.py's
+# TF-IDF note prescribes for SCALE.
+
+
+class Bm25StatsPartial(QueryDfPartial):
+    """Per-batch (term, df) partials plus BOTH corpus counters the BM25
+    normalizer needs: ``__n_docs__`` and ``__n_tokens__`` (avgdl =
+    tokens/docs).  One combinable pass; shuffle stays tasks × |terms|."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = super().__call__(batch)
+        flat_len = len(_tokens(batch, self.text_col)[0])
+        extra = pa.table(
+            {"term": pa.array([_N_TOKENS_KEY], pa.string()),
+             "n": pa.array([flat_len], pa.int64())}
+        )
+        return pa.concat_tables([t, extra])
+
+
+class Bm25Scorer:
+    """Vectorized integer-exact BM25 (k1=1.2, b=0.75) + top-k combiner.
+
+    All arithmetic is int64 with every rational scaled through
+    ``avgdl_milli = (1000·total_tokens)//n_docs``: per (doc, term)
+
+        contribution = (w_t · 22·tf·avgdl_milli)
+                       // (10·tf·avgdl_milli + 3·avgdl_milli + 9000·dl)
+
+    which is tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) with numerator and
+    denominator both multiplied by 10·avgdl_milli (k1·(1−b)=0.3,
+    k1·b=0.9 — exact decimals), floored once.  A DuckDB transcription
+    with BIGINT ``//`` reproduces every score bit-for-bit."""
+
+    def __init__(self, weights: dict[str, int], avgdl_milli: int, k: int,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.terms = sorted(weights)
+        self.w = np.array([weights[t] for t in self.terms], np.int64)
+        self.avgdl_milli = int(avgdl_milli)
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokens(batch, self.text_col)
+        dl = np.bincount(parents, minlength=n).astype(np.int64)
+        score = np.zeros(n, np.int64)
+        # hit = any query term present (NOT score>0): a floored
+        # contribution of 0 must still keep the doc in the ranking,
+        # exactly as the SQL's tf rows do
+        hit = np.zeros(n, bool)
+        flat_np = flat.to_pandas().to_numpy() if len(flat) else np.array([], object)
+        av = self.avgdl_milli
+        for ti, term in enumerate(self.terms):
+            m = flat_np == term
+            if not m.any():
+                continue
+            tf = np.bincount(parents[m], minlength=n).astype(np.int64)
+            num = self.w[ti] * 22 * tf * av
+            den = 10 * tf * av + 3 * av + 9000 * dl
+            score += num // den  # tf=0 rows: num=0 → contribution 0
+            hit |= tf > 0
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column(self.id_col).to_pandas().to_numpy()[hit],
+                "score_micro": score[hit],
+            }
+        ).sort_values(["score_micro", "doc_id"], ascending=[False, True]).head(self.k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("doc_id", batch.schema.field(self.id_col).type),
+                       ("score_micro", pa.int64())])
+        )
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k docs by integer-exact BM25 for a bag-of-terms query.
+
+    Same two-pass streaming shape as ``tfidf_topk`` (query-bounded
+    stats shuffle; broadcast weights; per-batch top-k combiner), with
+    the BM25 length normalizer: idf is the log-free
+    ``(BM25_SCALE·N)//df`` variant, tf-saturation k1=1.2, length
+    penalty b=0.75 against the corpus average doc length.  Returns
+    (doc_id, score_micro, rank) by (score desc, doc_id asc)."""
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.map_batches(Bm25StatsPartial(terms, text_col), batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |terms|+2 rows — query-bounded, never corpus-bounded
+    )
+    by_term = dict(zip(stats["term"], stats["n"].astype(int)))
+    n_docs = by_term.pop(_N_DOCS_KEY, 0)
+    n_tokens = by_term.pop(_N_TOKENS_KEY, 0)
+    weights = {
+        t: (BM25_SCALE * n_docs) // df for t, df in by_term.items() if df > 0
+    }
+    if not weights or n_docs == 0 or n_tokens == 0:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array([], t.schema.field(id_col).type),
+                    "score_micro": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).limit(0)
+    avgdl_milli = (1000 * n_tokens) // n_docs
+
+    scored = ds.map_batches(
+        Bm25Scorer(weights, avgdl_milli, k, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_micro", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # combiner output is ≤ tasks × k rows; one coalesce + one tiny sort
+    return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")

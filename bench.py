@@ -100,6 +100,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("host_links", q.q_host_links)
         timed("host_stats", q.q_host_stats)
         timed("tfidf_topk", q.q_tfidf_topk)
+        timed("bm25_topk", q.q_bm25_topk)
+        timed("kg_inferred_country", q.q_kg_inferred_country)
+        timed("host_link_components", q.q_host_link_components)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

@@ -1236,6 +1236,19 @@ def q_distinct_users_kmv(sf_dir: str):
     return pd.DataFrame({"k": [_KMV_K], "estimate": [est]}).astype("int64")
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Grouped KMV distinct-count (C55): distinct users PER event type,
+    fully distributed — per-batch grouped bottom-k partials, ONE
+    bucket-hash shuffle of (group, hash) rows, per-group estimator
+    inside whole-bucket reduces; the driver never sees a hash.  Same
+    md5 + pure-int64 estimator as C20, so every per-group ESTIMATE is
+    itself hash-checked by the oracle."""
+    from gliner_cpp_ray.stages.sketches import grouped_kmv_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_kmv_distinct(ds, "event_type", "user_id", k=_KMV_K)
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash split; emits per-split counts."""
     from ray.data.aggregate import Count
@@ -1535,6 +1548,7 @@ def queries():
         "bm25_topk": q_bm25_topk,
         "kg_inferred_country": q_kg_inferred_country,
         "host_link_components": q_host_link_components,
+        "distinct_users_per_type": q_distinct_users_per_type,
         # -- never driver-checked before round 4
         "top_terms_per_lang": q_top_terms_per_lang,
         "docs_above_median_chars": q_docs_above_median_chars,
@@ -2532,6 +2546,24 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(CASE WHEN (SELECT cnt FROM n) < 64 THEN (SELECT cnt FROM n) "
             "ELSE 63 * 4294967296 // (SELECT v FROM kth) END AS BIGINT) "
             "AS estimate"
+        ),
+        "distinct_users_per_type": (
+            # grouped bottom-k: row_number per group over the same md5
+            # ordering; groups with < k distinct users are exact, the
+            # rest use the k-th hash's leading 32 bits — all BIGINT
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "md5(CAST(user_id AS VARCHAR)) AS hv FROM events), "
+            "r AS (SELECT event_type, hv, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+            "n AS (SELECT event_type, count(*) AS cnt FROM h "
+            "GROUP BY event_type), "
+            "kth AS (SELECT event_type, "
+            "CAST(concat('0x', substr(hv, 1, 8)) AS BIGINT) AS v "
+            "FROM r WHERE rn = 64) "
+            "SELECT n.event_type, CAST(64 AS BIGINT) AS k, "
+            "CAST(CASE WHEN n.cnt < 64 THEN n.cnt "
+            "ELSE 63 * 4294967296 // kth.v END AS BIGINT) AS estimate "
+            "FROM n LEFT JOIN kth USING (event_type)"
         ),
         "train_test_split": (
             "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "

@@ -400,3 +400,77 @@ def cms_term_estimates(ds, terms: list[str], text_col: str = "text",
             "est_n": pa.array(est.astype(np.int64)),
         }
     )
+
+
+class GroupedKmvPartial:
+    """Per-batch grouped KMV partial: the k smallest distinct
+    value-hashes PER group present in the batch.  Shuffle volume is
+    tasks × groups-per-task × k rows — corpus-size independent."""
+
+    def __init__(self, group_col: str, col: str, k: int = _K_DEFAULT):
+        self.group_col = group_col
+        self.col = col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column(self.group_col).to_pandas(),
+                "v": batch.column(self.col).to_pandas(),
+            }
+        ).drop_duplicates()
+        df["h"] = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in df["v"]
+        ]
+        df = df.drop(columns="v").drop_duplicates()
+        kept = (
+            df.sort_values(["g", "h"])
+            .groupby("g", sort=False)
+            .head(self.k)
+        )
+        return pa.table(
+            {
+                "g": pa.array(kept["g"], batch.schema.field(self.group_col).type),
+                "h": pa.array(kept["h"], pa.string()),
+            }
+        )
+
+
+def grouped_kmv_distinct(ds, group_col: str, col: str,
+                         k: int = _K_DEFAULT, n_buckets: int | None = None):
+    """Distinct-count estimate of ``col`` PER ``group_col`` value.
+
+    Fully distributed: per-batch grouped partials → one bucket-hash
+    shuffle of the (group, hash) rows (≤ tasks × groups × k) → per-group
+    bottom-k estimator inside whole-bucket vectorized reduces.  Unlike
+    the global ``kmv_distinct_count``, the driver never sees a hash.
+    Returns a Dataset of (group_col, k, estimate), both int64."""
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if n_buckets is None:
+        n_buckets = max(4, default_buckets(None) // 4)
+    partial = ds.map_batches(
+        GroupedKmvPartial(group_col, col, k), batch_format="pyarrow"
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, sub in g.groupby("g", sort=False):
+            rows.append((grp, kmv_estimate_from_hashes(sub["h"].tolist(), k)))
+        out = pd.DataFrame(rows, columns=[group_col, "estimate"])
+        out["k"] = np.int64(k)
+        out["estimate"] = out["estimate"].astype("int64")
+        return out[[group_col, "k", "estimate"]]
+
+    return (
+        partial.map_batches(
+            lambda df: add_key_bucket(df, ["g"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

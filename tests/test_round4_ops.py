@@ -95,3 +95,54 @@ def test_intra_host_components_match_union_find(ray_session):
         uf.union(a, b)
     want = {x: uf.find(x) for x in set(src.tolist()) | set(dst.tolist())}
     assert got == want
+
+
+def test_bm25_randomized_vs_closed_form(ray_session):
+    """Random corpora: distributed BM25 == the plain-Python scaled-int
+    reference for every doc, across batch splits."""
+    from gliner_cpp_ray.stages.retrieval import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["scan", "agg", "dup", "alpha", "beta", "gamma"]
+    for trial in range(5):
+        docs = {
+            f"d{i:03d}": " ".join(
+                rng.choice(vocab, size=rng.integers(1, 40))
+            )
+            for i in range(int(rng.integers(5, 40)))
+        }
+        terms = ["scan", "agg"]
+        ds = rd.from_items(
+            [{"doc_id": k, "text": v} for k, v in docs.items()]
+        ).repartition(3)  # force multi-batch stats + scoring
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in bm25_topk(ds, terms, k=1000).take_all()
+        }
+        assert got == _bm25_expected(docs, terms), f"trial {trial}"
+
+
+def test_grouped_kmv_matches_direct_estimator(ray_session):
+    """Grouped KMV per-group estimates == running the global estimator
+    on each group's values directly, across batch splits."""
+    from gliner_cpp_ray.stages.sketches import (
+        _kmv_hashes,
+        grouped_kmv_distinct,
+        kmv_estimate_from_hashes,
+    )
+
+    rng = np.random.default_rng(3)
+    groups = ["a", "b", "c"]
+    rows = [
+        {"g": groups[int(rng.integers(3))], "u": int(rng.integers(0, 500))}
+        for _ in range(3000)
+    ]
+    ds = rd.from_items(rows).repartition(5)
+    got = {
+        r["g"]: (r["k"], r["estimate"])
+        for r in grouped_kmv_distinct(ds, "g", "u", k=64).take_all()
+    }
+    for g in groups:
+        vals = [r["u"] for r in rows if r["g"] == g]
+        want = kmv_estimate_from_hashes(_kmv_hashes(vals, 64), 64)
+        assert got[g] == (64, want)

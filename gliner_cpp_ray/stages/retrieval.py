@@ -184,16 +184,32 @@ BM25_SCALE = 10_000  # idf scale; smaller than TF-IDF's because the
 class Bm25StatsPartial(QueryDfPartial):
     """Per-batch (term, df) partials plus BOTH corpus counters the BM25
     normalizer needs: ``__n_docs__`` and ``__n_tokens__`` (avgdl =
-    tokens/docs).  One combinable pass; shuffle stays tasks × |terms|."""
+    tokens/docs).  One combinable pass — tokenizes each batch ONCE;
+    shuffle stays tasks × (|terms|+2)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = super().__call__(batch)
-        flat_len = len(_tokens(batch, self.text_col)[0])
-        extra = pa.table(
-            {"term": pa.array([_N_TOKENS_KEY], pa.string()),
-             "n": pa.array([flat_len], pa.int64())}
+        flat, parents = _tokens(batch, self.text_col)
+        out_terms = [_N_DOCS_KEY, _N_TOKENS_KEY]
+        out_n = [batch.num_rows, len(flat)]
+        if len(flat):
+            mask = pc.is_in(flat, value_set=pa.array(self.terms)).to_numpy(
+                zero_copy_only=False
+            )
+            if mask.any():
+                hit_terms = flat.filter(pa.array(mask)).to_pandas().to_numpy()
+                hit_docs = parents[mask]
+                per_doc = pd.DataFrame(
+                    {"t": hit_terms, "d": hit_docs}
+                ).drop_duplicates()
+                counts = per_doc.groupby("t", sort=False).size()
+                out_terms += list(counts.index)
+                out_n += [int(v) for v in counts.to_numpy()]
+        return pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
         )
-        return pa.concat_tables([t, extra])
 
 
 class Bm25Scorer:

@@ -583,8 +583,6 @@ def q_host_link_components(sf_dir: str):
     cached edge table; components come from the distributed
     label-propagation CC (the same stage the dedup keep-list gates to
     under adversarial dup density)."""
-    import numpy as np
-
     from gliner_cpp_ray.sources.pages import N_HOSTS
     from gliner_cpp_ray.stages.graph import cc_label_propagation
 

@@ -59,10 +59,13 @@ class QueryDfPartial:
         self.terms = sorted(set(t.lower() for t in terms))
         self.text_col = text_col
 
+    def _counter_rows(self, batch: pa.Table, flat) -> tuple[list, list]:
+        """Leading counter rows (subclass hook): (keys, values)."""
+        return [_N_DOCS_KEY], [batch.num_rows]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, parents = _tokens(batch, self.text_col)
-        out_terms = [_N_DOCS_KEY]
-        out_n = [batch.num_rows]
+        out_terms, out_n = self._counter_rows(batch, flat)
         if len(flat):
             mask = pc.is_in(flat, value_set=pa.array(self.terms)).to_numpy(
                 zero_copy_only=False
@@ -82,6 +85,53 @@ class QueryDfPartial:
                 "n": pa.array(out_n, pa.int64()),
             }
         )
+
+
+def _topk_batch(batch: pa.Table, id_col: str, hit: np.ndarray,
+                score: np.ndarray, k: int) -> pa.Table:
+    """Shared per-batch top-k combiner tail: keep hit docs, order by
+    (score desc, id asc), emit at most k (doc_id, score_micro) rows."""
+    df = pd.DataFrame(
+        {
+            "doc_id": batch.column(id_col).to_pandas().to_numpy()[hit],
+            "score_micro": score[hit],
+        }
+    ).sort_values(["score_micro", "doc_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema([("doc_id", batch.schema.field(id_col).type),
+                   ("score_micro", pa.int64())])
+    )
+
+
+def _empty_ranked(ds, id_col: str):
+    """Empty (doc_id, score_micro, rank) result with the input's id type."""
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.array([], t.schema.field(id_col).type),
+                "score_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).limit(0)
+
+
+def _ranked_topk(scored, k: int):
+    """Final global rank over the per-batch combiner outputs (≤ tasks×k
+    rows): one coalesce + one tiny sort, rank 1..k appended."""
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_micro", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")
 
 
 class TfIdfScorer:
@@ -106,17 +156,9 @@ class TfIdfScorer:
             if m.any():
                 tf = np.bincount(parents[m], minlength=n)
                 score += tf * self.w[ti]
-        hit = score > 0
-        df = pd.DataFrame(
-            {
-                "doc_id": batch.column(self.id_col).to_pandas().to_numpy()[hit],
-                "score_micro": score[hit],
-            }
-        ).sort_values(["score_micro", "doc_id"], ascending=[False, True]).head(self.k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(
-            pa.schema([("doc_id", batch.schema.field(self.id_col).type),
-                       ("score_micro", pa.int64())])
-        )
+        # w_t >= SCALE and tf >= 1 for any present term, so score>0 is
+        # exactly "any query term present" here
+        return _topk_batch(batch, self.id_col, score > 0, score, self.k)
 
 
 def tfidf_topk(ds, terms: list[str], k: int = 20,
@@ -140,45 +182,25 @@ def tfidf_topk(ds, terms: list[str], k: int = 20,
         t: (SCALE * n_docs) // df for t, df in by_term.items() if df > 0
     }
     if not weights or n_docs == 0:
-        return ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pa.array([], t.schema.field(id_col).type),
-                    "score_micro": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ).limit(0)
+        return _empty_ranked(ds, id_col)
 
     scored = ds.map_batches(TfIdfScorer(weights, k, id_col, text_col),
                             batch_format="pyarrow")
-
-    def final_rank(t: pa.Table) -> pa.Table:
-        df = (
-            t.to_pandas()
-            .sort_values(["score_micro", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    # combiner output is ≤ tasks × k rows; one coalesce + one tiny sort
-    return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")
+    return _ranked_topk(scored, k)
 
 
 # ----------------------------------------------------------------- BM25
 
 _N_TOKENS_KEY = "__n_tokens__"
-BM25_SCALE = 10_000  # idf scale; smaller than TF-IDF's because the
-# per-term contribution multiplies w_t by the 22·tf·avgdl_milli
-# numerator: w_t·NUM must stay under 2^63.  Headroom at sf scales:
-# w_t <= 1e4·N/df, NUM <= 22·dl·avgdl_milli — with 1e6 docs of ~1e3
-# tokens that is ~1e10·2e10 only if df=1 AND tf=dl; real query terms
-# keep both factors orders of magnitude lower.  At 10^12 docs drop
-# BM25_SCALE to 1 (3 fewer digits of idf resolution), as retrieval.py's
-# TF-IDF note prescribes for SCALE.
+BM25_SCALE = 10_000  # idf scale.  The per-term numerator is
+# w_t·22·tf·avgdl_milli with w_t <= BM25_SCALE·N (df=1), so at 1e6 docs
+# with avgdl~1e3 (avgdl_milli~1e6) a df=1 term overflows 2^63 already at
+# tf~42 — NOT only at tf=dl.  Bm25Scorer therefore guards every term
+# with an exact Python-int bound and raises OverflowError (numpy would
+# wrap silently; the BIGINT SQL transcription raises — both sides must
+# fail loudly, never diverge).  On bigger corpora lower BM25_SCALE
+# (each /10 buys one decimal order of corpus·tf headroom at the cost of
+# one digit of idf resolution).
 
 
 class Bm25StatsPartial(QueryDfPartial):
@@ -187,29 +209,8 @@ class Bm25StatsPartial(QueryDfPartial):
     tokens/docs).  One combinable pass — tokenizes each batch ONCE;
     shuffle stays tasks × (|terms|+2)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, parents = _tokens(batch, self.text_col)
-        out_terms = [_N_DOCS_KEY, _N_TOKENS_KEY]
-        out_n = [batch.num_rows, len(flat)]
-        if len(flat):
-            mask = pc.is_in(flat, value_set=pa.array(self.terms)).to_numpy(
-                zero_copy_only=False
-            )
-            if mask.any():
-                hit_terms = flat.filter(pa.array(mask)).to_pandas().to_numpy()
-                hit_docs = parents[mask]
-                per_doc = pd.DataFrame(
-                    {"t": hit_terms, "d": hit_docs}
-                ).drop_duplicates()
-                counts = per_doc.groupby("t", sort=False).size()
-                out_terms += list(counts.index)
-                out_n += [int(v) for v in counts.to_numpy()]
-        return pa.table(
-            {
-                "term": pa.array(out_terms, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
-            }
-        )
+    def _counter_rows(self, batch: pa.Table, flat) -> tuple[list, list]:
+        return [_N_DOCS_KEY, _N_TOKENS_KEY], [batch.num_rows, len(flat)]
 
 
 class Bm25Scorer:
@@ -246,25 +247,31 @@ class Bm25Scorer:
         hit = np.zeros(n, bool)
         flat_np = flat.to_pandas().to_numpy() if len(flat) else np.array([], object)
         av = self.avgdl_milli
+        dl_max = int(dl.max()) if n else 0
         for ti, term in enumerate(self.terms):
             m = flat_np == term
             if not m.any():
                 continue
             tf = np.bincount(parents[m], minlength=n).astype(np.int64)
+            # overflow guard in exact Python ints: numpy int64 would
+            # WRAP silently (wrong ranking, no error) where the BIGINT
+            # SQL transcription raises — fail loudly on both sides
+            # instead.  Bound both the numerator and the denominator by
+            # the batch maxima; O(1) per term.
+            w = int(self.w[ti])
+            tf_max = int(tf.max())
+            if max(w * 22 * tf_max * av,
+                   10 * tf_max * av + 3 * av + 9000 * dl_max) >= 2 ** 63:
+                raise OverflowError(
+                    f"BM25 int64 overflow: term {term!r} w={w} tf_max="
+                    f"{tf_max} avgdl_milli={av} dl_max={dl_max} — lower "
+                    "BM25_SCALE (idf resolution) for this corpus size"
+                )
             num = self.w[ti] * 22 * tf * av
             den = 10 * tf * av + 3 * av + 9000 * dl
             score += num // den  # tf=0 rows: num=0 → contribution 0
             hit |= tf > 0
-        df = pd.DataFrame(
-            {
-                "doc_id": batch.column(self.id_col).to_pandas().to_numpy()[hit],
-                "score_micro": score[hit],
-            }
-        ).sort_values(["score_micro", "doc_id"], ascending=[False, True]).head(self.k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(
-            pa.schema([("doc_id", batch.schema.field(self.id_col).type),
-                       ("score_micro", pa.int64())])
-        )
+        return _topk_batch(batch, self.id_col, hit, score, self.k)
 
 
 def bm25_topk(ds, terms: list[str], k: int = 20,
@@ -292,32 +299,11 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         t: (BM25_SCALE * n_docs) // df for t, df in by_term.items() if df > 0
     }
     if not weights or n_docs == 0 or n_tokens == 0:
-        return ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pa.array([], t.schema.field(id_col).type),
-                    "score_micro": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ).limit(0)
+        return _empty_ranked(ds, id_col)
     avgdl_milli = (1000 * n_tokens) // n_docs
 
     scored = ds.map_batches(
         Bm25Scorer(weights, avgdl_milli, k, id_col, text_col),
         batch_format="pyarrow",
     )
-
-    def final_rank(t: pa.Table) -> pa.Table:
-        df = (
-            t.to_pandas()
-            .sort_values(["score_micro", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
-        )
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    # combiner output is ≤ tasks × k rows; one coalesce + one tiny sort
-    return scored.repartition(1).map_batches(final_rank, batch_format="pyarrow")
+    return _ranked_topk(scored, k)

@@ -113,6 +113,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("cms_term_counts", q.q_cms_term_counts)
         timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
         timed("simhash_pairs", q.q_simhash_pairs)
+        timed("customer_name_near_dup", q.q_customer_name_near_dup)
         timed("ngram_contamination", q.q_ngram_contamination)
         timed("pii_redact", q.q_pii_redact)
         timed("repetition_stats", q.q_repetition_stats)

@@ -604,6 +604,21 @@ def q_host_link_components(sf_dir: str):
     )
 
 
+def q_customer_name_near_dup(sf_dir: str):
+    """Fuzzy-string near-dup join (C56): distinct customer-name pairs
+    within Levenshtein distance 1, via the FastSS deletion-neighborhood
+    candidate generator (complete by construction) + exact DP verify —
+    the short-string analog of the MinHash/SimHash document paths."""
+    from gliner_cpp_ray.stages.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+    pairs = edit_distance_pairs(ds, "c_name", d=1)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["name_a", "name_b"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1547,6 +1562,7 @@ def queries():
         "kg_inferred_country": q_kg_inferred_country,
         "host_link_components": q_host_link_components,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "customer_name_near_dup": q_customer_name_near_dup,
         # -- never driver-checked before round 4
         "top_terms_per_lang": q_top_terms_per_lang,
         "docs_above_median_chars": q_docs_above_median_chars,
@@ -2317,6 +2333,14 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "leakage_safe_split": _leakage_split_sql(),
         "tfidf_topk": _tfidf_sql(),
         "bm25_topk": _bm25_sql(),
+        "customer_name_near_dup": (
+            # all-pairs closed form; the Ray side's FastSS candidate
+            # generation is complete for d=1, and levenshtein_leq is a
+            # literal transcription of unit-cost levenshtein()
+            "SELECT a.c_name AS name_a, b.c_name AS name_b "
+            "FROM customer a JOIN customer b ON a.c_name < b.c_name "
+            "AND levenshtein(a.c_name, b.c_name) <= 1"
+        ),
         "cms_term_counts": _cms_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),

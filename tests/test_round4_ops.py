@@ -146,3 +146,57 @@ def test_grouped_kmv_matches_direct_estimator(ray_session):
         vals = [r["u"] for r in rows if r["g"] == g]
         want = kmv_estimate_from_hashes(_kmv_hashes(vals, 64), 64)
         assert got[g] == (64, want)
+
+
+def test_levenshtein_leq_matches_full_dp():
+    from gliner_cpp_ray.stages.dedup import levenshtein_leq
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i] + [0] * len(t)
+            for j, ct in enumerate(t, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (cs != ct))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(9)
+    alpha = list("abc")
+    for _ in range(300):
+        s = "".join(rng.choice(alpha, size=rng.integers(0, 8)))
+        t = "".join(rng.choice(alpha, size=rng.integers(0, 8)))
+        for d in (0, 1, 2):
+            assert levenshtein_leq(s, t, d) == (lev(s, t) <= d), (s, t, d)
+
+
+def test_deletion_keys_complete_for_d():
+    """FastSS completeness: any pair within ED<=d shares a deletion key."""
+    from gliner_cpp_ray.stages.dedup import _deletion_keys, levenshtein_leq
+
+    rng = np.random.default_rng(13)
+    alpha = list("ab")
+    for d in (1, 2):
+        for _ in range(400):
+            s = "".join(rng.choice(alpha, size=rng.integers(0, 7)))
+            t = "".join(rng.choice(alpha, size=rng.integers(0, 7)))
+            if levenshtein_leq(s, t, d):
+                assert _deletion_keys(s, d) & _deletion_keys(t, d), (s, t, d)
+
+
+def test_edit_distance_pairs_matches_all_pairs(ray_session):
+    from gliner_cpp_ray.stages.dedup import edit_distance_pairs, levenshtein_leq
+
+    names = [f"item-{i:04d}" for i in range(80)] + ["item-00x1", "widget"]
+    ds = rd.from_items([{"s": v} for v in names]).repartition(3)
+    got = {
+        (r["a"], r["b"])
+        for r in edit_distance_pairs(ds, "s", d=1).take_all()
+    }
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(set(names)))
+        for b in sorted(set(names))[i + 1:]
+        if levenshtein_leq(a, b, 1)
+    }
+    assert got == want and len(want) > 0

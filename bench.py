@@ -132,6 +132,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("docs_sample_by_lang", q.q_docs_sample_by_lang)
         timed("order_price_quantiles", q.q_order_price_quantiles)
         timed("term_doc_frequency", q.q_term_doc_frequency)
+        timed("top_collocations", q.q_top_collocations)
         timed("top_terms_per_lang", q.q_top_terms_per_lang)
         timed("docs_above_median_chars", q.q_docs_above_median_chars)
         timed("event_props_k_stats", q.q_event_props_k_stats)

@@ -619,6 +619,40 @@ def q_customer_name_near_dup(sf_dir: str):
     )
 
 
+def q_top_collocations(sf_dir: str):
+    """PMI collocations (C57): top-20 adjacent-bigram collocations by
+    pointwise mutual information, integer-exact via the monotone
+    ``(SCALE·n_ab·N)//(n_a·n_b)`` transform — one combined
+    unigram+bigram count shuffle, constituent counts attached by two
+    bucketed hash joins (no vocabulary broadcast), top-k combiner."""
+    from gliner_cpp_ray.stages.text_analysis import pmi_collocations
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_collocations(ds, k=20, min_count=5)
+
+
+def _collocations_sql() -> str:
+    return (
+        f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t FROM documents), "
+        "lst AS (SELECT doc_id, list_filter(string_split_regex(t, '\\s+'), "
+        "x -> x <> '') AS l FROM tt), "
+        "tok AS (SELECT doc_id, unnest(l) AS w, "
+        "unnest(range(len(l))) AS i FROM lst), "
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w), "
+        "nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok), "
+        "bg AS (SELECT t1.w AS w1, t2.w AS w2, "
+        "CAST(count(*) AS BIGINT) AS n_ab FROM tok t1 JOIN tok t2 "
+        "ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 GROUP BY 1, 2), "
+        "sc AS (SELECT bg.w1, bg.w2, bg.n_ab, "
+        "CAST((1000000 * bg.n_ab * nu.n) // (a.n_w * b.n_w) AS BIGINT) "
+        "AS score_micro FROM bg JOIN uni a ON bg.w1 = a.w "
+        "JOIN uni b ON bg.w2 = b.w CROSS JOIN nu WHERE bg.n_ab >= 5) "
+        "SELECT w1, w2, n_ab, score_micro, CAST(row_number() OVER ("
+        "ORDER BY score_micro DESC, w1, w2) AS BIGINT) AS rank "
+        "FROM sc ORDER BY score_micro DESC, w1, w2 LIMIT 20"
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1563,6 +1597,7 @@ def queries():
         "host_link_components": q_host_link_components,
         "distinct_users_per_type": q_distinct_users_per_type,
         "customer_name_near_dup": q_customer_name_near_dup,
+        "top_collocations": q_top_collocations,
         # -- never driver-checked before round 4
         "top_terms_per_lang": q_top_terms_per_lang,
         "docs_above_median_chars": q_docs_above_median_chars,
@@ -2342,6 +2377,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "AND levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "cms_term_counts": _cms_sql(),
+        "top_collocations": _collocations_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

@@ -385,3 +385,187 @@ def term_doc_frequency(ds, text_col: str = "text", top_k: int = 50):
     )
     agg = partial.groupby("term").aggregate(Sum("df", alias_name="df"))
     return agg.sort(["df", "term"], descending=[True, False]).limit(top_k)
+
+
+# --------------------------------------------------------- collocations
+
+PMI_SCALE = 1_000_000
+
+
+def _colloc_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch unigram + adjacent-bigram count partials in ONE
+    tokenize pass: rows (kind 0=unigram/1=bigram, w1, w2, n)."""
+    from gliner_cpp_ray.stages.retrieval import _tokens
+
+    flat, parents = _tokens(batch, text_col)
+    if not len(flat):
+        return pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    toks = flat.to_pandas().to_numpy()
+    uc = pd.Series(toks).value_counts(sort=False)
+    adj = parents[1:] == parents[:-1]  # adjacency stays within one doc
+    b1 = toks[:-1][adj]
+    b2 = toks[1:][adj]
+    if len(b1):
+        bc = (
+            pd.DataFrame({"w1": b1, "w2": b2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+    else:
+        bc = pd.DataFrame({"w1": [], "w2": [], "n": []})
+    kind = np.r_[np.zeros(len(uc), np.int8), np.ones(len(bc), np.int8)]
+    return pa.table(
+        {
+            "kind": pa.array(kind, pa.int8()),
+            "w1": pa.array(
+                np.r_[uc.index.to_numpy(), bc["w1"].to_numpy()], pa.string()
+            ),
+            "w2": pa.array(
+                np.r_[np.full(len(uc), "", object), bc["w2"].to_numpy()],
+                pa.string(),
+            ),
+            "n": pa.array(
+                np.r_[uc.to_numpy(), bc["n"].to_numpy()].astype("int64"),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def pmi_collocations(ds, k: int = 20, min_count: int = 5,
+                     text_col: str = "text"):
+    """Top-k bigram collocations ranked by PMI, integer-exact.
+
+    PMI = log(p(ab)/(p(a)p(b))) is monotone in ``n_ab·N/(n_a·n_b)``
+    for a fixed corpus (N, total-bigram constants cancel in the
+    ranking), so scores are the int64 floor
+    ``(PMI_SCALE·n_ab·N) // (n_a·n_b)`` — no transcendental, SQL
+    replicates bit-for-bit.
+
+    Shape: one tokenize pass emits combined unigram+bigram per-batch
+    partials → ONE groupby-sum shuffle (combiner-reduced) → min-support
+    filter (n_ab >= min_count) → constituent unigram counts attached
+    via TWO bucketed hash joins (never a vocabulary broadcast — web
+    vocabularies are not driver-sized) → per-batch top-k combiner +
+    final rank.  int64 headroom: ``PMI_SCALE·n_ab·N < 2^63`` — guarded
+    per batch; lower PMI_SCALE for corpora past ~1e5 · 1e8 tokens."""
+    import pyarrow.compute as pc
+
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.retrieval import _ranked_topk
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
+
+    def reduce_counts(g):
+        return g.groupby(["kind", "w1", "w2"], sort=False,
+                         as_index=False)["n"].sum()
+
+    # bucket-hash + whole-bucket vectorized reduce instead of a
+    # three-string-column groupby aggregate (measured 2.7x at sf0.1)
+    counts = (
+        ds.map_batches(lambda t: _colloc_partial(t, text_col),
+                       batch_format="pyarrow")
+        .map_batches(
+            lambda df: add_key_bucket(df, ["kind", "w1", "w2"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_counts(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .materialize()  # consumed three times below (uni, N, bigrams)
+    )
+    uni = counts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(["w1", "n"]),
+        batch_format="pyarrow",
+    )
+    n_uni = uni.sum("n") or 0
+    if n_uni == 0:
+        return _ranked_topk(
+            counts.map_batches(
+                lambda t: pa.table(
+                    {"w1": pa.array([], pa.string()),
+                     "w2": pa.array([], pa.string()),
+                     "n_ab": pa.array([], pa.int64()),
+                     "score_micro": pa.array([], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).limit(0),
+            k,
+        )
+    big = counts.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("kind"), 1),
+                    pc.greater_equal(t.column("n"), min_count))
+        ).select(["w1", "w2", "n"]),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        big,
+        uni.map_batches(lambda t: t.rename_columns(["w1", "n_a"]),
+                        batch_format="pyarrow"),
+        on="w1",
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        uni.map_batches(lambda t: t.rename_columns(["w2", "n_b"]),
+                        batch_format="pyarrow"),
+        on="w2",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n_ab = t.column("n").to_numpy(zero_copy_only=False).astype("int64")
+        n_a = t.column("n_a").to_numpy(zero_copy_only=False).astype("int64")
+        n_b = t.column("n_b").to_numpy(zero_copy_only=False).astype("int64")
+        if len(n_ab) and PMI_SCALE * int(n_ab.max()) * int(n_uni) >= 2 ** 63:
+            raise OverflowError(
+                "PMI int64 overflow — lower PMI_SCALE for this corpus"
+            )
+        s = (PMI_SCALE * n_ab * int(n_uni)) // (n_a * n_b)
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "score_micro": pa.array(s, pa.int64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def combiner(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_micro", "w1", "w2"],
+                         ascending=[False, True, True])
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_micro", "w1", "w2"],
+                         ascending=[False, True, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        scored.map_batches(combiner, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow")
+    )

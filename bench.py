@@ -137,6 +137,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("docs_above_median_chars", q.q_docs_above_median_chars)
         timed("event_props_k_stats", q.q_event_props_k_stats)
         timed("events_hourly", q.q_events_hourly)
+        timed("event_funnel", q.q_event_funnel)
+        timed("weekly_retention", q.q_weekly_retention)
+        timed("dup_substring_stats", q.q_dup_substring_stats)
         timed("events_rolling_value", q.q_events_rolling_value)
         timed("events_asof_order", q.q_events_asof_order)
         timed("events_in_order_window", q.q_events_in_order_window)

@@ -653,6 +653,97 @@ def _collocations_sql() -> str:
     )
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered 3-step conversion funnel (signup -> click -> purchase
+    within 72 h of signup), per-user step timestamps — stages/funnel.py.
+    One user-hash bucket shuffle over the step-filtered log."""
+    from gliner_cpp_ray.stages.funnel import funnel_within
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_within(
+        ds, steps=["signup", "click", "purchase"], window_s=72 * 3600
+    )
+
+
+def _funnel_sql() -> str:
+    return (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'signup' GROUP BY user_id), "
+        "s2 AS (SELECT s1.user_id, min(e.ts) AS t2 FROM s1 JOIN events e "
+        "ON e.user_id = s1.user_id AND e.event_type = 'click' "
+        "AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR "
+        "GROUP BY 1), "
+        "s3 AS (SELECT s2.user_id, min(e.ts) AS t3 FROM s2 "
+        "JOIN s1 ON s1.user_id = s2.user_id JOIN events e "
+        "ON e.user_id = s2.user_id AND e.event_type = 'purchase' "
+        "AND e.ts >= s2.t2 AND e.ts <= s1.t1 + INTERVAL 72 HOUR "
+        "GROUP BY 1) "
+        "SELECT s1.user_id, CAST(1 "
+        "+ CASE WHEN t2 IS NULL THEN 0 ELSE 1 END "
+        "+ CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        "AS stage_reached, "
+        "CAST(epoch_us(t1) AS BIGINT) AS t1_us, "
+        "CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t2_us, "
+        "CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t3_us "
+        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    )
+
+
+def q_weekly_retention(sf_dir: str):
+    """Cohort retention grid: distinct active users per (first-event
+    cohort week, week offset) — stages/funnel.py.  One user-hash bucket
+    shuffle of per-batch-distinct (user, week) rows; disjoint partial
+    counts summed by a tiny grid groupby."""
+    from gliner_cpp_ray.stages.funnel import weekly_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return weekly_retention(ds)
+
+
+def q_dup_substring_stats(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2022 shape): per doc,
+    how many of its 24-char windows occur in >= 2 distinct docs —
+    stages/substring.py rolling-hash self-join.  The double 31-bit
+    polynomial hash is replicated LITERALLY in the oracle (codepoint
+    extraction + power-table literals), so the bucketing is
+    hash-checked, not trusted."""
+    from gliner_cpp_ray.stages.substring import repeated_kgram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repeated_kgram_stats(ds, k=24)
+
+
+def _dup_substring_sql(k: int = 24) -> str:
+    from gliner_cpp_ray.stages.substring import MOD, power_tables
+
+    p1, p2 = power_tables(k)
+    lit1 = "[" + ",".join(map(str, p1)) + "]"
+    lit2 = "[" + ",".join(map(str, p2)) + "]"
+
+    def hexpr(lit: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1,{k}), "
+            "j -> CAST(unicode(substr(text, CAST(p + j - 1 AS INT), 1)) "
+            f"AS BIGINT) * ({lit})[CAST(j AS INT)])) % {MOD} AS BIGINT)"
+        )
+
+    return (
+        "WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+        "pos AS (SELECT doc_id, text, "
+        f"unnest(generate_series(1, L - {k - 1})) AS p FROM d "
+        f"WHERE L >= {k}), "
+        f"h AS (SELECT doc_id, {hexpr(lit1)} * 2147483648 "
+        f"+ {hexpr(lit2)} AS h FROM pos), "
+        "dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c "
+        "FROM h GROUP BY h) WHERE c >= 2), "
+        "dg AS (SELECT doc_id, count(*) AS n FROM h "
+        "WHERE h IN (SELECT h FROM dup) GROUP BY doc_id) "
+        f"SELECT d.doc_id, CAST(greatest(L - {k - 1}, 0) AS BIGINT) "
+        "AS n_grams, CAST(coalesce(dg.n, 0) AS BIGINT) AS dup_grams "
+        "FROM d LEFT JOIN dg ON d.doc_id = dg.doc_id"
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1592,6 +1683,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "event_funnel": q_event_funnel,
+        "weekly_retention": q_weekly_retention,
+        "dup_substring_stats": q_dup_substring_stats,
         "bm25_topk": q_bm25_topk,
         "kg_inferred_country": q_kg_inferred_country,
         "host_link_components": q_host_link_components,
@@ -2378,6 +2472,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "cms_term_counts": _cms_sql(),
         "top_collocations": _collocations_sql(),
+        "event_funnel": _funnel_sql(),
+        "weekly_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week "
+            "FROM events), "
+            "c AS (SELECT user_id, min(week) AS cohort_week FROM uw "
+            "GROUP BY user_id) "
+            "SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
+        ),
+        "dup_substring_stats": _dup_substring_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

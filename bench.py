@@ -137,6 +137,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("docs_above_median_chars", q.q_docs_above_median_chars)
         timed("event_props_k_stats", q.q_event_props_k_stats)
         timed("events_hourly", q.q_events_hourly)
+        timed("latest_event_per_user", q.q_latest_event_per_user)
+        timed("events_type_hour_rollup", q.q_events_type_hour_rollup)
+        timed("order_price_ntile", q.q_order_price_ntile)
+        timed("events_jsonl_roundtrip", q.q_events_jsonl_roundtrip)
         timed("event_funnel", q.q_event_funnel)
         timed("weekly_retention", q.q_weekly_retention)
         timed("dup_substring_stats", q.q_dup_substring_stats)

@@ -744,6 +744,97 @@ def _dup_substring_sql(k: int = 24) -> str:
     )
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Latest-wins compaction (CDC/upsert collapse): each user's newest
+    full event row, ties broken by event_id — stages/compaction.py.
+    Per-batch winner combiner first, so the single key-hash shuffle
+    carries one row per (user, batch), hot keys collapse map-side."""
+    from gliner_cpp_ray.stages.compaction import latest_by_key
+
+    ds = _read(sf_dir, "events")
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "event_type": t.column("event_type"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return latest_by_key(ds, "user_id", ["ts_us", "event_id"])
+
+
+def q_events_type_hour_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
+    the ONLY corpus-sized aggregate; every coarser level re-aggregates
+    the finest (combination-bounded) table — stages/rollup.py."""
+    from gliner_cpp_ray.stages.rollup import rollup_counts
+    from gliner_cpp_ray.stages.windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    finest = tumbling_counts(ds, size_s=3600, extra_keys=("event_type",))
+    return rollup_counts(finest, keys=["event_type", "bucket"])
+
+
+def q_order_price_ntile(sf_dir: str):
+    """Exact per-row NTILE(4) over (price, key): global rank via the
+    two-level value-range scan (one small groupby to the driver, local
+    sort + offset per bucket) — stages/packing.py:ntile_global."""
+    from gliner_cpp_ray.stages.packing import ntile_global
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_micro": _micro(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ntile_global(ds, "price_micro", "o_orderkey", tiles=4)
+
+
+def q_events_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source: write the (int-coded) events through Ray's
+    JSON sink, read them back with the JSON source, aggregate — proves
+    the engine's non-Parquet source/sink path end-to-end.  The oracle
+    aggregates the original Parquet, so any loss in the JSON roundtrip
+    (dtype drift, row loss) fails the hash."""
+    import shutil
+
+    import ray.data as rd
+
+    out = os.path.join(
+        "/tmp/kgray_out/jsonl_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).write_json(out)
+
+    from ray.data.aggregate import Count, Sum
+
+    back = rd.read_json(out)
+    return back.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_micro", alias_name="sum_value_micro"),
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1686,6 +1777,10 @@ def queries():
         "event_funnel": q_event_funnel,
         "weekly_retention": q_weekly_retention,
         "dup_substring_stats": q_dup_substring_stats,
+        "latest_event_per_user": q_latest_event_per_user,
+        "events_type_hour_rollup": q_events_type_hour_rollup,
+        "order_price_ntile": q_order_price_ntile,
+        "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
         "bm25_topk": q_bm25_topk,
         "kg_inferred_country": q_kg_inferred_country,
         "host_link_components": q_host_link_components,
@@ -2484,6 +2579,29 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
         ),
         "dup_substring_stats": _dup_substring_sql(),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "events_type_hour_rollup": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket FROM events) "
+            "SELECT coalesce(event_type, '__all__') AS event_type, "
+            "CAST(coalesce(bucket, -1) AS BIGINT) AS bucket, "
+            "count(*) AS n FROM b GROUP BY ROLLUP(event_type, bucket)"
+        ),
+        "order_price_ntile": (
+            "SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT), o_orderkey) "
+            "AS BIGINT) AS tile FROM orders"
+        ),
+        "events_jsonl_roundtrip": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM events GROUP BY event_type"
+        ),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

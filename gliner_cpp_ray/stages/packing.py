@@ -171,3 +171,82 @@ def global_shuffle_positions(ds, id_col: str = "doc_id",
     return hashed.groupby("__bucket").map_groups(
         finish, batch_format="pandas"
     )
+
+
+def ntile_global(ds, val_col: str, id_col: str, tiles: int,
+                 n_buckets: int | None = None):
+    """Exact global NTILE: Dataset(id, val) -> Dataset(id, tile) where
+    ``tile`` is the row's SQL ``NTILE(tiles) OVER (ORDER BY val, id)``
+    assignment — the first ``N mod tiles`` tiles hold ``ceil(N/tiles)``
+    rows, the rest ``floor(N/tiles)`` (exactly DuckDB's rule).
+
+    A per-row EXACT quantile label needs the row's global rank, which
+    no single groupby gives; this is the third instance of the
+    two-level scan in this module, range-partitioned on the VALUE:
+    buckets ``(val - min) // span`` preserve the sort order between
+    buckets, one small groupby counts each bucket, the driver's
+    exclusive scan yields per-bucket rank offsets (one int per bucket,
+    never corpus rows), and each bucket sorts locally by (val, id).
+    Value skew concentrates rank work exactly like any range
+    partitioner; uniform-ish measures (prices, lengths) spread evenly,
+    and a pathological single-value column degrades to one bucket —
+    the documented remedy is a finer pre-histogram, not a new shape."""
+    if n_buckets is None:
+        n_buckets = max(8, 10 * cluster_cpus())
+
+    data = ds.materialize()  # consumed twice: min/max + counts/finish
+    lo, hi = data.min(val_col), data.max(val_col)
+    if lo is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "tile": pa.array([], pa.int64())})
+        )
+    span = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((v - int(lo)) // span, pa.int64())
+        )
+
+    bucketed = data.map_batches(add_bucket, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        bucketed.groupby("__bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # ONE row per range bucket
+        .sort_values("__bucket")
+    )
+    n_total = int(counts["n"].sum())
+    offsets = dict(
+        zip(
+            counts["__bucket"].astype(np.int64),
+            np.concatenate(
+                [[0], counts["n"].to_numpy(np.int64).cumsum()[:-1]]
+            ),
+        )
+    )
+    q, rem = divmod(n_total, tiles)
+    boundary = rem * (q + 1)  # ranks <= boundary live in the big tiles
+    q_safe = max(q, 1)  # q == 0 only when every rank <= boundary
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([val_col, id_col])
+        base = int(offsets[int(g["__bucket"].iloc[0])])
+        rank = np.arange(base + 1, base + len(g) + 1, dtype=np.int64)
+        tile = np.where(
+            rank <= boundary,
+            (rank - 1) // (q + 1),
+            rem + (rank - 1 - boundary) // q_safe,
+        ) + 1
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "tile": tile.astype(np.int64)}
+        )
+
+    return bucketed.groupby("__bucket").map_groups(
+        finish, batch_format="pandas"
+    )

@@ -1,0 +1,97 @@
+"""Latest-wins compaction (stages/compaction.py), ROLLUP derivation
+(stages/rollup.py), exact global NTILE (stages/packing.py).  E2E oracle
+equivalence is covered by test_queries_oracle.py; these pin semantics
+on edge cases: ties, all-equal values, N < tiles, multi-level rollup.
+"""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_latest_by_key_ties_and_batches(ray_session):
+    from gliner_cpp_ray.stages.compaction import latest_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "ts": [5, 9, 9, 1, 1, 7],
+            "id": [10, 11, 12, 20, 21, 30],
+            "payload": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    got = (
+        latest_by_key(rd.from_pandas(df).repartition(4), "k", ["ts", "id"],
+                      n_buckets=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # ties on ts resolved by larger id
+    assert got["id"].tolist() == [12, 21, 30]
+    assert got["payload"].tolist() == ["c", "e", "f"]
+    assert list(got.columns) == ["k", "ts", "id", "payload"]
+
+
+def test_rollup_counts_three_levels(ray_session):
+    from gliner_cpp_ray.stages.rollup import rollup_counts
+
+    finest = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": [1, 2, 1],
+            "n": [3, 4, 5],
+        }
+    )
+    got = (
+        rollup_counts(rd.from_pandas(finest), keys=["a", "b"])
+        .to_pandas()
+        .set_index(["a", "b"])["n"]
+        .to_dict()
+    )
+    assert got == {
+        ("x", 1): 3, ("x", 2): 4, ("y", 1): 5,   # finest passthrough
+        ("x", -1): 7, ("y", -1): 5,              # per-a level
+        ("__all__", -1): 12,                     # grand total
+    }
+
+
+def _sql_ntile(n: int, t: int) -> list[int]:
+    q, rem = divmod(n, t)
+    out = []
+    for tile in range(1, t + 1):
+        out += [tile] * (q + 1 if tile <= rem else q)
+    return out
+
+
+def test_ntile_matches_sql_rule(ray_session):
+    from gliner_cpp_ray.stages.packing import ntile_global
+
+    rng = np.random.default_rng(7)
+    for n, tiles in [(10, 4), (3, 5), (16, 4), (7, 3)]:
+        vals = rng.integers(0, 50, n)  # duplicates likely
+        df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": vals})
+        got = (
+            ntile_global(
+                rd.from_pandas(df).repartition(3), "v", "id", tiles,
+                n_buckets=4,
+            )
+            .to_pandas()
+        )
+        order = df.sort_values(["v", "id"])["id"].tolist()
+        want = dict(zip(order, _sql_ntile(n, tiles)))
+        assert {int(r.id): int(r.tile) for r in got.itertuples()} == want
+
+
+def test_ntile_all_equal_values(ray_session):
+    from gliner_cpp_ray.stages.packing import ntile_global
+
+    df = pd.DataFrame({"id": np.arange(9, dtype=np.int64),
+                       "v": np.full(9, 42, dtype=np.int64)})
+    got = (
+        ntile_global(rd.from_pandas(df).repartition(2), "v", "id", 4)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # single degenerate range bucket; order falls back to id
+    assert got["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3, 4, 4]

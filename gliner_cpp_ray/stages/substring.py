@@ -127,7 +127,11 @@ def repeated_kgram_stats(docs_ds, k: int = 24, sample_mod: int = 1,
     windows only (the ratio stays an unbiased duplication estimate).
     See the module docstring for the three passes and scale shape."""
     import ray
-    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
 
     def emit_hashes(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()
@@ -138,20 +142,34 @@ def repeated_kgram_stats(docs_ds, k: int = 24, sample_mod: int = 1,
         # one doc ships once, and (h, doc) is then globally distinct
         # because a doc lives entirely in one batch
         df = df.drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return add_bucket(
+            pa.Table.from_pandas(df, preserve_index=False), "h", n_buckets
+        )
 
     pairs = docs_ds.select_columns([id_col, text_col]).map_batches(
         emit_hashes, batch_format="pyarrow"
     )
-    per_key = pairs.groupby("h").aggregate(Count(alias_name="n_docs"))
+
+    def dup_keys(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (h, doc), so the per-h ROW count IS the
+        # distinct-doc count; one C-level value_counts per bucket —
+        # never Ray's per-key aggregate loop (measured 7× slower on a
+        # 1.4M-key table)
+        vc = g["h"].value_counts()
+        return pd.DataFrame(
+            {"h": vc.index[vc.ge(2)].to_numpy(dtype=np.int64)}
+        )
+
     # dup set: bounded by cross-doc duplication density (documents that
     # share no text contribute nothing) — broadcast once via ray.put
-    import pyarrow.compute as pc
-
-    dup = per_key.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)),
-        batch_format="pyarrow",
-    ).to_pandas()
+    dup = (
+        pairs.groupby("__bucket")
+        .map_groups(
+            lambda g: dup_keys(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     dup_sorted = ray.put(np.sort(dup["h"].to_numpy(dtype=np.int64)))
 
     def count_dups(t: pa.Table) -> pa.Table:

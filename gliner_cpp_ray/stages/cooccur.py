@@ -24,7 +24,7 @@ Scale shape (what matters at 100 TB):
    (canon_a, canon_b, n) partials.  Pair volume is Σ_doc k_d² with
    k_d = distinct entities per doc — bounded by document length,
    independent of corpus size.  No per-key map_groups anywhere.
-4. Final ``groupby(pair).aggregate(Sum)`` over the partial stream —
+4. Final bucketed vectorized grouped-sum over the partial stream —
    vocabulary²-bounded rows, never raw mentions.
 """
 
@@ -115,8 +115,6 @@ def cooccurrence_counts(mentions_ds, canon_map: dict, n_buckets: int | None = No
     each unordered canonical-entity pair.  ``mentions_ds`` needs columns
     (doc_id, text, label); ``canon_map`` is the pipeline's persisted
     canonicalization map (pipelines/kg.py stage 3)."""
-    from ray.data.aggregate import Sum
-
     from gliner_cpp_ray.stages.joins import add_bucket
     from gliner_cpp_ray.stages.sizing import default_buckets
 
@@ -134,6 +132,9 @@ def cooccurrence_counts(mentions_ds, canon_map: dict, n_buckets: int | None = No
         .groupby("__bucket")
         .map_groups(pair_bucket_reduce, batch_format="pandas")
     )
-    return pairs.groupby(["canon_a", "canon_b"]).aggregate(
-        Sum("n", alias_name="n_docs")
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    return bucketed_group_agg(
+        pairs, ["canon_a", "canon_b"], "sum", val_col="n",
+        out_col="n_docs", n_buckets=n_buckets,
     )

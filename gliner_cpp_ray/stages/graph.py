@@ -56,9 +56,7 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
     fixpoint (pathological diameter — raise the bound or switch to the
     hash-to-min variant).
     """
-    from ray.data.aggregate import Min
-
-    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
 
     adj = _undirected_adjacency(edges_ds, a_col, b_col).materialize()
     if n_buckets is None:
@@ -69,8 +67,9 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
 
         n_buckets = max(8, min(default_buckets(None), adj.count() // 250_000))
     # round 0: label(u) = min neighbor (self loop ⇒ includes u)
-    labels = (
-        adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = bucketed_group_agg(
+        adj, "node", "min", val_col="nbr", out_col="label",
+        n_buckets=n_buckets,
     ).materialize()
     if labels.count() == 0:
         # empty edge list ⇒ empty labeling (Dataset.sum over an empty
@@ -104,10 +103,9 @@ def cc_label_propagation(edges_ds, a_col: str = "a", b_col: str = "b",
             on="nbr",
             n_buckets=n_buckets,
         )
-        labels = (
-            _rename(joined, {"keep_node": "node"})
-            .groupby("node")
-            .aggregate(Min("nbr_label", alias_name="label"))
+        labels = bucketed_group_agg(
+            _rename(joined, {"keep_node": "node"}), "node", "min",
+            val_col="nbr_label", out_col="label", n_buckets=n_buckets,
         ).materialize()
     raise RuntimeError(
         f"cc_label_propagation did not converge in {max_rounds} rounds"

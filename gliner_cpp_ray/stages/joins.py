@@ -56,6 +56,63 @@ def add_bucket(batch: pa.Table, key: str, n_buckets: int,
 
 
 
+def add_group_bucket(batch: pa.Table, keys: list[str], n_buckets: int,
+                     out_col: str = "__bucket") -> pa.Table:
+    """``add_bucket`` over a key COMBINATION: all-integer key tuples mix
+    with wrapping multiply-add (process-stable), anything else hashes
+    the key-column frame via ``pd.util.hash_pandas_object``."""
+    cols = [batch.column(k) for k in keys]
+    if all(pa.types.is_integer(c.type) for c in cols):
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in cols:
+            v = c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = (h * np.uint64(0x9E3779B97F4A7C15)
+                 + v.astype(np.uint64) * _KNUTH)
+        h >>= np.uint64(16)
+    else:
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({k: c.to_pandas() for k, c in zip(keys, cols)}),
+            index=False,
+        ).to_numpy()
+    bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+    return batch.append_column(out_col, pa.array(bucket))
+
+
+def bucketed_group_agg(ds, keys, agg: str, val_col: str | None = None,
+                       out_col: str = "n", n_buckets: int | None = None):
+    """High-cardinality grouped aggregate: ONE key-hash bucket shuffle,
+    then a C-level pandas groupby per WHOLE bucket, Arrow back out.
+
+    ``Dataset.groupby(key).aggregate(...)`` walks distinct keys in a
+    Python loop inside its reduce — fine for bounded key sets (event
+    types, languages), pathological when keys scale with the corpus
+    (node ids, content hashes, gram hashes: measured 12 s → 1.5 s on a
+    1.4M-key count at sf0.1).  This helper is the drop-in for those
+    sites.  ``agg``: 'sum' | 'min' | 'max' need ``val_col``; 'count'
+    counts rows.  Output columns: (*keys, out_col), out int64."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n_buckets = default_buckets(n_buckets)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return add_group_bucket(t, keys, n_buckets)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        grp = g.groupby(keys, sort=False, as_index=False)
+        if agg == "count":
+            out = grp.size().rename(columns={"size": out_col})
+        else:
+            out = grp[[val_col]].agg(agg).rename(columns={val_col: out_col})
+        out[out_col] = out[out_col].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
 def _as_arrow_type(t) -> pa.DataType:
     """Normalize a ``ray.data.Schema`` type entry to Arrow: for
     arrow-block datasets it already IS a ``pa.DataType``, but for

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from gliner_cpp_ray.stages.joins import bucketed_hash_join
+from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
 
 # one pass, one pattern: only hrefs that point at a crawled page match
 # (nav/"about" links fall out for free).  \d+ (not a fixed width): the
@@ -114,13 +114,12 @@ def _count_distinct_pairs(src: np.ndarray, dst: np.ndarray):
 
 
 def page_link_edges(pages_ds):
-    """Full edge table (src_id, dst_id, n) from a pages Dataset."""
-    from ray.data.aggregate import Sum
-
+    """Full edge table (src_id, dst_id, n) from a pages Dataset.
+    Pair keys scale with the graph, so the reduce is the bucketed
+    vectorized grouped-sum, never the per-key aggregate loop."""
     partials = pages_ds.map_batches(extract_page_links, batch_format="pyarrow")
-    return (
-        partials.groupby(["src_id", "dst_id"])
-        .aggregate(Sum("n", alias_name="n"))
+    return bucketed_group_agg(
+        partials, ["src_id", "dst_id"], "sum", val_col="n", out_col="n"
     )
 
 
@@ -160,14 +159,11 @@ def top_anchor_per_target(pages_ds):
     """(dst_id, anchor, n): each target page's most frequent incoming
     anchor text (ties → anchor asc).  Per-batch combiner → exact
     groupby-sum → shuffle-bounded grouped top-1."""
-    from ray.data.aggregate import Sum
-
     from gliner_cpp_ray.stages.skew import grouped_top_k
 
-    counts = (
-        pages_ds.map_batches(extract_anchor_texts, batch_format="pyarrow")
-        .groupby(["dst_id", "anchor"])
-        .aggregate(Sum("n", alias_name="n"))
+    counts = bucketed_group_agg(
+        pages_ds.map_batches(extract_anchor_texts, batch_format="pyarrow"),
+        ["dst_id", "anchor"], "sum", val_col="n", out_col="n",
     )
     return grouped_top_k(counts, "dst_id", "n", "anchor", k=1)
 
@@ -240,7 +236,9 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
         # fan out to per_cpu × CPUs groups (measured 28→16 s at 20k nodes
         # going 64→8 buckets); large graphs still reach the cluster cap
         n_buckets = max(8, min(default_buckets(None), edges.count() // 250_000))
-    deg = edges.groupby("node_id").aggregate(Count(alias_name="deg"))
+    deg = bucketed_group_agg(
+        edges, "node_id", "count", out_col="deg", n_buckets=n_buckets
+    )
     # join degree onto edges ONCE; reused (materialized) every iteration
     edges_deg = bucketed_hash_join(
         edges,
@@ -298,10 +296,9 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
         ctr = joined.map_batches(contrib, batch_format="pyarrow")
         # one groupby folds contribution sums AND the zero rows that keep
         # rank entries alive for nodes without in-links
-        summed = (
-            ctr.union(nodes_zero)
-            .groupby("node_id")
-            .aggregate(Sum("c", alias_name="c"))
+        summed = bucketed_group_agg(
+            ctr.union(nodes_zero), "node_id", "sum",
+            val_col="c", out_col="c", n_buckets=n_buckets,
         )
 
         def next_rank(t: pa.Table) -> pa.Table:
@@ -417,11 +414,9 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
                 schema=score_schema,
             )
 
-        summed = (
-            joined.map_batches(flip, batch_format="pyarrow")
-            .union(nodes_zero)
-            .groupby("node_id")
-            .aggregate(Sum("s", alias_name="s"))
+        summed = bucketed_group_agg(
+            joined.map_batches(flip, batch_format="pyarrow").union(nodes_zero),
+            "node_id", "sum", val_col="s", out_col="s", n_buckets=n_buckets,
         )
 
         def rescale(t: pa.Table) -> pa.Table:
@@ -514,9 +509,10 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
         )
 
     und = (
-        edges_ds.map_batches(undirect, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="__n"))
+        bucketed_group_agg(
+            edges_ds.map_batches(undirect, batch_format="pyarrow"),
+            ["u", "v"], "count", out_col="__n",
+        )
         .select_columns(["u", "v"])
         .materialize()  # consumed three times: degrees, orient, close
     )
@@ -536,10 +532,9 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
             }
         )
 
-    deg = (
-        und.map_batches(both_ends, batch_format="pyarrow")
-        .groupby("node_id")
-        .aggregate(Count(alias_name="deg"))
+    deg = bucketed_group_agg(
+        und.map_batches(both_ends, batch_format="pyarrow"),
+        "node_id", "count", out_col="deg", n_buckets=n_buckets,
     )
     deg_schema = pa.schema([("node_id", pa.int64()), ("deg", pa.int64())])
 
@@ -642,8 +637,7 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
         c = k & np.int64((1 << 32) - 1)
         return pa.table({"node_id": np.concatenate([a, b, c])})
 
-    return (
-        tri.map_batches(credits, batch_format="pyarrow")
-        .groupby("node_id")
-        .aggregate(Count(alias_name="n_triangles"))
+    return bucketed_group_agg(
+        tri.map_batches(credits, batch_format="pyarrow"),
+        "node_id", "count", out_col="n_triangles", n_buckets=n_buckets,
     )

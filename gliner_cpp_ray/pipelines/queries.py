@@ -1274,8 +1274,6 @@ def _micro(col: pa.ChunkedArray) -> pa.ChunkedArray:
 
 
 def q_top_users_by_value(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
     ds = ds.map_batches(
         lambda t: pa.table(
@@ -1283,8 +1281,11 @@ def q_top_users_by_value(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    agg = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"), Sum("value_micro", alias_name="total_micro")
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        ds, "user_id",
+        specs=[("count", None, "n_events"), ("sum", "value_micro", "total_micro")],
     )
     return agg.sort(["total_micro", "user_id"], descending=[True, False]).limit(20)
 
@@ -1335,8 +1336,6 @@ def q_events_rolling_value(sf_dir: str):
 
 
 def q_max_order_by_cust(sf_dir: str):
-    from ray.data.aggregate import Count, Max
-
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(
         lambda t: pa.table(
@@ -1347,9 +1346,12 @@ def q_max_order_by_cust(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ds.groupby("o_custkey").aggregate(
-        Max("total_micro", alias_name="max_total_micro"),
-        Count(alias_name="n_orders"),
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ds, "o_custkey",
+        specs=[("max", "total_micro", "max_total_micro"),
+               ("count", None, "n_orders")],
     )
 
 
@@ -1616,9 +1618,13 @@ def q_events_in_order_window(sf_dir: str):
         hi_col="win_hi",
         n_buckets=_join_buckets(sf_dir, "events", "orders"),
     )
-    return joined.groupby("o_orderkey").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_micro", alias_name="sum_value_micro"),
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    return bucketed_group_agg(
+        joined, "o_orderkey",
+        specs=[("count", None, "n_events"),
+               ("sum", "value_micro", "sum_value_micro")],
+        n_buckets=_join_buckets(sf_dir, "events", "orders"),
     )
 
 

@@ -140,19 +140,19 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Dataset -> deduplicated Dataset of (content_hash, min id).
 
     Two-phase combinable aggregate: a per-batch min combiner inside
-    ``map_batches`` followed by ``groupby(hash).aggregate(Min(id))`` —
-    NOT ``map_groups``: with web text nearly every content hash is
-    distinct, so per-group pandas would pay Python overhead on millions
-    of singleton groups, while Min is reduced block-wise by the shuffle
-    (4.3 s → sub-second at sf0.1 for the driver's dedup query)."""
-    from ray.data.aggregate import Min
+    ``map_batches`` followed by a bucketed vectorized grouped-min —
+    content hashes scale with the corpus, so neither a per-GROUP pandas
+    reduce (singleton-group Python overhead) nor ``Dataset.aggregate``
+    (per-distinct-key Python loop in its reduce) holds up; the
+    per-whole-BUCKET C-level groupby does."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
 
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
     combined = hashed.map_batches(
         lambda t: _batch_min_by_hash(t, id_col), batch_format="pyarrow"
     )
-    return combined.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col)
+    return bucketed_group_agg(
+        combined, "content_hash", "min", val_col=id_col, out_col=id_col
     )
 
 
@@ -376,12 +376,13 @@ def _lsh_candidates(sigs):
     density, never the ≈ docs×bands singleton rows — reach the driver,
     3) broadcast them, 4) semi-join the signature rows and pair-expand
     only the survivors (flood-capped, ``bucket_candidate_pairs``)."""
-    from ray.data.aggregate import Count
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
 
     hot = (
-        sigs.select_columns(["band_id", "band_key"])
-        .groupby(["band_id", "band_key"])
-        .aggregate(Count(alias_name="n"))
+        bucketed_group_agg(
+            sigs.select_columns(["band_id", "band_key"]),
+            ["band_id", "band_key"], "count", out_col="n",
+        )
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
             batch_format="pyarrow",
@@ -635,12 +636,13 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, n: int = 3,
     if cands is None:
         return ray.data.from_arrow(empty)
 
-    from ray.data.aggregate import Count
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
 
     pairs = (
-        cands.select_columns(["a", "b"])
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="__n"))
+        bucketed_group_agg(
+            cands.select_columns(["a", "b"]), ["a", "b"], "count",
+            out_col="__n",
+        )
         .select_columns(["a", "b"])
         .to_pandas()  # bounded by dup density (same bound as union-find)
     )
@@ -711,10 +713,9 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     import ray
     import ray.data  # noqa: F401  (ensures Dataset API present)
 
-    from ray.data.aggregate import Count
-
     from gliner_cpp_ray.stages.joins import (
         _bloom_member,
+        bucketed_group_agg,
         bucketed_hash_join,
         build_bloom,
     )
@@ -746,12 +747,13 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     # (ngram_hash_set returns unique values); one groupby dedupes across
     # batches.  Vocabulary-bounded, never corpus-proportional.
     train_x = (
-        grams.map_batches(
-            lambda t: t.filter(t.column("train")).select(["x"]),
-            batch_format="pyarrow",
+        bucketed_group_agg(
+            grams.map_batches(
+                lambda t: t.filter(t.column("train")).select(["x"]),
+                batch_format="pyarrow",
+            ),
+            "x", "count", out_col="__n", n_buckets=n_buckets,
         )
-        .groupby("x")
-        .aggregate(Count(alias_name="__n"))
         .select_columns(["x"])
         # vocabulary-bounded; materialized so the bloom build and the
         # join's schema() probe don't re-execute the distinct aggregate
@@ -768,11 +770,10 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     # per-doc gram totals: one cheap doc-keyed aggregate over the
     # UNFILTERED test grams (the bloom below drops non-hits, so totals
     # must be counted before it)
-    totals = (
-        test_grams.groupby("doc_id")
-        .aggregate(Count(alias_name="n_grams"))
-        .materialize()  # doc-bounded (one row per test doc)
-    )
+    totals = bucketed_group_agg(
+        test_grams, "doc_id", "count", out_col="n_grams",
+        n_buckets=n_buckets,
+    ).materialize()  # doc-bounded (one row per test doc)
 
     # bloom prefilter: drop definitely-uncontaminated grams map-side
     n_hashes = 4
@@ -787,12 +788,11 @@ def ngram_contamination(ds, n: int = 3, train_pct: int = 80,
     # exact verify: inner join removes bloom false positives; each
     # (doc, gram) row is unique, so the per-doc count IS the number of
     # distinct contaminated grams
-    hits = (
+    hits = bucketed_group_agg(
         bucketed_hash_join(
             survivors, train_x, on="x", n_buckets=n_buckets, how="inner"
-        )
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_contaminated"))
+        ),
+        "doc_id", "count", out_col="n_contaminated", n_buckets=n_buckets,
     )
     hits_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_contaminated", pa.int64())]
@@ -939,8 +939,6 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     candidate pairs generated only within shared band buckets, verified
     by exact Hamming distance.  Same shuffle shape as MinHash banding;
     returns a Dataset of distinct (a, b) pairs."""
-    from ray.data.aggregate import Count
-
     def explode(t: pa.Table) -> pa.Table:
         t = add_simhash(t, text_col)
         parts = []
@@ -973,11 +971,11 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
             batch_format="pandas",
         )
     )
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="__n"))
-        .select_columns(["a", "b"])
-    )
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    return bucketed_group_agg(
+        pairs, ["a", "b"], "count", out_col="__n"
+    ).select_columns(["a", "b"])
 
 
 # ------------------------------------------------- edit-distance join

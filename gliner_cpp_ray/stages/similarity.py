@@ -336,8 +336,6 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
     exactly rather than hiding the approximation.  At true scale add
     the collided-bucket prefilter used by MinHash (dedup.py) to skip
     singleton buckets."""
-    from ray.data.aggregate import Count
-
     exploded = ds.map_batches(
         LshBandExploder(dim=dim, bits=bits, bands=bands, seed=seed,
                         id_col=id_col, col=col),
@@ -360,11 +358,11 @@ def lsh_near_dup_pairs(ds, dim: int, threshold: float = 0.95, bits: int = 32,
         )
     )
     # a pair found in several bands must count once
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="__n"))
-        .select_columns(["a", "b"])
-    )
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    return bucketed_group_agg(
+        pairs, ["a", "b"], "count", out_col="__n"
+    ).select_columns(["a", "b"])
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------

@@ -140,6 +140,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("latest_event_per_user", q.q_latest_event_per_user)
         timed("events_type_hour_rollup", q.q_events_type_hour_rollup)
         timed("order_price_ntile", q.q_order_price_ntile)
+        timed("orders_zorder_files", q.q_orders_zorder_files)
         timed("events_jsonl_roundtrip", q.q_events_jsonl_roundtrip)
         timed("event_funnel", q.q_event_funnel)
         timed("weekly_retention", q.q_weekly_retention)

@@ -835,6 +835,53 @@ def q_events_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def q_orders_zorder_files(sf_dir: str):
+    """Z-order layout plan: Morton-interleave (custkey, order day),
+    chunk the z-sorted order into 1000-row files — the lakehouse
+    OPTIMIZE ZORDER BY primitive, stages/layout.py.  Rank via the
+    two-level value-range scan (packing.global_order_rank)."""
+    from gliner_cpp_ray.stages.layout import zorder_file_assignment
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "x": t.column("o_custkey").cast(pa.int64()),
+                "y": pc.divide(
+                    t.column("o_orderdate").cast(pa.timestamp("us")).cast(
+                        pa.int64()
+                    ),
+                    86_400_000_000,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return zorder_file_assignment(ds, "x", "y", "o_orderkey",
+                                  rows_per_file=1000)
+
+
+def _zorder_sql() -> str:
+    z = (
+        "CAST(list_sum(list_transform(generate_series(0,15), "
+        "i -> (({v} >> CAST(i AS INT)) & 1) "
+        "* (CAST(1 AS BIGINT) << CAST(2*i{off} AS INT)))) AS BIGINT)"
+    )
+    zx = z.format(v="x", off="")
+    zy = z.format(v="y", off="+1")
+    return (
+        "WITH d AS (SELECT o_orderkey, (o_custkey & 65535) AS x, "
+        "((CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) & 65535) "
+        "AS y FROM orders), "
+        f"z AS (SELECT o_orderkey, {zx} + {zy} AS zval FROM d) "
+        "SELECT o_orderkey, zval, "
+        "CAST((row_number() OVER (ORDER BY zval, o_orderkey) - 1) // 1000 "
+        "AS BIGINT) AS file_id FROM z"
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Near-dup-aware train/test split: every member of a MinHash
     near-dup cluster lands on the SAME side (split keyed on cluster_id,
@@ -1787,6 +1834,7 @@ def queries():
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
+        "orders_zorder_files": q_orders_zorder_files,
         "bm25_topk": q_bm25_topk,
         "kg_inferred_country": q_kg_inferred_country,
         "host_link_components": q_host_link_components,
@@ -2608,6 +2656,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
             "AS sum_value_micro FROM events GROUP BY event_type"
         ),
+        "orders_zorder_files": _zorder_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ngram_contamination": _contamination_sql(),
         "pii_redact": _pii_sql(),

@@ -173,24 +173,16 @@ def global_shuffle_positions(ds, id_col: str = "doc_id",
     )
 
 
-def ntile_global(ds, val_col: str, id_col: str, tiles: int,
-                 n_buckets: int | None = None):
-    """Exact global NTILE: Dataset(id, val) -> Dataset(id, tile) where
-    ``tile`` is the row's SQL ``NTILE(tiles) OVER (ORDER BY val, id)``
-    assignment — the first ``N mod tiles`` tiles hold ``ceil(N/tiles)``
-    rows, the rest ``floor(N/tiles)`` (exactly DuckDB's rule).
-
-    A per-row EXACT quantile label needs the row's global rank, which
-    no single groupby gives; this is the third instance of the
-    two-level scan in this module, range-partitioned on the VALUE:
-    buckets ``(val - min) // span`` preserve the sort order between
-    buckets, one small groupby counts each bucket, the driver's
-    exclusive scan yields per-bucket rank offsets (one int per bucket,
-    never corpus rows), and each bucket sorts locally by (val, id).
-    Value skew concentrates rank work exactly like any range
-    partitioner; uniform-ish measures (prices, lengths) spread evenly,
-    and a pathological single-value column degrades to one bucket —
-    the documented remedy is a finer pre-histogram, not a new shape."""
+def global_order_rank(ds, val_col: str, id_col: str,
+                      n_buckets: int | None = None):
+    """Exact global 1-based rank under ORDER BY (val, id): Dataset(...)
+    -> (Dataset(..., rank), n_total).  The two-level value-range scan:
+    order-preserving buckets ``(val - min) // span``, one count row per
+    bucket to the driver, exclusive scan -> per-bucket offsets, local
+    sort + offset per bucket.  Value skew concentrates rank work like
+    any range partitioner; uniform-ish measures spread evenly, and a
+    single-value column degrades to one bucket (documented remedy: a
+    finer pre-histogram, not a new shape)."""
     if n_buckets is None:
         n_buckets = max(8, 10 * cluster_cpus())
 
@@ -199,9 +191,13 @@ def ntile_global(ds, val_col: str, id_col: str, tiles: int,
     if lo is None:
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64()),
-                      "tile": pa.array([], pa.int64())})
+        return (
+            rd.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64()),
+                          val_col: pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+            ),
+            0,
         )
     span = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
@@ -230,23 +226,41 @@ def ntile_global(ds, val_col: str, id_col: str, tiles: int,
             ),
         )
     )
-    q, rem = divmod(n_total, tiles)
-    boundary = rem * (q + 1)  # ranks <= boundary live in the big tiles
-    q_safe = max(q, 1)  # q == 0 only when every rank <= boundary
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([val_col, id_col])
         base = int(offsets[int(g["__bucket"].iloc[0])])
-        rank = np.arange(base + 1, base + len(g) + 1, dtype=np.int64)
+        out = g.drop(columns="__bucket").copy()
+        out["rank"] = np.arange(base + 1, base + len(g) + 1, dtype=np.int64)
+        return out
+
+    ranked = bucketed.groupby("__bucket").map_groups(
+        finish, batch_format="pandas"
+    )
+    return ranked, n_total
+
+
+def ntile_global(ds, val_col: str, id_col: str, tiles: int,
+                 n_buckets: int | None = None):
+    """Exact global NTILE: Dataset(id, val) -> Dataset(id, tile) where
+    ``tile`` is the row's SQL ``NTILE(tiles) OVER (ORDER BY val, id)``
+    assignment — the first ``N mod tiles`` tiles hold ``ceil(N/tiles)``
+    rows, the rest ``floor(N/tiles)`` (exactly DuckDB's rule).  Built
+    on ``global_order_rank`` (the module's two-level scan, third use)."""
+    ranked, n_total = global_order_rank(ds, val_col, id_col, n_buckets)
+    q, rem = divmod(n_total, tiles)
+    boundary = rem * (q + 1)  # ranks <= boundary live in the big tiles
+    q_safe = max(q, 1)  # q == 0 only when every rank <= boundary
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
         tile = np.where(
             rank <= boundary,
             (rank - 1) // (q + 1),
             rem + (rank - 1 - boundary) // q_safe,
         ) + 1
-        return pd.DataFrame(
-            {id_col: g[id_col].to_numpy(), "tile": tile.astype(np.int64)}
+        return pa.table(
+            {id_col: t.column(id_col), "tile": pa.array(tile.astype(np.int64))}
         )
 
-    return bucketed.groupby("__bucket").map_groups(
-        finish, batch_format="pandas"
-    )
+    return ranked.map_batches(to_tile, batch_format="pyarrow")

@@ -95,3 +95,47 @@ def test_ntile_all_equal_values(ray_session):
     )
     # single degenerate range bucket; order falls back to id
     assert got["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_morton_interleave_known_values():
+    from gliner_cpp_ray.stages.layout import morton_interleave16
+
+    x = np.array([0b101, 0, 0xFFFF, 3])
+    y = np.array([0b011, 1, 0xFFFF, 0])
+    z = morton_interleave16(x, y)
+    # x bits land even (pos 0,2,4 <- 1,0,1), y odd (pos 1,3,5 <- 1,1,0):
+    # z = 1 + 2 + 8 + 16 = 27
+    assert z[0] == 27
+    assert z[1] == 2          # y bit 0 -> position 1
+    assert z[2] == (1 << 32) - 1
+    assert z[3] == 0b0101     # x bits 0,1 -> positions 0,2
+
+
+def test_zorder_file_assignment(ray_session):
+    from gliner_cpp_ray.stages.layout import (
+        morton_interleave16, zorder_file_assignment)
+
+    rng = np.random.default_rng(3)
+    n = 50
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 1 << 16, n),
+            "y": rng.integers(0, 1 << 16, n),
+        }
+    )
+    got = (
+        zorder_file_assignment(
+            rd.from_pandas(df).repartition(3), "x", "y", "id",
+            rows_per_file=7, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    z = morton_interleave16(df["x"].to_numpy(), df["y"].to_numpy())
+    order = np.lexsort((df["id"].to_numpy(), z))
+    want_file = np.empty(n, dtype=np.int64)
+    want_file[order] = np.arange(n) // 7
+    assert got["zval"].tolist() == z.tolist()
+    assert got["file_id"].tolist() == want_file.tolist()

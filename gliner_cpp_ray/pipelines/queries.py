@@ -769,6 +769,24 @@ def q_latest_event_per_user(sf_dir: str):
     return latest_by_key(ds, "user_id", ["ts_us", "event_id"])
 
 
+def q_events_debounced(sf_dir: str):
+    """Debounce / telemetry log-dedup: keep an event iff it is the
+    first for its (user_id, event_type) key or arrives more than one
+    hour after the PREVIOUS raw event of that key — lag semantics
+    (every row compares to its immediate predecessor under
+    ORDER BY (ts, event_id), not to the last KEPT row) —
+    stages/windows.py:debounce_events.  One key-hash bucket shuffle,
+    per-bucket vectorized sort + diff."""
+    from gliner_cpp_ray.stages.windows import debounce_events
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return debounce_events(
+        ds, ["user_id", "event_type"], "ts", "event_id", gap_s=3600
+    )
+
+
 def q_events_type_hour_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
     the ONLY corpus-sized aggregate; every coarser level re-aggregates
@@ -1831,6 +1849,7 @@ def queries():
         "weekly_retention": q_weekly_retention,
         "dup_substring_stats": q_dup_substring_stats,
         "latest_event_per_user": q_latest_event_per_user,
+        "events_debounced": q_events_debounced,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2638,6 +2657,14 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "events_debounced": (
+            "SELECT event_id FROM (SELECT event_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS t, "
+            "lag(CAST(epoch_us(ts) AS BIGINT)) OVER ("
+            "PARTITION BY user_id, event_type ORDER BY ts, event_id"
+            ") AS prev FROM events) "
+            "WHERE prev IS NULL OR t - prev > 3600000000"
         ),
         "events_type_hour_rollup": (
             "WITH b AS (SELECT event_type, "

@@ -198,3 +198,48 @@ def rolling_per_key(ds, key_col: str, ts_col: str, val_col: str,
             batch_format="pandas",
         )
     )
+
+
+def debounce_events(ds, key_cols: list[str], ts_col: str, id_col: str,
+                    gap_s: int, n_buckets: int | None = None):
+    """Log-dedup / debounce: keep a row iff it is the first of its key
+    or follows the PREVIOUS RAW row of the same key by more than
+    ``gap_s`` (lag semantics — each row compares to its immediate
+    predecessor under ORDER BY (ts, id), exactly SQL's
+    ``lag(ts) OVER (PARTITION BY keys ORDER BY ts, id)``).
+
+    -> Dataset(id) of kept rows.  Scale shape: ONE key-hash bucket
+    shuffle (composite keys hashed together), per-bucket vectorized
+    sort + diff — the session_counts machinery pointed at retention
+    filtering instead of counting."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: np.zeros(0, np.int64)})
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.ones(len(g), dtype=bool)
+        same[0] = False
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = ~same[1:] | (ts[1:] - ts[:-1] > gap_s * US)
+        keep[0] = True
+        return pd.DataFrame({id_col: g[id_col].to_numpy()[keep]})
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

@@ -97,3 +97,54 @@ def test_rolling_per_key_int64_exact_past_2_53(ray_session):
         2: 3 * big + 4,
         3: (big + 1) + (big + 3) + 7,
     }
+
+
+def test_debounce_events_lag_semantics(ray_session):
+    """Debounce keeps a row iff first-of-key or > gap after the
+    PREVIOUS RAW row (lag semantics): a chain of sub-gap rows is
+    collapsed to its head even if the chain spans more than one gap
+    total; a boundary gap of exactly gap_s is still a duplicate;
+    equal timestamps (tie on ts) debounce deterministically by id."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import debounce_events
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def at(s):
+        return base + np.timedelta64(int(s * 1_000_000), "us")
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2, 2, 2, 1, 3, 3], np.int64),
+            "event_type": ["a", "a", "a", "a", "a", "a", "b", "b", "c", "c"],
+            "ts": pd.to_datetime(
+                [
+                    at(0),     # 0: (1,a) head -> keep
+                    at(5),     # 1: +5s   -> drop
+                    at(10),    # 2: +5s from row 1 (lag!) -> drop
+                    at(21),    # 3: +11s  -> keep
+                    at(0),     # 4: (2,a) head -> keep
+                    at(10),    # 5: exactly gap_s after -> drop (strict >)
+                    at(0),     # 6: (2,b) head -> keep
+                    at(100),   # 7: (1,b) head -> keep
+                    at(50),    # 8: (3,c) tie with row 9
+                    at(50),    # 9: tie -> ordered by id; row 9 drops
+                ]
+            ),
+        }
+    )
+    got = sorted(
+        debounce_events(
+            rd.from_pandas(df).repartition(4),
+            ["user_id", "event_type"],
+            "ts",
+            "event_id",
+            gap_s=10,
+            n_buckets=3,
+        )
+        .to_pandas()["event_id"]
+        .tolist()
+    )
+    assert got == [0, 3, 4, 6, 7, 8]

@@ -787,6 +787,36 @@ def q_events_debounced(sf_dir: str):
     )
 
 
+def q_lineitem_pareto(sf_dir: str):
+    """Pareto frontier (skyline) of lineitem maximizing
+    (l_quantity, l_extendedprice): rows no other row beats on both
+    criteria — stages/frontier.py.  ONE Dataset.aggregate whose
+    accumulator is the running frontier (per-block vectorized 2-D
+    skyline, tree merge); movement is O(tasks × frontier), frontier
+    bounded by distinct quantity values."""
+    from gliner_cpp_ray.stages.frontier import pareto_frontier
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "qty_micro": _micro(t.column("l_quantity")),
+                "price_micro": _micro(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pareto_frontier(
+        ds, ["qty_micro", "price_micro"], ["l_orderkey", "l_linenumber"]
+    )
+
+
 def q_events_type_hour_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
     the ONLY corpus-sized aggregate; every coarser level re-aggregates
@@ -1850,6 +1880,7 @@ def queries():
         "dup_substring_stats": q_dup_substring_stats,
         "latest_event_per_user": q_latest_event_per_user,
         "events_debounced": q_events_debounced,
+        "lineitem_pareto": q_lineitem_pareto,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2657,6 +2688,23 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "lineitem_pareto": (
+            # 2-D skyline via the O(n log n) window formulation: keep p
+            # iff p.price is the max at p.qty and beats the best price
+            # over all strictly larger qty (strict dominance; duplicate
+            # points all kept) — same semantics as skyline2_mask.
+            "WITH pts AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(floor(l_quantity * 1000000) AS BIGINT) AS qty_micro, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS price_micro "
+            "FROM lineitem), "
+            "agg AS (SELECT qty_micro, max(price_micro) AS my FROM pts "
+            "GROUP BY qty_micro), "
+            "r AS (SELECT qty_micro, my, max(my) OVER (ORDER BY qty_micro DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bh FROM agg) "
+            "SELECT p.l_orderkey, p.l_linenumber, p.qty_micro, p.price_micro "
+            "FROM pts p JOIN r ON p.qty_micro = r.qty_micro "
+            "WHERE p.price_micro = r.my AND (r.bh IS NULL OR r.my > r.bh)"
         ),
         "events_debounced": (
             "SELECT event_id FROM (SELECT event_id, "

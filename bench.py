@@ -150,6 +150,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_in_order_window", q.q_events_in_order_window)
         timed("lineitem_europe_semi", q.q_lineitem_europe_semi)
         timed("lineitem_pricing", q.q_lineitem_pricing)
+        timed("events_debounced", q.q_events_debounced)
+        timed("lineitem_pareto", q.q_lineitem_pareto)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -787,6 +787,31 @@ def q_events_debounced(sf_dir: str):
     )
 
 
+def q_customers_inactive(sf_dir: str):
+    """Exact distributed anti join (churn query): customers with NO
+    order since 2000-01-01 — stages/joins.py:bloom_anti_join.
+    Adaptive plan: broadcast inverted is_in at this key cardinality;
+    at scale, the Bloom split emits bloom-negative rows (provably
+    unmatched) map-side with zero shuffle and routes only
+    bloom-positive suspects through the exact bucketed anti check."""
+    from gliner_cpp_ray.stages.joins import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = np.datetime64("2000-01-01")
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t.column("o_orderdate").cast(pa.timestamp("us")),
+            pa.scalar(cutoff.astype("datetime64[us]").item(),
+                      pa.timestamp("us")),
+        )
+        return pa.table({"c_custkey": t.column("o_custkey").filter(keep)})
+
+    recent = orders.map_batches(recent_keys, batch_format="pyarrow")
+    return bloom_anti_join(cust, recent, on="c_custkey")
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto frontier (skyline) of lineitem maximizing
     (l_quantity, l_extendedprice): rows no other row beats on both
@@ -1881,6 +1906,7 @@ def queries():
         "latest_event_per_user": q_latest_event_per_user,
         "events_debounced": q_events_debounced,
         "lineitem_pareto": q_lineitem_pareto,
+        "customers_inactive": q_customers_inactive,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2688,6 +2714,12 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "customers_inactive": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= DATE '2000-01-01')"
         ),
         "lineitem_pareto": (
             # 2-D skyline via the O(n log n) window formulation: keep p

@@ -584,3 +584,119 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
     return bucketed_hash_join(
         survivors, distinct_keys, on=on, n_buckets=n_buckets, how="inner"
     )
+
+
+def bloom_anti_join(left, right, on: str, n_bits: int = 1 << 23,
+                    n_hashes: int = 4, n_buckets: int | None = None,
+                    broadcast_threshold: int = 1_000_000,
+                    broadcast_byte_cap: int = 64 << 20):
+    """EXACT anti join with the same adaptive plan as
+    ``bloom_semi_join``: keep the left rows whose key does NOT appear
+    in ``right``.  Returns left columns only.
+
+    Small right side: the exact key set broadcasts once and the anti
+    join is a pure map-side inverted ``is_in`` — zero shuffle.
+
+    Large right side: the Bloom split flips roles versus the semi
+    join — a bloom MISS proves the key is absent from ``right``, so
+    bloom-negative left rows are DEFINITE KEEPS emitted map-side
+    without ever entering a shuffle; only bloom-positive rows (true
+    matches to drop + false positives to rescue) go through the exact
+    bucketed anti check against the distinct right keys.  With a
+    typical anti join ("rows NOT seen before") most left rows miss the
+    bloom, so the shuffled fraction ≈ match rate + FP rate."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    distinct_keys = (
+        right.groupby(on)
+        .aggregate(Count(alias_name="__n"))
+        .select_columns([on])
+        .materialize()  # key-cardinality bounded; avoids schema re-execution
+    )
+    if (
+        distinct_keys.count() <= broadcast_threshold
+        and distinct_keys.size_bytes() <= broadcast_byte_cap
+    ):
+        key_arr = pa.array(distinct_keys.to_pandas()[on].to_numpy())
+
+        def exact_filter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t.column(on), value_set=key_arr))
+            )
+
+        return left.map_batches(exact_filter, batch_format="pyarrow")
+
+    bits = build_bloom(right, on, n_bits=n_bits, n_hashes=n_hashes)
+    bits_ref = ray.put(bits)
+
+    def split(keep_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            b = ray.get(bits_ref)  # zero-copy plasma read, once per task
+            member = _bloom_member(b, t.column(on), n_hashes)
+            return t.filter(pa.array(member if keep_side else ~member))
+
+        return fn
+
+    definite_keeps = left.map_batches(split(False), batch_format="pyarrow")
+    suspects = left.map_batches(split(True), batch_format="pyarrow")
+    rescued = bucketed_anti_join(
+        suspects, distinct_keys, on=on, n_buckets=n_buckets
+    )
+    return definite_keeps.union(rescued)
+
+
+def bucketed_anti_join(left, right_keys, on: str,
+                       n_buckets: int | None = None):
+    """Partitioned exact anti join: left rows whose key has no match in
+    ``right_keys`` (a Dataset holding at least the ``on`` column).  One
+    key-hash bucket shuffle of both sides; per-bucket vectorized
+    ``isin`` inversion."""
+    n_buckets = default_buckets(n_buckets)
+    s = left.schema()
+    lcols = list(s.names)
+    ltypes = {n: _as_arrow_type(t) for n, t in zip(s.names, s.types)}
+    out_schema = pa.schema([(n, ltypes[n]) for n in lcols])
+    int_cols = {n for n in lcols if pa.types.is_integer(ltypes[n])}
+
+    def pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = add_bucket(t, on, n_buckets)
+            n = t.num_rows
+            arrays, names = [], []
+            for name in lcols:
+                names.append(name)
+                if name in t.schema.names:
+                    arrays.append(t.column(name))
+                else:
+                    arrays.append(pa.nulls(n, ltypes[name]))
+            names += ["__bucket", "__side"]
+            arrays += [
+                t.column("__bucket"),
+                pa.array(np.full(n, side, np.int8)),
+            ]
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(pad(0), batch_format="pyarrow")
+    rt = right_keys.select_columns([on]).map_batches(
+        pad(1), batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lg = g.loc[g["__side"] == 0, lcols]
+        if lg.empty:
+            return out_schema.empty_table()
+        rk = g.loc[g["__side"] == 1, on]
+        return _merged_to_arrow(
+            _restore_int_dtypes(lg[~lg[on].isin(rk)], int_cols), out_schema
+        )
+
+    return (
+        lt.union(rt)
+        .repartition(max(n_buckets, 8))  # coalesce slivers pre-shuffle
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

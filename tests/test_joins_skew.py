@@ -339,6 +339,43 @@ def test_bloom_semi_join_string_keys(ray_session):
         assert sorted(got["v"]) == [0, 3, 4]
 
 
+def test_bloom_anti_join_exact_despite_false_positives(ray_session):
+    """Tiny bitmap (massive FP rate): false positives must be RESCUED
+    by the exact bucketed anti check, bloom-negative rows kept — the
+    result equals the exact anti join on every path."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bloom_anti_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 2000), "v": rng.integers(0, 99, 2000)}
+    )
+    right_keys = rng.choice(500, 40, replace=False).astype(np.int64)
+    right = pd.DataFrame({"k": np.repeat(right_keys, 2)})  # dup right keys
+
+    want = left[~left["k"].isin(right_keys)]
+    key = lambda d: sorted(map(tuple, d[["k", "v"]].to_numpy()))
+
+    got = bloom_anti_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+        n_bits=64,  # nearly every probe collides: rescue path exercised
+        n_buckets=4,
+        broadcast_threshold=0,  # force the bloom-split plan
+    ).to_pandas()
+    assert key(got) == key(want)
+    assert len(got) == len(want)  # dup right keys drop a row only once
+
+    got_bc = bloom_anti_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on="k",
+    ).to_pandas()
+    assert key(got_bc) == key(want)
+
+
 def test_grouped_top_k(ray_session):
     import ray.data as rd
 

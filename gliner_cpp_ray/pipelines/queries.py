@@ -812,6 +812,107 @@ def q_customers_inactive(sf_dir: str):
     return bloom_anti_join(cust, recent, on="c_custkey")
 
 
+def q_top_building_orders(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table pipeline: top-10 highest-revenue orders
+    from BUILDING-segment customers, order placed before / lineitem
+    shipped after 1998-06-01.  Scale shape: the segment key set
+    semi-filters orders adaptively (broadcast is_in here, Bloom split
+    at scale — joins.py:bloom_semi_join); lineitem revenue is
+    pre-aggregated per order (Ray's block-partial Sum) so the ONE
+    corpus-sized exchange carries (orderkey, partial) rows; the
+    order⋈revenue join is bucket-hashed; the final top-10 is a
+    per-batch combiner + k-row reduce (skew.py:global_top_k) — no full
+    sort.  Revenue is integer-exact in nano units:
+    floor(price·1e6) × (1000 − floor(discount·1e3))."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import bloom_semi_join, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    cutoff_us = int(
+        np.datetime64("1998-06-01").astype("datetime64[us]").astype(np.int64)
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey").filter(
+                    pc.equal(t.column("c_mktsegment"), "BUILDING")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        d_us = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.less(d_us, cutoff_us)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(keep),
+                "o_custkey": t.column("o_custkey").filter(keep),
+                "o_date_us": d_us.filter(keep),
+                "o_orderpriority": t.column("o_orderpriority").filter(keep),
+            }
+        )
+
+    o = bloom_semi_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        keys,
+        on="o_custkey",
+    ).drop_columns(["o_custkey"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        s_us = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.greater(s_us, cutoff_us)
+        price = _micro(t.column("l_extendedprice").filter(keep)).to_numpy(
+            zero_copy_only=False
+        )
+        disc = np.floor(
+            t.column("l_discount").filter(keep).to_numpy(zero_copy_only=False)
+            * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey").filter(keep),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(prep_li, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_nano", alias_name="revenue_nano"))
+    )
+    joined = bucketed_hash_join(
+        rev,
+        o,
+        on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_date_us", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    return global_top_k(joined, "revenue_nano", "o_orderkey", k=10)
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto frontier (skyline) of lineitem maximizing
     (l_quantity, l_extendedprice): rows no other row beats on both
@@ -1907,6 +2008,7 @@ def queries():
         "events_debounced": q_events_debounced,
         "lineitem_pareto": q_lineitem_pareto,
         "customers_inactive": q_customers_inactive,
+        "top_building_orders": q_top_building_orders,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2714,6 +2816,27 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "top_building_orders": (
+            # revenue integer-exact in nano units: micro-price × (1000
+            # − milli-discount); ties broken by ascending orderkey so
+            # LIMIT 10 is deterministic
+            "WITH bc AS (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "o AS (SELECT o_orderkey, "
+            "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) "
+            "AS o_date_us, o_orderpriority FROM orders "
+            "JOIN bc ON o_custkey = c_custkey "
+            "WHERE o_orderdate < DATE '1998-06-01'), "
+            "l AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) * "
+            "(1000 - CAST(floor(l_discount * 1000) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_shipdate > DATE '1998-06-01'), "
+            "r AS (SELECT l_orderkey, CAST(sum(rev) AS BIGINT) "
+            "AS revenue_nano FROM l GROUP BY l_orderkey) "
+            "SELECT o.o_orderkey, r.revenue_nano, o.o_date_us, "
+            "o.o_orderpriority FROM r JOIN o ON r.l_orderkey = o.o_orderkey "
+            "ORDER BY r.revenue_nano DESC, o.o_orderkey LIMIT 10"
         ),
         "customers_inactive": (
             "SELECT c_custkey, c_name FROM customer c "

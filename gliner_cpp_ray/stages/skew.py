@@ -160,6 +160,32 @@ def grouped_top_k(ds, group_col: str, order_col: str, id_col: str, k: int,
     )
 
 
+def global_top_k(ds, order_col: str, id_col: str, k: int,
+                 descending: bool = True):
+    """Global top-k rows by value, ties broken by ascending ``id_col``
+    (``ORDER BY v DESC, id LIMIT k``).  Per-batch top-k combiner bounds
+    the data leaving any task at k rows, so the final single-partition
+    reduce sees tasks × k rows regardless of corpus size — no full
+    sort, no corpus-sized collect."""
+    by = [order_col, id_col]
+    asc = [not descending, True]
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc).head(k)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(top(t.to_pandas()), preserve_index=False)
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .repartition(1)  # tasks × k rows only
+        # batch_size=None = whole block per batch: the single coalesced
+        # block must reach one final top() call, or k rows per 1024-row
+        # default batch would leak through
+        .map_batches(top, batch_format="pandas", batch_size=None)
+    )
+
+
 def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int,
                       n_buckets: int = 16):
     """Deterministic per-stratum sample: the ``n`` rows of each stratum

@@ -464,3 +464,32 @@ def test_bucketed_hash_join_salted_matches_unsalted(ray_session):
         bucketed[bucketed["k"] == 7].groupby("__salted").size().max()
     )
     assert salted_peak <= unsalted_peak / (salt - 1)
+
+
+def test_global_top_k_exceeds_batch_boundaries(ray_session):
+    """tasks × k combiner rows can exceed one default batch — the final
+    reduce must still emit exactly k rows globally (regression guard
+    for the batch_size=None whole-block final pass)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(30_000, dtype=np.int64),
+            "v": rng.integers(0, 1_000, 30_000).astype(np.int64),
+        }
+    )
+    got = (
+        global_top_k(rd.from_pandas(df).repartition(40), "v", "id", k=7)
+        .to_pandas()
+        .sort_values(["v", "id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .head(7)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "v"]], want)

@@ -152,6 +152,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("lineitem_pricing", q.q_lineitem_pricing)
         timed("events_debounced", q.q_events_debounced)
         timed("lineitem_pareto", q.q_lineitem_pareto)
+        timed("customers_inactive", q.q_customers_inactive)
+        timed("top_building_orders", q.q_top_building_orders)
+        timed("embedding_kmeans", q.q_embedding_kmeans)
 
     result = {
         "metric": "kg_pipeline_e2e",

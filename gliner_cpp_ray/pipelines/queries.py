@@ -913,6 +913,72 @@ def q_top_building_orders(sf_dir: str):
     return global_top_k(joined, "revenue_nano", "o_orderkey", k=10)
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means (IVF coarse-quantizer training):
+    3 deterministic Lloyd iterations over every embedding, k=8 —
+    stages/similarity.py:kmeans_fit_distributed.  Each iteration is one
+    fixed-size-accumulator aggregate (per-block vectorized assignment +
+    partial sums, broadcast centroids); integer-exact micro arithmetic
+    end to end so DuckDB replicates the fit bit-for-bit."""
+    from gliner_cpp_ray.stages.similarity import kmeans_fit_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_fit_distributed(ds, k=8, n_iter=3)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
+    """Literal SQL transcription of kmeans_fit_distributed: micro
+    quantization, stable-argmin assignment (ORDER BY dd, cell), exact
+    integer floor-division centroid update, empty cells keeping the
+    previous centroid."""
+    parts = [
+        # the DOUBLE cast is load-bearing: FLOAT * 1000000 would
+        # multiply in single precision and misround ~0.4% of cells by
+        # one micro unit vs numpy's float64 path
+        "ev AS (SELECT vec_id, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+        "AS BIGINT) AS x, "
+        "unnest(range(len(embedding))) AS d FROM embeddings)",
+        "c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cell, d, x FROM ev WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"dist{i} AS (SELECT e.vec_id, c.cell, "
+            "sum((e.x - c.x) * (e.x - c.x)) AS dd "
+            f"FROM ev e JOIN {prev} c ON e.d = c.d "
+            "GROUP BY e.vec_id, c.cell)"
+        )
+        parts.append(
+            f"asg{i} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) "
+            f"AS rn FROM dist{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            # exact integer FLOOR division (numpy floor_divide): DuckDB
+            # // truncates toward zero and floor(double s/n) misrounds
+            # when the true quotient sits just below an integer, so
+            # emulate floor explicitly for negative sums
+            f"m{i} AS (SELECT a.cell, e.d, "
+            "CAST(sum(e.x) // count(*) - CASE WHEN sum(e.x) < 0 "
+            "AND sum(e.x) % count(*) <> 0 THEN 1 ELSE 0 END AS BIGINT) "
+            f"AS x FROM asg{i} a JOIN ev e USING (vec_id) "
+            "GROUP BY a.cell, e.d)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT * FROM m{i} UNION ALL "
+            f"SELECT p.* FROM {prev} p WHERE p.cell NOT IN "
+            f"(SELECT DISTINCT cell FROM m{i}))"
+        )
+        prev = f"c{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT cell, CAST(d AS BIGINT) AS dim, x AS c_micro FROM {prev}"
+    )
+
+
 def q_lineitem_pareto(sf_dir: str):
     """Pareto frontier (skyline) of lineitem maximizing
     (l_quantity, l_extendedprice): rows no other row beats on both
@@ -2009,6 +2075,7 @@ def queries():
         "lineitem_pareto": q_lineitem_pareto,
         "customers_inactive": q_customers_inactive,
         "top_building_orders": q_top_building_orders,
+        "embedding_kmeans": q_embedding_kmeans,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2817,6 +2884,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
         ),
+        "embedding_kmeans": _kmeans_sql(),
         "top_building_orders": (
             # revenue integer-exact in nano units: micro-price × (1000
             # − milli-discount); ties broken by ascending orderkey so

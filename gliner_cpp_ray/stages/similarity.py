@@ -388,6 +388,93 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int = 8,
     return cent
 
 
+def kmeans_fit_distributed(ds, k: int = 8, n_iter: int = 3,
+                           id_col: str = "vec_id",
+                           col: str = "embedding") -> pa.Table:
+    """FULL-CORPUS Lloyd k-means (vs ``kmeans_centroids``' driver-side
+    sample): every iteration is ONE ``Dataset.aggregate`` whose
+    accumulator is the fixed-size ((k, d) int64 sum matrix, (k,) count
+    vector) — per-block vectorized assignment + partial sums, tree
+    ``+`` merge, centroids broadcast via ``ray.put`` each round.  Data
+    movement per iteration is O(tasks × k × d), independent of corpus
+    size; the driver holds only k×d numbers between rounds.
+
+    Integer-exact for oracle parity: vectors are micro-quantized
+    (floor(x·1e6)), distances are int64 squared-L2 (|x|≤1e8 micro and
+    d≤10⁴ stay < 2⁶³), assignment ties go to the lowest cell (stable
+    argmin), centroid update is floor(sum/count) (true floor — numpy
+    floor_divide; the SQL transcription uses floor(double division),
+    identical while |sum| < 2⁵³), and an emptied cell keeps its
+    previous centroid.  Init = the k rows with smallest ``id_col``
+    (per-batch k-smallest combiner, k-row reduce — no sort shuffle).
+
+    Returns the final centroids as a long (cell, dim, c_micro) Table,
+    k×d rows."""
+    import ray
+
+    from ray.data.aggregate import AggregateFn
+
+    def smallest(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(idx, pa.int64()))
+
+    seeds = (
+        ds.select_columns([id_col, col])
+        .map_batches(smallest, batch_format="pyarrow")
+        .repartition(1)  # tasks × k rows only
+        .map_batches(smallest, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # k rows — bounded by construction
+    )
+    order = np.argsort(seeds[id_col].to_numpy(), kind="stable")
+    init = np.stack(
+        [np.asarray(v, np.float64) for v in seeds[col].to_numpy()[order]]
+    )
+    cent = np.floor(init * 1e6).astype(np.int64)  # (k, d) micro
+    d_dim = cent.shape[1]
+
+    for _ in range(n_iter):
+        cent_ref = ray.put(cent)
+
+        def acc_block(st, block):
+            sums, cnts = st
+            t = (
+                block
+                if isinstance(block, pa.Table)
+                else pa.Table.from_pandas(block)
+            )
+            x = np.floor(_embedding_matrix(t, col) * 1e6).astype(np.int64)
+            c = ray.get(cent_ref)  # zero-copy plasma read, once per task
+            diff = x[:, None, :] - c[None, :, :]
+            assign = (diff * diff).sum(axis=2).argmin(axis=1)
+            sums, cnts = sums.copy(), cnts.copy()
+            np.add.at(sums, assign, x)
+            np.add.at(cnts, assign, 1)
+            return sums, cnts
+
+        agg = AggregateFn(
+            init=lambda key: (
+                np.zeros((k, d_dim), np.int64),
+                np.zeros(k, np.int64),
+            ),
+            merge=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+            accumulate_block=acc_block,
+            name="km",
+        )
+        sums, cnts = ds.aggregate(agg)["km"]
+        nz = cnts > 0
+        cent = cent.copy()
+        cent[nz] = np.floor_divide(sums[nz], cnts[nz][:, None])
+
+    return pa.table(
+        {
+            "cell": pa.array(np.repeat(np.arange(k, dtype=np.int64), d_dim)),
+            "dim": pa.array(np.tile(np.arange(d_dim, dtype=np.int64), k)),
+            "c_micro": pa.array(cent.reshape(-1)),
+        }
+    )
+
+
 def assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Nearest-centroid (squared-L2) cell per row; ties -> lowest cell."""
     d = ((np.asarray(m, dtype=np.float64)[:, None, :]

@@ -244,3 +244,45 @@ def test_ivf_indexed_matches_streaming_and_prunes_read(ray_session, tmp_path):
         if os.path.isdir(os.path.join(idx, f"cell={c}"))
     )
     assert 0 < probed_rows < full_rows
+
+
+def test_kmeans_fit_distributed_matches_local_lloyd(ray_session):
+    """Distributed Lloyd == a local single-process transcription of the
+    same semantics (micro quantization, stable argmin, floor-division
+    update, empty cell keeps previous centroid), independent of
+    partitioning."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.similarity import kmeans_fit_distributed
+
+    rng = np.random.default_rng(23)
+    n, d, k, iters = 300, 6, 5, 3
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)  # ids out of row order
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+    # local reference
+    x = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    seed_rows = np.argsort(ids, kind="stable")[:k]
+    cent = x[seed_rows].copy()
+    for _ in range(iters):
+        diff = x[:, None, :] - cent[None, :, :]
+        a = (diff * diff).sum(axis=2).argmin(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            if (a == c).any():
+                grp = x[a == c]
+                new[c] = np.floor_divide(grp.sum(axis=0), len(grp))
+        cent = new
+
+    for parts in (1, 7):
+        got = (
+            kmeans_fit_distributed(
+                rd.from_pandas(df).repartition(parts), k=k, n_iter=iters
+            )
+            .to_pandas()
+            .sort_values(["cell", "dim"])
+        )
+        assert (
+            got["c_micro"].to_numpy() == cent.reshape(-1)
+        ).all(), f"parts={parts}"

@@ -155,6 +155,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("customers_inactive", q.q_customers_inactive)
         timed("top_building_orders", q.q_top_building_orders)
         timed("embedding_kmeans", q.q_embedding_kmeans)
+        timed("user_event_pivot", q.q_user_event_pivot)
+        timed("user_top_event_type", q.q_user_top_event_type)
+        timed("events_value_delta", q.q_events_value_delta)
 
     result = {
         "metric": "kg_pipeline_e2e",

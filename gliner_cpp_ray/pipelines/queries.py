@@ -1009,6 +1009,61 @@ def q_lineitem_pareto(sf_dir: str):
     )
 
 
+def q_user_event_pivot(sf_dir: str):
+    """PIVOT: per-user wide counts, one column per event type —
+    stages/rollup.py:pivot_counts.  Indicator columns map-side, one
+    grouped Sum exchange with block partials; the shuffle carries one
+    wide row per (block, user), never a (user, type) pair row."""
+    from gliner_cpp_ray.stages.rollup import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_user_top_event_type(sf_dir: str):
+    """Per-group MODE: each user's most frequent event type (ties →
+    lexicographically smallest).  (user, type) counts via the bucketed
+    vectorized grouped aggregate, then the per-batch top-k combiner
+    takes k=1 per user — stages/joins.py:bucketed_group_agg +
+    stages/skew.py:grouped_top_k."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = bucketed_group_agg(
+        ds, ["user_id", "event_type"], "count", out_col="n"
+    )
+    return grouped_top_k(counts, "user_id", "n", "event_type", k=1)
+
+
+def q_events_value_delta(sf_dir: str):
+    """Per-key first difference (lag delta): value − lag(value) per
+    user under ORDER BY (ts, event_id); first-of-key rows omitted —
+    stages/windows.py:lag_delta_per_key.  One bucket shuffle,
+    per-bucket vectorized shifted subtraction, micro-int exact."""
+    from gliner_cpp_ray.stages.windows import lag_delta_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "user_id": t.column("user_id"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return lag_delta_per_key(
+        ds, ["user_id"], "ts", "event_id", "value_micro",
+        out_col="delta_micro",
+    )
+
+
 def q_events_type_hour_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
     the ONLY corpus-sized aggregate; every coarser level re-aggregates
@@ -2076,6 +2131,9 @@ def queries():
         "customers_inactive": q_customers_inactive,
         "top_building_orders": q_top_building_orders,
         "embedding_kmeans": q_embedding_kmeans,
+        "user_event_pivot": q_user_event_pivot,
+        "user_top_event_type": q_user_top_event_type,
+        "events_value_delta": q_events_value_delta,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2885,6 +2943,34 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
         ),
         "embedding_kmeans": _kmeans_sql(),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) "
+            "AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) "
+            "AS n_error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) "
+            "AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) "
+            "AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) "
+            "AS n_view FROM events GROUP BY user_id"
+        ),
+        "user_top_event_type": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT user_id, event_type, n FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn "
+            "FROM c) WHERE rn = 1"
+        ),
+        "events_value_delta": (
+            "SELECT event_id, value_micro - prev AS delta_micro FROM ("
+            "SELECT event_id, "
+            "CAST(floor(value * 1000000) AS BIGINT) AS value_micro, "
+            "lag(CAST(floor(value * 1000000) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NOT NULL"
+        ),
         "top_building_orders": (
             # revenue integer-exact in nano units: micro-price × (1000
             # − milli-discount); ties broken by ascending orderkey so

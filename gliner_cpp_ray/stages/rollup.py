@@ -79,3 +79,36 @@ def rollup_counts(finest_ds, keys: list[str], count_col: str = "n"):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 prefix: str = "n_"):
+    """PIVOT: one wide count column per category
+    (``count(*) FILTER (WHERE cat = c)``), grouped by ``key_col``.
+
+    The category list must be known up front (pass the enum, or
+    pre-compute distinct values on a bounded column) — that is what
+    keeps the output schema static and the plan a single aggregate.
+    Scale shape: indicator columns are added map-side (vectorized
+    ``pc.equal`` + cast), then ONE grouped Sum per category rides the
+    same key-hash exchange with Ray's per-block partial aggregation —
+    the shuffle carries one wide row per (block, key), never one row
+    per (key, category) pair."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {key_col: t.column(key_col)}
+        cat = t.column(cat_col)
+        for c in categories:
+            cols[prefix + c] = pc.equal(cat, c).cast(pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            *[Sum(prefix + c, alias_name=prefix + c) for c in categories]
+        )
+    )

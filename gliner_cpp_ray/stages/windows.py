@@ -243,3 +243,55 @@ def debounce_events(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def lag_delta_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
+                      val_col: str, out_col: str = "delta",
+                      n_buckets: int | None = None):
+    """Per-key first difference: for each row, ``val − lag(val)`` under
+    ``PARTITION BY keys ORDER BY (ts, id)``; rows with no predecessor
+    (each key's first) are omitted, keeping the output dense int64.
+
+    -> Dataset(id, out_col).  Same scale shape as ``debounce_events``:
+    ONE composite-key-hash bucket shuffle, per-bucket vectorized
+    sort + shifted subtraction."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    out_col: np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        v = g[val_col].to_numpy().astype(np.int64)
+        delta = np.empty(len(g), np.int64)
+        delta[1:] = v[1:] - v[:-1]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[same],
+                out_col: delta[same],
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

@@ -148,3 +148,33 @@ def test_debounce_events_lag_semantics(ray_session):
         .tolist()
     )
     assert got == [0, 3, 4, 6, 7, 8]
+
+
+def test_lag_delta_per_key_edges(ray_session):
+    """Single-row keys emit nothing; deltas follow (ts, id) order
+    including ties; negative deltas exact."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import lag_delta_per_key
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base + np.timedelta64(s, "s") for s in [0, 5, 5, 9, 0]]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 2], np.int64),
+            "ts": pd.to_datetime(ts),
+            "v": np.array([10, 7, 30, 4, 99], np.int64),
+        }
+    )
+    got = (
+        lag_delta_per_key(
+            rd.from_pandas(df).repartition(3),
+            ["user_id"], "ts", "event_id", "v", out_col="d", n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # user 1 order: id0(10) -> id1(7) -> id2(30, ts tie by id) -> id3(4)
+    assert got["event_id"].tolist() == [1, 2, 3]
+    assert got["d"].tolist() == [-3, 23, -26]  # user 2: single row, omitted

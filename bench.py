@@ -158,6 +158,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("user_event_pivot", q.q_user_event_pivot)
         timed("user_top_event_type", q.q_user_top_event_type)
         timed("events_value_delta", q.q_events_value_delta)
+        timed("event_transitions", q.q_event_transitions)
+        timed("embedding_moments", q.q_embedding_moments)
 
     result = {
         "metric": "kg_pipeline_e2e",

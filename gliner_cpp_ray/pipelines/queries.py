@@ -1064,6 +1064,31 @@ def q_events_value_delta(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix: counts of consecutive (event_type →
+    next event_type) pairs per user, ordered by (ts, event_id) —
+    stages/windows.py:transition_counts.  One bucket shuffle +
+    per-bucket vectorized shift; partials merged by a tiny grouped
+    Sum (≤ |types|² rows)."""
+    from gliner_cpp_ray.stages.windows import transition_counts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(
+        ds, ["user_id"], "ts", "event_id", "event_type"
+    )
+
+
+def q_embedding_moments(sf_dir: str):
+    """Exact corpus Gram matrix (PCA/whitening sufficient statistic):
+    sum of x_i·x_j over every embedding, upper triangle —
+    stages/similarity.py:embedding_second_moments.  One fixed-size
+    (d, d) aggregate; movement O(tasks × d²)."""
+    from gliner_cpp_ray.stages.similarity import embedding_second_moments
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_second_moments(ds)
+
+
 def q_events_type_hour_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
     the ONLY corpus-sized aggregate; every coarser level re-aggregates
@@ -2134,6 +2159,8 @@ def queries():
         "user_event_pivot": q_user_event_pivot,
         "user_top_event_type": q_user_top_event_type,
         "events_value_delta": q_events_value_delta,
+        "event_transitions": q_event_transitions,
+        "embedding_moments": q_embedding_moments,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2962,6 +2989,24 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT user_id, event_type, n FROM (SELECT *, row_number() "
             "OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn "
             "FROM c) WHERE rn = 1"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT event_type AS state, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS next_state FROM events) "
+            "SELECT state, next_state, CAST(count(*) AS BIGINT) AS n "
+            "FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2"
+        ),
+        "embedding_moments": (
+            # DOUBLE cast before the micro multiply: see _kmeans_sql
+            "WITH ev AS (SELECT vec_id, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS x, "
+            "unnest(range(len(embedding))) AS d FROM embeddings) "
+            "SELECT CAST(a.d AS BIGINT) AS d1, CAST(b.d AS BIGINT) AS d2, "
+            "CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy "
+            "FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.d <= b.d "
+            "GROUP BY 1, 2"
         ),
         "events_value_delta": (
             "SELECT event_id, value_micro - prev AS delta_micro FROM ("

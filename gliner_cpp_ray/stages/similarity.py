@@ -475,6 +475,52 @@ def kmeans_fit_distributed(ds, k: int = 8, n_iter: int = 3,
     )
 
 
+def embedding_second_moments(ds, col: str = "embedding") -> pa.Table:
+    """Exact Gram / second-moment matrix of the micro-quantized corpus:
+    ``sum over vectors of x_i · x_j`` for every dim pair i ≤ j — the
+    sufficient statistic for covariance/PCA whitening, computed as ONE
+    ``Dataset.aggregate`` with a fixed-size (d, d) int64 accumulator:
+    per-block vectorized ``xᵀx`` matmul, tree ``+`` merge.  Data
+    movement is O(tasks × d²), independent of corpus size.
+
+    Integer-exact (micro quantization), so the SQL self-join oracle
+    reproduces it bit-for-bit.  Overflow headroom: |x| ≤ 1e7 micro
+    gives per-row products ≤ 1e14 — the int64 sum is exact to ~9·10⁴
+    × corpus rows of that magnitude (≈10¹⁴ rows at unit-norm scale);
+    raise the quantum if vectors are larger.
+
+    Returns a long (d1, d2, sum_xy) Table, d(d+1)/2 rows."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(mat, block):
+        t = (
+            block
+            if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block)
+        )
+        x = np.floor(_embedding_matrix(t, col) * 1e6).astype(np.int64)
+        if mat is None:
+            mat = np.zeros((x.shape[1], x.shape[1]), np.int64)
+        return mat + x.T @ x
+
+    agg = AggregateFn(
+        init=lambda key: None,  # dim learned from the first block
+        merge=lambda a, b: b if a is None else (a if b is None else a + b),
+        accumulate_block=acc_block,
+        name="gram",
+    )
+    mat = ds.aggregate(agg)["gram"]
+    d = mat.shape[0]
+    iu = np.triu_indices(d)
+    return pa.table(
+        {
+            "d1": pa.array(iu[0].astype(np.int64)),
+            "d2": pa.array(iu[1].astype(np.int64)),
+            "sum_xy": pa.array(mat[iu]),
+        }
+    )
+
+
 def assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Nearest-centroid (squared-L2) cell per row; ties -> lowest cell."""
     d = ((np.asarray(m, dtype=np.float64)[:, None, :]

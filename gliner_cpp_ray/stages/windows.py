@@ -295,3 +295,67 @@ def lag_delta_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def transition_counts(ds, key_cols: list[str], ts_col: str, id_col: str,
+                      state_col: str, n_buckets: int | None = None):
+    """Markov transition counts: (state, next_state, n) over consecutive
+    row pairs per key under ``ORDER BY (ts, id)`` — SQL's
+    ``lead(state) OVER (PARTITION BY keys ORDER BY ts, id)``.
+
+    Scale shape: ONE key-hash bucket shuffle, per-bucket vectorized
+    sort + shift, then a per-bucket pandas groupby emits (state, next,
+    partial n) — state-pair cardinality bounded — merged by one tiny
+    grouped Sum."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "state": pd.Series(dtype=object),
+                "next_state": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        same = np.ones(len(g) - 1, dtype=bool)
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same &= kv[1:] == kv[:-1]
+        if not same.any():
+            return empty
+        st = g[state_col].to_numpy()
+        pairs = pd.DataFrame(
+            {"state": st[:-1][same], "next_state": st[1:][same]}
+        )
+        out = (
+            pairs.groupby(["state", "next_state"], sort=False)
+            .size()
+            .rename("n")
+            .astype(np.int64)
+            .reset_index()
+        )
+        return out
+
+    partials = (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+    # final merge: state-pair-cardinality-bounded grouped Sum
+    return partials.groupby(["state", "next_state"]).aggregate(
+        Sum("n", alias_name="n")
+    )

@@ -215,23 +215,31 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
     r_0 = 1_000_000; r_{k+1}(v) = 150_000 + Σ_{(u,v)} (r_k(u)*17) //
     (20*deg(u)).  Every quantity is int64 floor arithmetic, so a SQL
     transcription reproduces it bit-for-bit.
-    """
-    from ray.data.aggregate import Count, Sum
 
+    Data movement: out-degree is folded into the NODE-sized rank state
+    (one node×deg join up front), so per-source contributions are
+    computed map-side on the state and each iteration exchanges only
+    edges ⋈ (node_id, c) + the contribution group-sum — the edge table
+    crosses the wire once per iteration and never carries a deg column;
+    the state's deg rides the group-sum as a max() alongside the zero
+    rows that keep un-linked nodes alive (one exchange, not two)."""
     from gliner_cpp_ray.stages.sizing import default_buckets
 
-    edges_deg_schema = pa.schema(
-        [("node_id", pa.int64()), ("dst_id", pa.int64()), ("deg", pa.int64())]
+    edges_schema = pa.schema([("node_id", pa.int64()), ("dst_id", pa.int64())])
+    state_schema = pa.schema(
+        [("node_id", pa.int64()), ("r", pa.int64()), ("deg", pa.int64())]
     )
+    contrib_schema = pa.schema([("node_id", pa.int64()), ("c", pa.int64())])
 
     def as_src_key(t: pa.Table) -> pa.Table:
         return pa.table(
-            {"node_id": t.column("src_id"), "dst_id": t.column("dst_id")}
+            {"node_id": t.column("src_id"), "dst_id": t.column("dst_id")},
+            schema=edges_schema,
         )
 
     edges = edges_ds.map_batches(as_src_key, batch_format="pyarrow").materialize()
     if n_buckets is None:
-        # rows-scaled bucket count, cluster-capped: each of the ~9 hash
+        # rows-scaled bucket count, cluster-capped: each of the ~8 hash
         # exchanges pays a per-group fixed cost, so small graphs must not
         # fan out to per_cpu × CPUs groups (measured 28→16 s at 20k nodes
         # going 64→8 buckets); large graphs still reach the cluster cap
@@ -239,29 +247,8 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
     deg = bucketed_group_agg(
         edges, "node_id", "count", out_col="deg", n_buckets=n_buckets
     )
-    # join degree onto edges ONCE; reused (materialized) every iteration
-    edges_deg = bucketed_hash_join(
-        edges,
-        deg,
-        on="node_id",
-        n_buckets=n_buckets,
-        left_schema=pa.schema([("node_id", pa.int64()), ("dst_id", pa.int64())]),
-        right_schema=pa.schema([("node_id", pa.int64()), ("deg", pa.int64())]),
-    ).materialize()
 
-    def zero(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "node_id": t.column("node_id"),
-                "c": pa.array(np.zeros(n, np.int64)),
-            },
-            schema=_RANK_SCHEMA,
-        )
-
-    nodes_zero = nodes_ds.map_batches(zero, batch_format="pyarrow").materialize()
-
-    ranks_schema = pa.schema([("node_id", pa.int64()), ("r", pa.int64())])
+    seed_schema = pa.schema([("node_id", pa.int64()), ("r", pa.int64())])
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -269,56 +256,110 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
                 "node_id": t.column("node_id"),
                 "r": pa.array(np.full(t.num_rows, _R0, np.int64)),
             },
-            schema=ranks_schema,
+            schema=seed_schema,
         )
 
-    ranks = nodes_ds.map_batches(seed, batch_format="pyarrow")
+    # fold degree into the rank state ONCE — a node-sized join, vs the
+    # edge-sized edges×deg pre-join this replaces
+    state_raw = bucketed_hash_join(
+        nodes_ds.map_batches(seed, batch_format="pyarrow"),
+        deg,
+        on="node_id",
+        how="left",
+        n_buckets=n_buckets,
+        left_schema=seed_schema,
+        right_schema=pa.schema([("node_id", pa.int64()), ("deg", pa.int64())]),
+    )
+
+    def fill_deg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "r": t.column("r"),
+                "deg": pc.fill_null(t.column("deg"), 0).cast(pa.int64()),
+            },
+            schema=state_schema,
+        )
+
+    state = state_raw.map_batches(fill_deg, batch_format="pyarrow")
+
+    def contribs_of_state(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        src = t.column("node_id").to_numpy(zero_copy_only=False)
+        nz = d > 0
+        return pa.table(
+            {
+                "node_id": pa.array(src[nz]),
+                "c": pa.array((r[nz] * 17) // (20 * d[nz])),
+            },
+            schema=contrib_schema,
+        )
+
+    def zeros_of_state(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "deg": t.column("deg"),
+            }
+        )
 
     for _ in range(n_iters):
+        # state is re-read twice per iteration (contributions + zero
+        # rows): keep it materialized — node-sized, one int64 triple/row
+        state = state.materialize()
+        cs = state.map_batches(contribs_of_state, batch_format="pyarrow")
         joined = bucketed_hash_join(
-            edges_deg,
-            ranks,
+            edges,
+            cs,
             on="node_id",
             n_buckets=n_buckets,
-            left_schema=edges_deg_schema,
-            right_schema=ranks_schema,
+            left_schema=edges_schema,
+            right_schema=contrib_schema,
         )
 
-        def contrib(t: pa.Table) -> pa.Table:
-            r = t.column("r").to_numpy(zero_copy_only=False)
-            d = t.column("deg").to_numpy(zero_copy_only=False)
-            c = (r * 17) // (20 * d)
+        def to_dst(t: pa.Table) -> pa.Table:
+            n = t.num_rows
             return pa.table(
-                {"node_id": t.column("dst_id"), "c": pa.array(c)},
-                schema=_RANK_SCHEMA,
+                {
+                    "node_id": t.column("dst_id"),
+                    "c": t.column("c"),
+                    "deg": pa.array(np.zeros(n, np.int64)),
+                }
             )
 
-        ctr = joined.map_batches(contrib, batch_format="pyarrow")
-        # one groupby folds contribution sums AND the zero rows that keep
-        # rank entries alive for nodes without in-links
+        ctr = joined.map_batches(to_dst, batch_format="pyarrow")
+        # ONE exchange folds the contribution sums, the zero rows that
+        # keep rank entries alive for nodes without in-links, AND the
+        # deg carry (max: contribution rows carry 0, the state row the
+        # true degree — degrees are never negative)
         summed = bucketed_group_agg(
-            ctr.union(nodes_zero), "node_id", "sum",
-            val_col="c", out_col="c", n_buckets=n_buckets,
+            ctr.union(state.map_batches(zeros_of_state, batch_format="pyarrow")),
+            "node_id",
+            specs=[("sum", "c", "c"), ("max", "deg", "deg")],
+            n_buckets=n_buckets,
         )
 
-        def next_rank(t: pa.Table) -> pa.Table:
+        def next_state(t: pa.Table) -> pa.Table:
             c = t.column("c").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
                     "node_id": t.column("node_id"),
                     "r": pa.array(_TELEPORT + c),
+                    "deg": t.column("deg"),
                 },
-                schema=ranks_schema,
+                schema=state_schema,
             )
 
-        ranks = summed.map_batches(next_rank, batch_format="pyarrow")
+        state = summed.map_batches(next_state, batch_format="pyarrow")
 
     def final(t: pa.Table) -> pa.Table:
         return pa.table(
             {"node_id": t.column("node_id"), "rank_micro": t.column("r")}
         )
 
-    return ranks.map_batches(final, batch_format="pyarrow")
+    return state.map_batches(final, batch_format="pyarrow")
 
 
 def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,

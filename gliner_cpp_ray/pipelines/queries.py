@@ -1089,6 +1089,18 @@ def q_embedding_moments(sf_dir: str):
     return embedding_second_moments(ds)
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (3h window, 1h step): distinct
+    active users per window — stages/windows.py:sliding_distinct.
+    Distinct counts don't roll, so the plan ships the distinct
+    (bucket, user) pair set through two pair-bounded exchanges
+    (dedupe, then span-replicate + per-window nunique)."""
+    from gliner_cpp_ray.stages.windows import sliding_distinct
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    return sliding_distinct(ds, "ts", "user_id", step_s=3600, span_steps=3)
+
+
 def q_events_type_hour_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP(event_type, hour): the finest level is
     the ONLY corpus-sized aggregate; every coarser level re-aggregates
@@ -2161,6 +2173,7 @@ def queries():
         "events_value_delta": q_events_value_delta,
         "event_transitions": q_event_transitions,
         "embedding_moments": q_embedding_moments,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "events_type_hour_rollup": q_events_type_hour_rollup,
         "order_price_ntile": q_order_price_ntile,
         "events_jsonl_roundtrip": q_events_jsonl_roundtrip,
@@ -2989,6 +3002,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT user_id, event_type, n FROM (SELECT *, row_number() "
             "OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn "
             "FROM c) WHERE rn = 1"
+        ),
+        "sliding_distinct_users": (
+            "WITH ub AS (SELECT DISTINCT "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, user_id "
+            "FROM events), "
+            "cand AS (SELECT DISTINCT ub.bucket + r.k AS bucket "
+            "FROM ub, range(3) r(k) "
+            "WHERE ub.bucket + r.k <= (SELECT max(bucket) FROM ub)) "
+            "SELECT c.bucket, CAST(count(DISTINCT u.user_id) AS BIGINT) "
+            "AS n_users FROM cand c JOIN ub u "
+            "ON u.bucket > c.bucket - 3 AND u.bucket <= c.bucket "
+            "GROUP BY c.bucket"
         ),
         "event_transitions": (
             "WITH s AS (SELECT event_type AS state, lead(event_type) "

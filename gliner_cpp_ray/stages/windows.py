@@ -359,3 +359,48 @@ def transition_counts(ds, key_cols: list[str], ts_col: str, id_col: str,
     return partials.groupby(["state", "next_state"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def sliding_distinct(ds, ts_col: str, id_col: str, step_s: int = 3600,
+                     span_steps: int = 3):
+    """Sliding COUNT(DISTINCT id): for each step bucket b with any
+    activity in its window, the distinct ids seen in buckets
+    (b − span, b].  Unlike ``sliding_counts``, distinct counts are NOT
+    additive, so the window cannot roll over per-bucket totals —
+    instead the DISTINCT (bucket, id) pair set (the minimal sufficient
+    statistic) is built by one bucketed grouped aggregate, each pair is
+    replicated map-side to the ≤ span windows it serves, and one more
+    bucketed pass takes nunique per window.  Movement: 2 exchanges of
+    pair-sized data (≤ span × distinct pairs), never raw events twice,
+    and no dense bucket range anywhere.
+
+    -> Dataset(bucket, n_users)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    keyed = ds.map_batches(
+        add_time_bucket, fn_kwargs={"ts_col": ts_col, "size_s": step_s},
+        batch_format="pyarrow",
+    )
+    pairs = (
+        bucketed_group_agg(keyed, ["bucket", id_col], "count", out_col="__n")
+        .select_columns(["bucket", id_col])
+        .materialize()  # read twice below (max + replicate); pair-bounded
+    )
+    max_b = pairs.max("bucket")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        win = (
+            b[:, None] + np.arange(span_steps, dtype=np.int64)[None, :]
+        ).ravel()
+        rep = np.repeat(ids, span_steps)
+        keep = win <= max_b  # window domain ends at the last active bucket
+        return pa.table(
+            {"bucket": pa.array(win[keep]), id_col: pa.array(rep[keep])}
+        )
+
+    repl = pairs.map_batches(replicate, batch_format="pyarrow")
+    return bucketed_group_agg(
+        repl, "bucket", "nunique", val_col=id_col, out_col="n_users"
+    )

@@ -63,6 +63,37 @@ def test_sliding_counts_sparse_wide_range(ray_session):
     assert got == {0: 2, 1: 3, 2: 3, 3: 1, 10: 1, 11: 1, 12: 1, 10**9: 3}
 
 
+def test_sliding_distinct_sparse_and_dedup(ray_session):
+    """Sliding COUNT DISTINCT: duplicate (bucket, id) events collapse
+    before replication; windows past the last active bucket are cut;
+    a 10^6-wide empty gap costs nothing (pair-bounded plan)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import sliding_distinct
+
+    base = np.datetime64("1970-01-01T00:00:00.500", "us")
+
+    def at(b):
+        return base + np.timedelta64(int(b), "s")
+
+    # bucket 0: users {1,1,2}; bucket 1: {2}; bucket 10**6: {3}
+    bucket_of = [0, 0, 0, 1, 10**6]
+    users = [1, 1, 2, 2, 3]
+    t = pa.table(
+        {
+            "ts": pa.array([at(b) for b in bucket_of], pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+        }
+    )
+    out = sliding_distinct(
+        rd.from_arrow(t), "ts", "user_id", step_s=1, span_steps=3
+    ).to_pandas()
+    got = dict(zip(out["bucket"], out["n_users"]))
+    # window (b-3, b]: b=0 -> {1,2}; b=1 -> {1,2}; b=2 -> {1,2};
+    # b=3 -> {2} (bucket-1 trail); b=10**6 -> {3}; nothing past max
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 10**6: 1}
+
+
 def test_rolling_per_key_int64_exact_past_2_53(ray_session):
     """Window sums beyond 2^53 must stay integer-exact (a float64
     round-trip would corrupt the low bits)."""

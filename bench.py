@@ -160,6 +160,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_value_delta", q.q_events_value_delta)
         timed("event_transitions", q.q_event_transitions)
         timed("embedding_moments", q.q_embedding_moments)
+        timed("sliding_distinct_users", q.q_sliding_distinct_users)
+        timed("docs_weighted_sample", q.q_docs_weighted_sample)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -1758,6 +1758,21 @@ def q_docs_sample_by_lang(sf_dir: str):
     return stratified_sample(ds, "lang", "doc_id", n_per_stratum=20)
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITH replacement: 64 draws over
+    documents proportional to ``n_chars`` — the mixture-construction
+    primitive (sample by token mass, not per-doc uniform).  Probes are
+    md5-u60 positions on the cumulative weight line; the assignment is
+    the two-level distributed prefix sum, so every draw is int64-exact
+    and hash-checks — stages/sampling.py:weighted_sample_with_replacement."""
+    from gliner_cpp_ray.stages.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample_with_replacement(ds, "doc_id", "n_chars", m=64)
+
+
 def q_term_doc_frequency(sf_dir: str):
     """Top-50 terms by document frequency (df desc, term asc) — the
     combinable inverted-index / TF-IDF vocabulary building block; raw
@@ -2235,6 +2250,7 @@ def queries():
         "events_rolling_value": q_events_rolling_value,
         "events_by_type_salted": q_events_by_type_salted,
         "docs_sample_by_lang": q_docs_sample_by_lang,
+        "docs_weighted_sample": q_docs_weighted_sample,
         "order_price_quantiles": q_order_price_quantiles,
         "price_quantiles_by_status": q_price_quantiles_by_status,
         "term_doc_frequency": q_term_doc_frequency,
@@ -3326,6 +3342,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 20"
+        ),
+        "docs_weighted_sample": (
+            "WITH c AS (SELECT doc_id, n_chars AS w, "
+            "CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum "
+            "FROM documents), "
+            "t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot "
+            "FROM documents), "
+            "p AS (SELECT CAST(r.k AS BIGINT) AS sample_id, "
+            "CAST(concat('0x', substr(md5(CAST(r.k AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % t.tot AS pos FROM range(64) r(k) CROSS JOIN t) "
+            "SELECT p.sample_id, c.doc_id FROM p JOIN c "
+            "ON p.pos >= c.cum - c.w AND p.pos < c.cum"
         ),
         "distinct_users_kmv": (
             "WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv "

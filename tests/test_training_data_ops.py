@@ -246,3 +246,63 @@ def test_global_shuffle_positions(ray_session):
     assert out2["pos"].tolist() == out1["pos"].tolist()
     # a permutation: every position exactly once
     assert sorted(out1["pos"]) == list(range(n))
+
+
+def test_weighted_sample_matches_reference(ray_session):
+    """Each probe lands on the doc whose cumulative-weight interval
+    contains it; zero-weight docs are never drawn; the result is
+    invariant to input partitioning."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sampling import (
+        probe_positions,
+        weighted_sample_with_replacement,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 200
+    w = rng.integers(0, 50, n).astype(np.int64)  # some zero weights
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "w": w})
+
+    out = (
+        weighted_sample_with_replacement(
+            rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(6),
+            "doc_id", "w", m=100, n_buckets=9,
+        )
+        .to_pandas()
+        .sort_values("sample_id")
+        .reset_index(drop=True)
+    )
+    # closed-form reference: searchsorted over the inclusive cumsum
+    cum = w.cumsum()
+    pos = probe_positions(100, int(cum[-1]))
+    want = np.searchsorted(cum, pos, side="right")
+    assert out["sample_id"].tolist() == list(range(100))
+    assert out["doc_id"].tolist() == want.tolist()
+    assert not set(out["doc_id"]) & set(np.flatnonzero(w == 0))
+
+    # partitioning invariance
+    out2 = (
+        weighted_sample_with_replacement(
+            rd.from_pandas(df).repartition(2), "doc_id", "w",
+            m=100, n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("sample_id")
+        .reset_index(drop=True)
+    )
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_weighted_sample_empty_and_zero_mass(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    df = pd.DataFrame({"doc_id": [1, 2], "w": [0, 0]})
+    out = weighted_sample_with_replacement(
+        rd.from_pandas(df), "doc_id", "w", m=8
+    ).to_pandas()
+    assert len(out) == 0

@@ -162,6 +162,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("embedding_moments", q.q_embedding_moments)
         timed("sliding_distinct_users", q.q_sliding_distinct_users)
         timed("docs_weighted_sample", q.q_docs_weighted_sample)
+        timed("user_value_diff", q.q_user_value_diff)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -769,6 +769,51 @@ def q_latest_event_per_user(sf_dir: str):
     return latest_by_key(ds, "user_id", ["ts_us", "event_id"])
 
 
+def q_user_value_diff(sf_dir: str):
+    """Snapshot diff (CDC reconciliation): compare each user's latest
+    value in the first half of the log against the second half —
+    added / removed / changed per user, identical states dropped —
+    stages/diff.py:snapshot_diff.  The halves are split at the integer
+    midpoint of the epoch-µs range (one cheap min/max aggregate), each
+    side collapses through the latest-wins combiner, and the diff is
+    ONE key-hash shuffle + a per-bucket outer merge."""
+    from ray.data.aggregate import Max, Min
+
+    from gliner_cpp_ray.stages.compaction import latest_by_key
+    from gliner_cpp_ray.stages.diff import snapshot_diff
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed 3×: min/max + both half filters
+    mm = ds.aggregate(Min("ts_us"), Max("ts_us"))
+    cut = (int(mm["min(ts_us)"]) + int(mm["max(ts_us)"])) // 2
+
+    def half(keep_old: bool):
+        side = ds.map_batches(
+            lambda t, old=keep_old: t.filter(
+                pc.less(t.column("ts_us"), cut) if old
+                else pc.greater_equal(t.column("ts_us"), cut)
+            ),
+            batch_format="pyarrow",
+        )
+        return latest_by_key(side, "user_id", ["ts_us", "event_id"])
+
+    return snapshot_diff(
+        half(True), half(False), "user_id", ["value_micro"]
+    )
+
+
 def q_events_debounced(sf_dir: str):
     """Debounce / telemetry log-dedup: keep an event iff it is the
     first for its (user_id, event_type) key or arrives more than one
@@ -2178,6 +2223,7 @@ def queries():
         "weekly_retention": q_weekly_retention,
         "dup_substring_stats": q_dup_substring_stats,
         "latest_event_per_user": q_latest_event_per_user,
+        "user_value_diff": q_user_value_diff,
         "events_debounced": q_events_debounced,
         "lineitem_pareto": q_lineitem_pareto,
         "customers_inactive": q_customers_inactive,
@@ -2997,6 +3043,33 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
             "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "user_value_diff": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(floor(value * 1000000) AS BIGINT) AS value_micro "
+            "FROM events), "
+            "b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM e), "
+            "o AS (SELECT user_id, value_micro FROM (SELECT user_id, "
+            "value_micro, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts_us DESC, event_id DESC) AS rn FROM e, b "
+            "WHERE e.ts_us < b.cut) WHERE rn = 1), "
+            "n AS (SELECT user_id, value_micro FROM (SELECT user_id, "
+            "value_micro, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts_us DESC, event_id DESC) AS rn FROM e, b "
+            "WHERE e.ts_us >= b.cut) WHERE rn = 1) "
+            "SELECT CAST(coalesce(o.user_id, n.user_id) AS BIGINT) "
+            "AS user_id, "
+            "CASE WHEN o.user_id IS NULL THEN 'added' "
+            "WHEN n.user_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change, "
+            "CAST(coalesce(o.value_micro, -1) AS BIGINT) "
+            "AS old_value_micro, "
+            "CAST(coalesce(n.value_micro, -1) AS BIGINT) "
+            "AS new_value_micro "
+            "FROM o FULL JOIN n ON o.user_id = n.user_id "
+            "WHERE o.user_id IS NULL OR n.user_id IS NULL "
+            "OR o.value_micro <> n.value_micro"
         ),
         "embedding_kmeans": _kmeans_sql(),
         "user_event_pivot": (

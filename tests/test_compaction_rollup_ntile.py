@@ -139,3 +139,37 @@ def test_zorder_file_assignment(ray_session):
     want_file[order] = np.arange(n) // 7
     assert got["zval"].tolist() == z.tolist()
     assert got["file_id"].tolist() == want_file.tolist()
+
+
+def test_snapshot_diff_all_branches(ray_session):
+    """added / removed / changed emitted; identical states dropped;
+    sentinel -1 on the absent side; int64 dtypes throughout."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.diff import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 4], np.int64),
+         "v": np.array([10, 20, 30, 40], np.int64)}
+    )
+    new = pd.DataFrame(
+        {"k": np.array([2, 3, 5], np.int64),
+         "v": np.array([20, 31, 50], np.int64)}
+    )
+    out = (
+        snapshot_diff(
+            rd.from_pandas(old).repartition(3),
+            rd.from_pandas(new).repartition(2),
+            "k", ["v"], n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 removed, k=2 unchanged (dropped), k=3 changed, k=4 removed,
+    # k=5 added
+    assert out["k"].tolist() == [1, 3, 4, 5]
+    assert out["change"].tolist() == ["removed", "changed", "removed", "added"]
+    assert out["old_v"].tolist() == [10, 30, 40, -1]
+    assert out["new_v"].tolist() == [-1, 31, -1, 50]
+    assert all(out[c].dtype == np.int64 for c in ("k", "old_v", "new_v"))

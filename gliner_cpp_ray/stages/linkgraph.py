@@ -438,8 +438,16 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
             schema=score_schema,
         )
 
-    def half_step(edge_tbl, scores):
-        """scores keyed on edge_tbl's node_id -> summed onto 'other'."""
+    def half_step(edge_tbl, scores, keep_zeros: bool):
+        """scores keyed on edge_tbl's node_id -> summed onto 'other'.
+
+        ``keep_zeros``: union in the 0-score row per vertex so nodes
+        with no in-edges (for this half-step's direction) still emit a
+        row.  Only the FINAL half-step of each kind needs it — in
+        intermediate steps a missing score row contributes exactly what
+        a 0 row does (nothing) to the next join, so skipping the union
+        drops a node-sized input from two of the four exchanges without
+        changing a single output value."""
         joined = bucketed_hash_join(
             edge_tbl,
             scores,
@@ -449,14 +457,32 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
             right_schema=score_schema,
         )
 
-        def flip(t: pa.Table) -> pa.Table:
+        def flip_combine(t: pa.Table) -> pa.Table:
+            # map-side combiner: edges sharing a destination collapse to
+            # one partial sum per batch BEFORE the exchange (sum is
+            # associative, so the reduce result is unchanged).  pandas
+            # groupby keeps the sum int64-exact (np.bincount's weights
+            # path would round-trip float64).
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "node_id": t.column("other").to_numpy(zero_copy_only=False),
+                    "s": t.column("s").to_numpy(zero_copy_only=False),
+                }
+            )
+            out = df.groupby("node_id", sort=False, as_index=False)["s"].sum()
             return pa.table(
-                {"node_id": t.column("other"), "s": t.column("s")},
+                {
+                    "node_id": pa.array(out["node_id"].to_numpy(np.int64)),
+                    "s": pa.array(out["s"].to_numpy(np.int64)),
+                },
                 schema=score_schema,
             )
 
+        flipped = joined.map_batches(flip_combine, batch_format="pyarrow")
         summed = bucketed_group_agg(
-            joined.map_batches(flip, batch_format="pyarrow").union(nodes_zero),
+            flipped.union(nodes_zero) if keep_zeros else flipped,
             "node_id", "sum", val_col="s", out_col="s", n_buckets=n_buckets,
         )
 
@@ -473,9 +499,11 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
 
     hub = nodes_ds.map_batches(seed, batch_format="pyarrow")
     auth = None
-    for _ in range(n_iters):
-        auth = half_step(by_src, hub).materialize()  # reused by the hub step
-        hub = half_step(by_dst, auth)
+    for i in range(n_iters):
+        last = i == n_iters - 1
+        # reused by the hub step -> materialize
+        auth = half_step(by_src, hub, keep_zeros=last).materialize()
+        hub = half_step(by_dst, auth, keep_zeros=last)
 
     final = bucketed_hash_join(
         auth,

@@ -163,6 +163,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("sliding_distinct_users", q.q_sliding_distinct_users)
         timed("docs_weighted_sample", q.q_docs_weighted_sample)
         timed("user_value_diff", q.q_user_value_diff)
+        timed("bfs_hops", q.q_bfs_hops)
+        timed("doc_chunks", q.q_doc_chunks)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -315,6 +315,37 @@ def q_link_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over the crawl link graph (seed
+    proximity for crawl-frontier scoring): frontier-only expansion —
+    per hop one bucketed join of edges against the CURRENT frontier,
+    one distinct, one anti join vs visited; O(1) driver per hop."""
+    from gliner_cpp_ray.stages.graph import bfs_hop_distance
+
+    edges, nodes = _link_graph(sf_dir)
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 101 == 0))
+
+    seeds = nodes.map_batches(pick_seeds, batch_format="pyarrow")
+    return bfs_hop_distance(edges, seeds, max_hops=4)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-token chunking with overlap (window 64, stride 48) — the
+    RAG / pretraining windowing step.  Pure per-batch map, one Arrow
+    regex split + numpy span arithmetic + one take/binary_join per
+    batch; no shuffle at any corpus size."""
+    from gliner_cpp_ray.stages.packing import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_documents(t, window=64, stride=48),
+        batch_format="pyarrow",
+    )
+
+
 def q_anchor_texts(sf_dir: str):
     """Top incoming anchor text per target page — the link-graph signal
     entity linking and IR features feed on."""
@@ -2219,6 +2250,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "bfs_hops": q_bfs_hops,
+        "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
         "weekly_retention": q_weekly_retention,
         "dup_substring_stats": q_dup_substring_stats,
@@ -2976,6 +3009,40 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
+        "bfs_hops": (
+            # recursive-CTE transcription of stages/graph.bfs_hop_distance
+            "WITH RECURSIVE h AS (SELECT CAST(regexp_extract(url, "
+            "'/p/(\\d+)$', 1) AS BIGINT) AS id, decode(html) AS s "
+            f"FROM read_parquet('{pages_glob}')), "
+            "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) "
+            "AS t(u)), "
+            "edges AS (SELECT DISTINCT src, dst FROM links), "
+            "seeds AS (SELECT id FROM h WHERE id % 101 = 0), "
+            "bfs(node, dist) AS ("
+            "SELECT id, CAST(0 AS BIGINT) FROM seeds "
+            "UNION "
+            "SELECT e.dst, b.dist + 1 FROM bfs b "
+            "JOIN edges e ON e.src = b.node WHERE b.dist < 4) "
+            "SELECT node AS node_id, CAST(min(dist) AS BIGINT) AS hops "
+            "FROM bfs GROUP BY node"
+        ),
+        "doc_chunks": (
+            # transcription of stages/packing.chunk_documents (w=64, s=48)
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "lst AS (SELECT doc_id, CASE WHEN t = '' THEN [] ELSE "
+            "string_split_regex(t, '\\s+') END AS l FROM tt), "
+            "meta AS (SELECT doc_id, l, len(l) AS nt, CASE WHEN len(l) = 0 "
+            "THEN 0 ELSE 1 + (greatest(len(l) - 64, 0) + 47) // 48 END "
+            "AS n_chunks FROM lst), "
+            "ex AS (SELECT doc_id, l, nt, unnest(range(n_chunks)) AS i "
+            "FROM meta) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(i * 48 AS BIGINT) AS start_tok, "
+            "CAST(least(i * 48 + 64, nt) - i * 48 AS BIGINT) AS n_tok, "
+            "array_to_string(l[i * 48 + 1 : least(i * 48 + 64, nt)], ' ') "
+            "AS chunk_text FROM ex"
+        ),
         "anchor_texts": (
             # DuckDB zips parallel unnests of the two capture-group lists
             "WITH h AS (SELECT decode(html) AS s FROM "

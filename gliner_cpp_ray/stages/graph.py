@@ -117,3 +117,91 @@ def _rename(ds, mapping: dict):
         lambda t: t.rename_columns([mapping.get(c, c) for c in t.schema.names]),
         batch_format="pyarrow",
     )
+
+
+def bfs_hop_distance(edges_ds, seeds_ds, max_hops: int = 4,
+                     src_col: str = "src_id", dst_col: str = "dst_id",
+                     node_col: str = "node_id",
+                     n_buckets: int | None = None):
+    """Multi-source directed BFS: minimum hop count from any seed node,
+    capped at ``max_hops`` (crawl-frontier distance, seed-proximity
+    features for quality priors).
+
+    Returns a Dataset of ``(node_col, hops)`` — one row per node
+    reachable within ``max_hops`` directed hops of a seed (seeds
+    themselves at 0).  Unreachable nodes are absent, matching the SQL
+    recursive-CTE group-min transcription.
+
+    Plan: classic FRONTIER expansion, not whole-state relaxation — per
+    hop, one bucketed hash join of the edge table against only the
+    CURRENT frontier (nodes first reached last hop), one groupby to
+    distinct the reached set, one bucketed anti join against the
+    visited set.  Per-hop shuffle volume is bounded by the edges
+    incident to the frontier plus the node-bounded visited keys; rows
+    already labeled never re-enter the join (a Bellman-Ford-style
+    full-state relax would re-ship the entire label table every round).
+    The driver sees only O(1) per hop (an empty-frontier count check);
+    visited/frontier stay distributed, spillable Datasets throughout.
+    """
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_anti_join,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    def seed0(t: pa.Table) -> pa.Table:
+        ids = t.column(node_col).cast(pa.int64())
+        return pa.table(
+            {node_col: ids,
+             "hops": pa.array(np.zeros(t.num_rows, np.int64))}
+        )
+
+    # edge table keyed by source, pruned to the two id columns
+    def as_probe(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: t.column(src_col).cast(pa.int64()),
+             "__dst": t.column(dst_col).cast(pa.int64())}
+        )
+
+    probe = edges_ds.map_batches(as_probe, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        # rows-scaled, cluster-capped (cc_label_propagation rationale):
+        # every hop pays per-bucket fixed costs across three exchanges,
+        # so small graphs must not fan out to 2×CPU groups
+        n_buckets = max(8, min(default_buckets(None), probe.count() // 250_000))
+    visited = seeds_ds.map_batches(seed0, batch_format="pyarrow").materialize()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        reached = bucketed_hash_join(
+            probe,
+            frontier.select_columns([node_col]),
+            on=node_col,
+            n_buckets=n_buckets,
+        )
+        # distinct the reached set (a frontier node's out-neighbors
+        # overlap heavily inside dense sites)
+        nodes_reached = _rename(
+            bucketed_group_agg(
+                reached, "__dst", "count", out_col="__c",
+                n_buckets=n_buckets,
+            ).select_columns(["__dst"]),
+            {"__dst": node_col},
+        ).materialize()  # anti join needs a schema; empty ⇒ done
+        if nodes_reached.count() == 0:
+            break
+        new = bucketed_anti_join(
+            nodes_reached, visited, on=node_col, n_buckets=n_buckets,
+        ).map_batches(
+            lambda t, _h=h: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, _h, np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # union of already-materialized operands is a zero-copy plan
+        # node — no re-execution, no block rewrite
+        visited = visited.union(new)
+        frontier = new
+    return visited

@@ -264,3 +264,81 @@ def ntile_global(ds, val_col: str, id_col: str, tiles: int,
         )
 
     return ranked.map_batches(to_tile, batch_format="pyarrow")
+
+
+def chunk_documents(batch: pa.Table, window: int = 64, stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Fixed-token chunking with overlap — the RAG / pretraining
+    windowing step: split each document into whitespace tokens and emit
+    one row per ``window``-token chunk, starting every ``stride``
+    tokens (``stride < window`` ⇒ overlapping chunks).
+
+    Chunk rule (deterministic, SQL-replicable): ``n_chunks = 1 +
+    ceil(max(n_tokens - window, 0) / stride)`` for non-empty documents
+    — full coverage, the last chunk may be short, no chunk starts past
+    the tail.  Tokenization is the registry-wide whitespace definition
+    (``token_counts``): RE2 trim then split on ``\\s+``.
+
+    Pure per-batch map — no shuffle, embarrassingly parallel at any
+    corpus size.  Fully vectorized: ONE Arrow ``split_pattern_regex``
+    per batch, numpy index arithmetic for chunk spans, one Arrow
+    ``take`` + ``binary_join`` to materialize chunk text (never a
+    Python loop over rows or chunks).  Output rows ≈ input tokens /
+    stride — emit is O(output bytes), the lower bound.
+    """
+    import pyarrow.compute as pc
+
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    trimmed = _re2_trim(batch.column(text_col)).combine_chunks()
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    doc_off = np.asarray(toks.offsets)  # int32 list offsets
+    values = toks.values
+    nt = np.diff(doc_off).astype(np.int64)
+    nt[np.asarray(pc.equal(trimmed, "")) == True] = 0  # noqa: E712 ('' splits to [''])
+
+    n_chunks = np.where(
+        nt == 0, 0, 1 + (np.maximum(nt - window, 0) + stride - 1) // stride
+    )
+    total = int(n_chunks.sum())
+    ids = batch.column(id_col)
+    if total == 0:
+        return pa.table(
+            {id_col: ids.slice(0, 0),
+             "chunk_idx": pa.array([], pa.int64()),
+             "start_tok": pa.array([], pa.int64()),
+             "n_tok": pa.array([], pa.int64()),
+             "chunk_text": pa.array([], pa.string())}
+        )
+    doc_idx = np.repeat(np.arange(len(nt)), n_chunks)
+    cum = np.cumsum(n_chunks)
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        cum - n_chunks, n_chunks
+    )
+    start = chunk_idx * stride
+    n_tok = np.minimum(start + window, nt[doc_idx]) - start
+
+    # flat token indices of every chunk: base offset + local range
+    tok_cum = np.cumsum(n_tok)
+    base = doc_off[doc_idx].astype(np.int64) + start
+    tok_idx = (
+        np.arange(int(tok_cum[-1]), dtype=np.int64)
+        - np.repeat(tok_cum - n_tok, n_tok)
+        + np.repeat(base, n_tok)
+    )
+    chunks = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], tok_cum]), pa.int32()),
+        values.take(pa.array(tok_idx)),
+    )
+    return pa.table(
+        {id_col: ids.take(pa.array(doc_idx)),
+         "chunk_idx": pa.array(chunk_idx),
+         "start_tok": pa.array(start.astype(np.int64)),
+         "n_tok": pa.array(n_tok.astype(np.int64)),
+         "chunk_text": pc.binary_join(chunks, " ")}
+    )

@@ -66,3 +66,67 @@ def test_cc_empty_edge_list(ray_session):
                           "b": pd.Series(dtype="int64")})
     out = cc_label_propagation(rd.from_pandas(empty))
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    """Driver-side reference BFS (dict adjacency, queue)."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(int(s), []).append(int(d))
+    dist = {int(s): 0 for s in seeds}
+    frontier = list(dist)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _check_bfs(edges, seeds, max_hops, ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import bfs_hop_distance
+
+    edf = pd.DataFrame(edges, columns=["src_id", "dst_id"]).astype("int64")
+    sdf = pd.DataFrame({"node_id": list(seeds)}).astype("int64")
+    got = (
+        bfs_hop_distance(
+            rd.from_pandas(edf).repartition(3),
+            rd.from_pandas(sdf),
+            max_hops=max_hops,
+        )
+        .to_pandas()
+        .set_index("node_id")["hops"]
+        .to_dict()
+    )
+    assert got == _bfs_reference(edges, seeds, max_hops)
+
+
+def test_bfs_chain_cap_and_multi_seed(ray_session):
+    # chain 0->1->..->9, seeds {0, 7}: cap at 3 hops; 7 pulls the tail in
+    edges = [(i, i + 1) for i in range(9)]
+    _check_bfs(edges, [0, 7], 3, ray_session)
+
+
+def test_bfs_cycle_and_unreached(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0), (5, 6)]  # 5/6 unreachable from seed
+    _check_bfs(edges, [0], 4, ray_session)
+
+
+def test_bfs_directedness(ray_session):
+    # edges point INTO the seed: nothing but the seed is labeled
+    edges = [(1, 0), (2, 0), (3, 1)]
+    _check_bfs(edges, [0], 4, ray_session)
+
+
+def test_bfs_random_graph_matches_reference(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(p) for p in rng.integers(0, 80, size=(200, 2))]
+    _check_bfs(edges, [0, 13, 26], 3, ray_session)

@@ -200,3 +200,63 @@ def test_edit_distance_pairs_matches_all_pairs(ray_session):
         if levenshtein_leq(a, b, 1)
     }
     assert got == want and len(want) > 0
+
+
+# ------------------------------------------------------- token chunking
+
+
+def _chunk_reference(text, window, stride):
+    import re
+
+    toks = re.findall(r"\S+", text)
+    if not toks:
+        return []
+    out = []
+    i = 0
+    start = 0
+    while True:
+        piece = toks[start:start + window]
+        out.append((i, start, len(piece), " ".join(piece)))
+        if start + window >= len(toks):
+            break
+        i += 1
+        start += stride
+    return out
+
+
+def test_chunk_documents_matches_reference():
+    import pyarrow as pa
+
+    from gliner_cpp_ray.stages.packing import chunk_documents
+
+    texts = [
+        "a b  c d e f g",
+        "",
+        "   \t\n ",
+        "one two",
+        " ".join(f"t{i}" for i in range(200)),
+        "x",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for window, stride in [(3, 2), (5, 5), (64, 48), (1, 1)]:
+        got = chunk_documents(t, window=window, stride=stride).to_pandas()
+        rows = []
+        for did, txt in enumerate(texts):
+            for idx, start, n, s in _chunk_reference(txt, window, stride):
+                rows.append((did, idx, start, n, s))
+        assert (
+            list(map(tuple, got.itertuples(index=False))) == rows
+        ), (window, stride)
+
+
+def test_chunk_documents_rejects_bad_stride():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from gliner_cpp_ray.stages.packing import chunk_documents
+
+    t = pa.table({"doc_id": [1], "text": ["a b"]})
+    with _pytest.raises(ValueError):
+        chunk_documents(t, window=3, stride=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(t, window=3, stride=4)

@@ -63,15 +63,6 @@ def _powers(base: int, k: int) -> np.ndarray:
     return out
 
 
-def power_tables(k: int) -> tuple[list[int], list[int]]:
-    """Literal power tables for the SQL oracle: entry j (0-based) is
-    B^(k-1-j) mod MOD — the multiplier of the (j+1)-th character."""
-    p1, p2 = _powers(B1, k), _powers(B2, k)
-    return [int(p1[k - 1 - j]) for j in range(k)], [
-        int(p2[k - 1 - j]) for j in range(k)
-    ]
-
-
 def kgram_hashes(texts: list[str], k: int, sample_mod: int = 1):
     """Vectorized double rolling hash for a BATCH of texts.
 

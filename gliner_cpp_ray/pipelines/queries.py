@@ -866,6 +866,36 @@ def q_user_value_diff(sf_dir: str):
     )
 
 
+_DECAY_HALFLIFE_US = 2 * 86_400 * 1_000_000  # 2 days
+
+
+def q_user_value_decayed(sf_dir: str):
+    """Recency-weighted per-user value: each event's micro-value halves
+    per elapsed 2-day half-life from the corpus max timestamp (integer
+    right-shift — order-independent, int64-exact), summed per user —
+    stages/windows.py:time_decayed_sum.  The anchor is one column-
+    pruned max(ts) scalar; the sum is one grouped exchange."""
+    from gliner_cpp_ray.stages.windows import time_decayed_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    max_ts = _read(sf_dir, "events", columns=["ts"]).max("ts")
+    ref = int(np.datetime64(max_ts, "us").astype(np.int64))
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return time_decayed_sum(
+        ds, "user_id", "ts", "value_micro",
+        halflife_us=_DECAY_HALFLIFE_US, ref_ts_us=ref,
+    )
+
+
 def q_events_debounced(sf_dir: str):
     """Debounce / telemetry log-dedup: keep an event iff it is the
     first for its (user_id, event_type) key or arrives more than one
@@ -2271,6 +2301,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "user_value_decayed": q_user_value_decayed,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3126,6 +3157,19 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
         ),
         "dup_substring_stats": _dup_substring_sql(),
+        "user_value_decayed": (
+            # same bit-exact decay arithmetic as the Ray stage: floor
+            # micro-quantization, age floor-div halflife capped at 62,
+            # integer shift (values are non-negative, so SQL truncating
+            # division == numpy's flooring >>)
+            "WITH ref AS (SELECT epoch_us(max(ts)) AS r FROM events) "
+            "SELECT user_id, CAST(sum("
+            "CAST(floor(value * 1000000) AS BIGINT) // (1::BIGINT << "
+            "least(CAST(greatest(r - epoch_us(ts), 0) "
+            f"// {_DECAY_HALFLIFE_US} AS BIGINT), 62))"
+            ") AS BIGINT) AS decayed_micro "
+            "FROM events, ref GROUP BY user_id"
+        ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "event_type, CAST(floor(value * 1000000) AS BIGINT) AS value_micro "

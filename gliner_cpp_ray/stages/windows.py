@@ -404,3 +404,58 @@ def sliding_distinct(ds, ts_col: str, id_col: str, step_s: int = 3600,
     return bucketed_group_agg(
         repl, "bucket", "nunique", val_col=id_col, out_col="n_users"
     )
+
+
+def time_decayed_sum(ds, key_col: str, ts_col: str, val_col: str,
+                     halflife_us: int, ref_ts_us: int,
+                     out_col: str = "decayed_micro"):
+    """Per-key exponentially time-decayed value sum — the recency-
+    weighted engagement / freshness score used to rank users, hosts or
+    documents by *recent* activity without a cutoff cliff.
+
+    Exact-integer semantics (bit-reproducible by any engine):
+
+        decayed(key) = Σ_events  value >> min(62, age // halflife)
+
+    i.e. each event's integer value halves once per elapsed half-life
+    (``age = ref_ts_us - ts``, floor-divided).  The shift form makes
+    the decay order-independent and int64-exact, so the sum is a plain
+    associative grouped aggregate: per-batch map computes each event's
+    decayed contribution vectorized, a map-side combiner collapses
+    same-key rows, and ONE key-hash exchange folds the partials.
+    Movement: one grouped-sum exchange of key-bounded partials — the
+    same shape (and cost) as an ordinary per-key sum at any scale.
+
+    ``val_col`` must be non-negative int64 (enforced): numpy's ``>>``
+    floors while SQL integer division truncates, so negative values
+    would silently diverge between engines.
+
+    ``ref_ts_us`` is the decay anchor (normally ``max(ts)`` — one
+    column-pruned scalar pass by the caller, never recomputed per
+    batch).  Events after the anchor clamp to age 0.
+
+    -> Dataset(key_col, out_col).
+    """
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if halflife_us <= 0:
+        raise ValueError("halflife_us must be positive")
+
+    def decay(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        if v.min(initial=0) < 0:
+            raise ValueError(f"{val_col} must be non-negative (see doc)")
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = np.maximum(ref_ts_us - ts, 0)
+        shift = np.minimum(age // halflife_us, 62)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                out_col: pa.array(v >> shift, pa.int64()),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(decay, batch_format="pyarrow"),
+        key_col, "sum", val_col=out_col, out_col=out_col,
+    )

@@ -260,3 +260,49 @@ def test_chunk_documents_rejects_bad_stride():
         chunk_documents(t, window=3, stride=0)
     with _pytest.raises(ValueError):
         chunk_documents(t, window=3, stride=4)
+
+
+def test_time_decayed_sum_matches_hand_computed(ray_session):
+    """Each event's value halves per elapsed half-life (floor shift);
+    per-key sums are order-independent and int64-exact."""
+    from gliner_cpp_ray.stages.windows import time_decayed_sum
+
+    hl = 100  # µs half-life for the toy timeline
+    ref = 1_000
+    rows = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [1_000, 900, 750, 650, 2_000], pa.timestamp("us")
+            ),
+            "v": pa.array([8, 8, 8, 1024, 7], pa.int64()),
+        }
+    )
+    # ages: 0, 100, 250, 350, clamp(-1000)->0 ; shifts: 0, 1, 2, 3, 0
+    got = {
+        r["k"]: r["decayed_micro"]
+        for r in time_decayed_sum(
+            rd.from_arrow(rows), "k", "ts", "v",
+            halflife_us=hl, ref_ts_us=ref,
+        ).take_all()
+    }
+    assert got == {1: 8 + 4 + 2, 2: 128 + 7}
+
+
+def test_time_decayed_sum_rejects_negative_values(ray_session):
+    import pytest
+
+    from gliner_cpp_ray.stages.windows import time_decayed_sum
+
+    rows = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "v": pa.array([-5], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        time_decayed_sum(
+            rd.from_arrow(rows), "k", "ts", "v",
+            halflife_us=10, ref_ts_us=100,
+        ).take_all()

@@ -295,6 +295,17 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iters=3)
 
 
+def q_link_k_core(sf_dir: str):
+    """Bounded k-core peel of the crawl link graph (k=6, 2 rounds):
+    per round, edges are semi-filtered to surviving endpoints (two
+    bucketed joins) and one degree groupby re-thresholds — density
+    cores vs crawl periphery.  stages/linkgraph.py:k_core_nodes."""
+    from gliner_cpp_ray.stages.linkgraph import k_core_nodes
+
+    edges, _ = _link_graph(sf_dir)
+    return k_core_nodes(edges, k=6, n_rounds=2)
+
+
 def q_hits(sf_dir: str):
     """Fixed-iteration HITS hubs/authorities over the crawl link graph
     in EXACT integer arithmetic — two bucketed join + groupby-sum
@@ -2302,6 +2313,7 @@ def queries():
     return {
         # -- new in round 4, never driver-checked: run these FIRST
         "user_value_decayed": q_user_value_decayed,
+        "link_k_core": q_link_k_core,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -2930,6 +2942,42 @@ def _triangles_sql(pages_glob: str) -> str:
     )
 
 
+def _k_core_sql(pages_glob: str, k: int = 6, n_rounds: int = 2) -> str:
+    """Literal transcription of stages/linkgraph.k_core_nodes: the same
+    undirected-distinct edge CTE as the triangle oracle, then
+    ``n_rounds`` unrolled peel levels (degree over the subgraph induced
+    by the previous level's survivors, threshold at k)."""
+    parts = [
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+        f"AS BIGINT) AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), "
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+        "e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM links WHERE src <> dst)"
+    ]
+    for r in range(1, n_rounds + 1):
+        if r > 1:
+            parts.append(
+                f", e{r - 1} AS (SELECT u, v FROM e{r - 2} "
+                f"WHERE u IN (SELECT node_id FROM s{r - 1}) "
+                f"AND v IN (SELECT node_id FROM s{r - 1}))"
+            )
+        parts.append(
+            f", d{r} AS (SELECT node_id, count(*) AS deg FROM "
+            f"(SELECT u AS node_id FROM e{r - 1} "
+            f"UNION ALL SELECT v FROM e{r - 1}) GROUP BY node_id)"
+        )
+        if r < n_rounds:
+            parts.append(
+                f", s{r} AS (SELECT node_id FROM d{r} WHERE deg >= {k})"
+            )
+    parts.append(
+        f" SELECT node_id, CAST(deg AS BIGINT) AS deg FROM d{n_rounds} "
+        f"WHERE deg >= {k}"
+    )
+    return "".join(parts)
+
+
 def oracle_sql():
     # the KG oracles read the synthetic corpus parquet from /tmp — make
     # sure it exists even if the driver evaluates SQL before the query
@@ -3061,6 +3109,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
         ),
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
+        "link_k_core": _k_core_sql(pages_glob),
         "bfs_hops": (
             # recursive-CTE transcription of stages/graph.bfs_hop_distance
             "WITH RECURSIVE h AS (SELECT CAST(regexp_extract(url, "

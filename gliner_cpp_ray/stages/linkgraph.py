@@ -527,6 +527,38 @@ def hits_scores(edges_ds, nodes_ds, n_iters: int = 2,
     return final.map_batches(name_out, batch_format="pyarrow")
 
 
+_UND_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _undirected_distinct_edges(edges_ds):
+    """(src_id, dst_id[, n]) directed links -> distinct undirected
+    (u, v) pairs with u < v, self-loops dropped — the shared prep of
+    ``triangle_counts`` and ``k_core_nodes``.  One bucketed grouped
+    count performs the distinct; ids must fit 31 bits (packing guard,
+    same rationale as ``_count_distinct_pairs``)."""
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        if s.size and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
+                       or s.min() < 0 or d.min() < 0):
+            raise ValueError(
+                "undirected edge prep packs pairs into int64: node ids "
+                "must be in [0, 2^31); use a struct key beyond that"
+            )
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"u": np.minimum(s, d), "v": np.maximum(s, d)},
+            schema=_UND_SCHEMA,
+        )
+
+    return bucketed_group_agg(
+        edges_ds.map_batches(undirect, batch_format="pyarrow"),
+        ["u", "v"], "count", out_col="__n",
+    ).select_columns(["u", "v"])
+
+
 def triangle_counts(edges_ds, n_buckets: int | None = None):
     """Per-node triangle counts on the undirected link graph — the
     clustering/spam-farm signal (dense mutual-link neighborhoods) next
@@ -559,32 +591,10 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
     from gliner_cpp_ray.stages.joins import add_bucket, bucketed_hash_join
     from gliner_cpp_ray.stages.sizing import default_buckets
 
-    und_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    und_schema = _UND_SCHEMA
 
-    def undirect(t: pa.Table) -> pa.Table:
-        s = t.column("src_id").to_numpy(zero_copy_only=False)
-        d = t.column("dst_id").to_numpy(zero_copy_only=False)
-        if s.size and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
-                       or s.min() < 0 or d.min() < 0):
-            raise ValueError(
-                "triangle_counts packs (b, c) into int64: node ids must "
-                "be in [0, 2^31); use a struct key beyond that"
-            )
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table(
-            {"u": np.minimum(s, d), "v": np.maximum(s, d)},
-            schema=und_schema,
-        )
-
-    und = (
-        bucketed_group_agg(
-            edges_ds.map_batches(undirect, batch_format="pyarrow"),
-            ["u", "v"], "count", out_col="__n",
-        )
-        .select_columns(["u", "v"])
-        .materialize()  # consumed three times: degrees, orient, close
-    )
+    und = _undirected_distinct_edges(edges_ds).materialize()
+    # consumed three times: degrees, orient, close
     if n_buckets is None:
         # rows-scaled, cluster-capped (same rationale as pagerank): the
         # ~8 exchanges pay per-group fixed costs, so small graphs must
@@ -710,3 +720,91 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
         tri.map_batches(credits, batch_format="pyarrow"),
         "node_id", "count", out_col="n_triangles", n_buckets=n_buckets,
     )
+
+
+def k_core_nodes(edges_ds, k: int = 3, n_rounds: int = 2,
+                 n_buckets: int | None = None):
+    """Bounded k-core peeling over the undirected link graph — the
+    density signal that separates tightly inter-linked cores (hubs,
+    spam farms, canonical-content clusters) from the tree-like crawl
+    periphery, complementing the two centralities and the triangle
+    clustering count.
+
+    ``edges_ds``: (src_id, dst_id[, n]) directed page links; direction,
+    multiplicity and self-loops are ignored (``_undirected_distinct_edges``).
+
+    Exact bounded semantics (bit-reproducible; the fixpoint k-core is
+    the limit of this sequence):
+
+        S_0 = all endpoint nodes
+        round r: deg_r(n) = degree of n in the subgraph INDUCED by
+                 S_{r-1} (both endpoints must survive);
+                 S_r = { n : deg_r(n) >= k }
+
+    Output after ``n_rounds``: Dataset (node_id, deg) for n in S_R with
+    deg = deg_R(n).  Real crawl graphs peel to the fixpoint in a few
+    rounds; the bound makes the operator a fixed-depth dataflow with an
+    exactly SQL-replicable answer (unrolled CTE levels) instead of a
+    driver-controlled loop of unknown depth.
+
+    Scale shape: the distinct edge table materializes ONCE; each round
+    after the first is two bucketed semi joins (edges vs the surviving
+    node set — node-sized, so never broadcast) + one degree groupby,
+    all exchanges partitioned on node id; survivor state stays a
+    distributed Dataset end to end.  Per-round cost shrinks with the
+    peeled subgraph.  Movement: <= n_rounds * 3 node/edge-bounded
+    exchanges.
+    """
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    und = _undirected_distinct_edges(edges_ds).materialize()
+    if n_buckets is None:
+        n_buckets = max(8, min(default_buckets(None), und.count() // 250_000))
+    deg_schema = pa.schema([("node_id", pa.int64()), ("deg", pa.int64())])
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.concat_arrays(
+                    [t.column("u").combine_chunks(),
+                     t.column("v").combine_chunks()]
+                )
+            }
+        )
+
+    def survivors_of(deg_ds):
+        return deg_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"), k)),
+            batch_format="pyarrow",
+        )
+
+    edges_r = und
+    surv = None
+    for r in range(n_rounds):
+        if surv is not None:
+            # induced subgraph: an edge survives iff BOTH endpoints do
+            surv = surv.select_columns(["node_id"]).materialize()
+            for end in ("u", "v"):
+                keyed = surv.map_batches(
+                    lambda t, e=end: t.rename_columns([e]),
+                    batch_format="pyarrow",
+                )
+                edges_r = bucketed_hash_join(
+                    edges_r,
+                    keyed,
+                    on=end,
+                    n_buckets=n_buckets,
+                    left_schema=_UND_SCHEMA,
+                    right_schema=pa.schema([(end, pa.int64())]),
+                )
+        deg = bucketed_group_agg(
+            edges_r.map_batches(both_ends, batch_format="pyarrow"),
+            "node_id", "count", out_col="deg", n_buckets=n_buckets,
+        )
+        surv = survivors_of(deg)
+    return surv

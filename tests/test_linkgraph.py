@@ -320,3 +320,52 @@ def test_triangle_counts_rejects_wide_ids(ray_session):
     )
     with pytest.raises(Exception, match="2\\^31|int64|struct"):
         triangle_counts(ds).to_pandas()
+
+
+def test_k_core_peel_uses_induced_subgraph(ray_session):
+    """Round 2 must recompute degrees on the subgraph induced by round
+    1's survivors: node 4 survives round 1 (deg 2) but loses its edge
+    to the peeled node 5 and falls below k in round 2."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import k_core_nodes
+
+    # triangle {1,2,3} + tail 3-4-5; a duplicate reverse edge and a
+    # self-loop exercise the undirected-distinct prep
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([1, 2, 1, 3, 4, 2, 5], pa.int64()),
+                "dst_id": pa.array([2, 3, 3, 4, 5, 1, 5], pa.int64()),
+            }
+        )
+    )
+    one = {
+        r["node_id"]: r["deg"]
+        for r in k_core_nodes(edges, k=2, n_rounds=1).take_all()
+    }
+    assert one == {1: 2, 2: 2, 3: 3, 4: 2}
+    two = {
+        r["node_id"]: r["deg"]
+        for r in k_core_nodes(edges, k=2, n_rounds=2).take_all()
+    }
+    assert two == {1: 2, 2: 2, 3: 3}
+
+
+def test_k_core_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import k_core_nodes
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([1], pa.int64()),
+                "dst_id": pa.array([2], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError):
+        k_core_nodes(edges, k=0)
+    with pytest.raises(ValueError):
+        k_core_nodes(edges, k=2, n_rounds=0)

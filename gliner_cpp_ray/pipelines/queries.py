@@ -907,6 +907,18 @@ def q_user_value_decayed(sf_dir: str):
     )
 
 
+def q_event_seq_numbers(sf_dir: str):
+    """Per-user 1-based event sequence numbers (row_number under
+    PARTITION BY user ORDER BY ts, id) — the ordinal backbone of
+    sessionization / n-th-touch features —
+    stages/windows.py:seq_numbers_per_key.  One user-hash bucket
+    shuffle, per-bucket vectorized sort + run-relative cumcount."""
+    from gliner_cpp_ray.stages.windows import seq_numbers_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return seq_numbers_per_key(ds, ["user_id"], "ts", "event_id")
+
+
 def q_events_debounced(sf_dir: str):
     """Debounce / telemetry log-dedup: keep an event iff it is the
     first for its (user_id, event_type) key or arrives more than one
@@ -2314,6 +2326,7 @@ def queries():
         # -- new in round 4, never driver-checked: run these FIRST
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
+        "event_seq_numbers": q_event_seq_numbers,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3206,6 +3219,11 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
         ),
         "dup_substring_stats": _dup_substring_sql(),
+        "event_seq_numbers": (
+            "SELECT event_id, CAST(row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS seq FROM events"
+        ),
         "user_value_decayed": (
             # same bit-exact decay arithmetic as the Ray stage: floor
             # micro-quantization, age floor-div halflife capped at 62,

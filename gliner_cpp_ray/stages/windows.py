@@ -459,3 +459,59 @@ def time_decayed_sum(ds, key_col: str, ts_col: str, val_col: str,
         ds.map_batches(decay, batch_format="pyarrow"),
         key_col, "sum", val_col=out_col, out_col=out_col,
     )
+
+
+def seq_numbers_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
+                        out_col: str = "seq", n_buckets: int | None = None):
+    """Per-key 1-based sequence numbers: ``row_number() OVER (PARTITION
+    BY keys ORDER BY (ts, id))`` — the ordinal-position primitive under
+    sessionization, n-th-touch attribution and per-entity timeline
+    features.
+
+    -> Dataset(id, out_col).  Same scale shape as ``lag_delta_per_key``:
+    ONE composite-key-hash bucket shuffle co-locates each key, then a
+    per-bucket vectorized sort + run-relative cumcount (no per-key
+    pandas groups — one diff pass finds key starts, one subtract turns
+    global positions into within-key ordinals)."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    out_col: np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        # a row continues its predecessor's run iff ALL key cols match
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        new_key = ~same
+        pos = np.arange(len(g), dtype=np.int64)
+        # position of each row's key-run start, broadcast by cummax
+        run_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                out_col: pos - run_start + 1,
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

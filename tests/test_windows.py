@@ -209,3 +209,30 @@ def test_lag_delta_per_key_edges(ray_session):
     # user 1 order: id0(10) -> id1(7) -> id2(30, ts tie by id) -> id3(4)
     assert got["event_id"].tolist() == [1, 2, 3]
     assert got["d"].tolist() == [-3, 23, -26]  # user 2: single row, omitted
+
+
+def test_seq_numbers_per_key_multi_key_runs(ray_session):
+    """Composite keys: a run breaks when ANY key column changes; ties
+    within a key order by (ts, id)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import seq_numbers_per_key
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "b": pa.array([1, 1, 2, 1, 1], pa.int64()),
+            "ts": pa.array([10, 5, 7, 9, 9], pa.int64()),
+            "id": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        }
+    )
+    got = {
+        r["id"]: r["seq"]
+        for r in seq_numbers_per_key(
+            rd.from_arrow(t), ["a", "b"], "ts", "id"
+        ).take_all()
+    }
+    # (1,1): ts 5 -> seq 1, ts 10 -> seq 2; (1,2): seq 1;
+    # (2,1): equal ts 9 breaks ties by id
+    assert got == {101: 1, 100: 2, 102: 1, 103: 1, 104: 2}

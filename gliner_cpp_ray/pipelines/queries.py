@@ -919,6 +919,17 @@ def q_event_seq_numbers(sf_dir: str):
     return seq_numbers_per_key(ds, ["user_id"], "ts", "event_id")
 
 
+def q_lineitem_profile(sf_dir: str):
+    """ANALYZE-TABLE column statistics for lineitem's measure columns
+    (row/null counts + exact micro-quantized bounds) — the planner /
+    zone-map primitive, stages/profile.py:table_profile.  One pass;
+    the only exchange is tasks x columns partial rows."""
+    from gliner_cpp_ray.stages.profile import table_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return table_profile(_read(sf_dir, "lineitem", columns=cols), cols)
+
+
 def q_events_debounced(sf_dir: str):
     """Debounce / telemetry log-dedup: keep an event iff it is the
     first for its (user_id, event_type) key or arrives more than one
@@ -2327,6 +2338,7 @@ def queries():
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
+        "lineitem_profile": q_lineitem_profile,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3219,6 +3231,16 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
         ),
         "dup_substring_stats": _dup_substring_sql(),
+        "lineitem_profile": " UNION ALL ".join(
+            "SELECT "
+            f"'{c}' AS \"column\", "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(floor(min({c}) * 1000000) AS BIGINT) AS min_v, "
+            f"CAST(floor(max({c}) * 1000000) AS BIGINT) AS max_v "
+            "FROM lineitem"
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
         "event_seq_numbers": (
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "

@@ -2022,6 +2022,23 @@ def q_distinct_users_kmv(sf_dir: str):
     return pd.DataFrame({"k": [_KMV_K], "estimate": [est]}).astype("int64")
 
 
+def q_custkey_overlap_kmv(sf_dir: str):
+    """KMV set-overlap estimate between the distinct customer keys
+    referenced by orders and the customer table's key set — the
+    cross-corpus dedup-sizing / join-cardinality sketch,
+    stages/sketches.py:kmv_overlap.  O(tasks*k) hashes move; the
+    md5-based estimator is replicated literally by the oracle so the
+    APPROXIMATE answer itself hash-checks."""
+    from gliner_cpp_ray.stages.sketches import kmv_overlap
+
+    est = kmv_overlap(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        "o_custkey", "c_custkey", k=_KMV_K,
+    )
+    return pd.DataFrame([est]).astype("int64")
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Grouped KMV distinct-count (C55): distinct users PER event type,
     fully distributed — per-batch grouped bottom-k partials, ONE
@@ -2339,6 +2356,7 @@ def queries():
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
         "lineitem_profile": q_lineitem_profile,
+        "custkey_overlap_kmv": q_custkey_overlap_kmv,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3659,6 +3677,45 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(CASE WHEN (SELECT cnt FROM n) < 64 THEN (SELECT cnt FROM n) "
             "ELSE 63 * 4294967296 // (SELECT v FROM kth) END AS BIGINT) "
             "AS estimate"
+        ),
+        "custkey_overlap_kmv": (
+            # literal transcription of sketches.kmv_overlap: bottom-64
+            # md5 sketches per side, k smallest of their union, exact
+            # when the union sketch is unsaturated
+            "WITH ha AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) "
+            "AS hv FROM orders), "
+            "hb AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) "
+            "AS hv FROM customer), "
+            "ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 64), "
+            "kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64), "
+            "ua AS (SELECT DISTINCT hv FROM (SELECT hv FROM ka "
+            "UNION ALL SELECT hv FROM kb)), "
+            "ku AS (SELECT hv FROM ua ORDER BY hv LIMIT 64), "
+            "na AS (SELECT count(*) AS c FROM ha), "
+            "nb AS (SELECT count(*) AS c FROM hb), "
+            "nu AS (SELECT count(*) AS c FROM ua), "
+            "kta AS (SELECT CAST(concat('0x', substr(hv, 1, 8)) AS BIGINT) "
+            "AS v FROM ka ORDER BY hv LIMIT 1 OFFSET 63), "
+            "ktb AS (SELECT CAST(concat('0x', substr(hv, 1, 8)) AS BIGINT) "
+            "AS v FROM kb ORDER BY hv LIMIT 1 OFFSET 63), "
+            "ktu AS (SELECT CAST(concat('0x', substr(hv, 1, 8)) AS BIGINT) "
+            "AS v FROM ku ORDER BY hv LIMIT 1 OFFSET 63), "
+            "eu AS (SELECT CAST(CASE WHEN (SELECT c FROM nu) < 64 "
+            "THEN (SELECT c FROM nu) "
+            "ELSE 63 * 4294967296 // (SELECT v FROM ktu) END AS BIGINT) AS v), "
+            "nboth AS (SELECT count(*) AS c FROM ku "
+            "WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)) "
+            "SELECT CAST(64 AS BIGINT) AS k, "
+            "CAST(CASE WHEN (SELECT c FROM na) < 64 THEN (SELECT c FROM na) "
+            "ELSE 63 * 4294967296 // (SELECT v FROM kta) END AS BIGINT) "
+            "AS est_a, "
+            "CAST(CASE WHEN (SELECT c FROM nb) < 64 THEN (SELECT c FROM nb) "
+            "ELSE 63 * 4294967296 // (SELECT v FROM ktb) END AS BIGINT) "
+            "AS est_b, "
+            "(SELECT v FROM eu) AS est_union, "
+            "CAST(CASE WHEN (SELECT c FROM nu) < 64 THEN (SELECT c FROM nboth) "
+            "ELSE (SELECT c FROM nboth) * (SELECT v FROM eu) // 64 "
+            "END AS BIGINT) AS est_intersection"
         ),
         "distinct_users_per_type": (
             # grouped bottom-k: row_number per group over the same md5

@@ -474,3 +474,51 @@ def grouped_kmv_distinct(ds, group_col: str, col: str,
             batch_format="pandas",
         )
     )
+
+
+def kmv_overlap(ds_a, ds_b, col_a: str, col_b: str,
+                k: int = _K_DEFAULT) -> dict[str, int]:
+    """Set-overlap estimation between two key columns from their KMV
+    sketches — the cross-corpus dedup-sizing / join-cardinality
+    primitive: how many distinct keys do A and B share, without ever
+    shuffling either key set.
+
+    Method (Beyer et al., SIGMOD'07 bottom-k set operations): build the
+    bottom-k sketch of each side, take the k smallest of their union U;
+    ``n_both = |{h in U : h in A_k and h in B_k}|`` estimates the
+    Jaccard numerator, and ``est_intersection = n_both * est_union // k``
+    (pure int64, same estimator arithmetic as ``kmv_estimate_from_hashes``).
+    If the union sketch is unsaturated (< k distinct hashes), every
+    distinct value of both sides was seen, so all four outputs are
+    EXACT.
+
+    Movement: O(tasks * k) hashes per side to the driver — independent
+    of either corpus's size, like ``kmv_distinct_count``.
+
+    Returns ``{"k", "est_a", "est_b", "est_union", "est_intersection"}``
+    (all int).
+    """
+    def sketch(ds, col):
+        merged = (
+            ds.map_batches(KmvPartial(col=col, k=k), batch_format="pyarrow")
+            .to_pandas()["h"]
+            .tolist()
+        )
+        return sorted(set(merged))[:k]
+
+    a_k, b_k = sketch(ds_a, col_a), sketch(ds_b, col_b)
+    sa, sb = set(a_k), set(b_k)
+    u = sorted(sa | sb)[:k]
+    est_union = kmv_estimate_from_hashes(u, k)
+    n_both = sum(1 for h in u if h in sa and h in sb)
+    if len(u) < k:  # unsaturated: sketches ARE the full hash sets
+        est_int = n_both
+    else:
+        est_int = n_both * est_union // k
+    return {
+        "k": k,
+        "est_a": kmv_estimate_from_hashes(a_k, k),
+        "est_b": kmv_estimate_from_hashes(b_k, k),
+        "est_union": est_union,
+        "est_intersection": est_int,
+    }

@@ -162,3 +162,34 @@ def test_cms_merge_is_order_independent(ray_session):
     m1 = cms_build(rd.from_pandas(docs).repartition(1))
     m8 = cms_build(rd.from_pandas(docs).repartition(8))
     assert (m1 == m8).all()
+
+
+def test_kmv_overlap_exact_when_unsaturated(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import kmv_overlap
+
+    a = rd.from_arrow(pa.table({"x": pa.array(list(range(20)) * 3, pa.int64())}))
+    b = rd.from_arrow(pa.table({"y": pa.array(list(range(10, 40)), pa.int64())}))
+    est = kmv_overlap(a, b, "x", "y", k=64)
+    assert est["est_a"] == 20 and est["est_b"] == 30
+    assert est["est_union"] == 40 and est["est_intersection"] == 10
+
+
+def test_kmv_overlap_saturated_within_tolerance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import kmv_overlap
+
+    n, k = 3000, 256
+    a = rd.from_arrow(pa.table({"x": pa.array(range(n), pa.int64())}))
+    b = rd.from_arrow(
+        pa.table({"x": pa.array(range(n // 2, n + n // 2), pa.int64())})
+    )
+    est = kmv_overlap(a, b, "x", "x", k=k)
+    # bottom-k relative error ~ 1/sqrt(k); allow 4 sigma
+    tol = 4 / (k ** 0.5)
+    assert abs(est["est_union"] - 1.5 * n) < 1.5 * n * tol
+    assert abs(est["est_intersection"] - n // 2) < n // 2 * (2 * tol)

@@ -919,6 +919,21 @@ def q_event_seq_numbers(sf_dir: str):
     return seq_numbers_per_key(ds, ["user_id"], "ts", "event_id")
 
 
+def q_user_event_history(sf_dir: str):
+    """Per-user training-sequence assembly: each user's first 8 event
+    types by (ts, id), comma-joined — the example-construction
+    primitive, stages/packing.py:assemble_key_histories.  One user-hash
+    shuffle; per-key output bounded at 8 short values."""
+    from gliner_cpp_ray.stages.packing import assemble_key_histories
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return assemble_key_histories(
+        ds, ["user_id"], "ts", "event_id", "event_type", head_k=8
+    )
+
+
 def q_lineitem_profile(sf_dir: str):
     """ANALYZE-TABLE column statistics for lineitem's measure columns
     (row/null counts + exact micro-quantized bounds) — the planner /
@@ -2357,6 +2372,7 @@ def queries():
         "event_seq_numbers": q_event_seq_numbers,
         "lineitem_profile": q_lineitem_profile,
         "custkey_overlap_kmv": q_custkey_overlap_kmv,
+        "user_event_history": q_user_event_history,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3249,6 +3265,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2"
         ),
         "dup_substring_stats": _dup_substring_sql(),
+        "user_event_history": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_used, "
+            "string_agg(event_type, ',' ORDER BY rn) AS history "
+            "FROM r WHERE rn <= 8 GROUP BY user_id"
+        ),
         "lineitem_profile": " UNION ALL ".join(
             "SELECT "
             f"'{c}' AS \"column\", "

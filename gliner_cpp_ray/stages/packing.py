@@ -342,3 +342,68 @@ def chunk_documents(batch: pa.Table, window: int = 64, stride: int = 48,
          "n_tok": pa.array(n_tok.astype(np.int64)),
          "chunk_text": pc.binary_join(chunks, " ")}
     )
+
+
+def assemble_key_histories(ds, key_cols: list[str], ts_col: str,
+                           id_col: str, val_col: str, head_k: int = 8,
+                           sep: str = ",", out_col: str = "history"):
+    """Per-key ordered head-k sequence assembly: each key's first
+    ``head_k`` ``val_col`` values under ORDER BY (ts, id), joined into
+    one delimited string — the example-construction primitive that
+    turns an event log into per-entity training sequences
+    (user behavioral histories, session transcripts, click trails).
+
+    -> Dataset(*key_cols, n_events_used, out_col).
+
+    Scale shape: ONE composite-key-hash bucket shuffle co-locates each
+    key (the same plan as ``seq_numbers_per_key``); the per-bucket
+    reduce sorts once, computes within-key ordinals with a vectorized
+    run-relative cumcount, drops rows past ``head_k``, and joins the
+    survivors per key.  The join output is bounded by head_k short
+    values per key, so the per-key work (unlike the corpus) is O(1).
+    """
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if head_k < 1:
+        raise ValueError("head_k must be >= 1")
+    n_buckets = default_buckets(None)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    **{k: np.zeros(0, np.int64) for k in key_cols},
+                    "n_events_used": np.zeros(0, np.int64),
+                    out_col: np.zeros(0, object),
+                }
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, pos, 0))
+        seq = pos - run_start
+        kept = g.iloc[seq < head_k]
+        out = (
+            kept.groupby(key_cols, sort=False)[val_col]
+            .agg(n_events_used="size", **{out_col: sep.join})
+            .reset_index()
+        )
+        out["n_events_used"] = out["n_events_used"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

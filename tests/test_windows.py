@@ -236,3 +236,26 @@ def test_seq_numbers_per_key_multi_key_runs(ray_session):
     # (1,1): ts 5 -> seq 1, ts 10 -> seq 2; (1,2): seq 1;
     # (2,1): equal ts 9 breaks ties by id
     assert got == {101: 1, 100: 2, 102: 1, 103: 1, 104: 2}
+
+
+def test_assemble_key_histories_head_k_order_and_truncation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.packing import assemble_key_histories
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([30, 10, 20, 40, 5], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ev": ["c", "a", "b", "d", "x"],
+        }
+    )
+    got = {
+        r["u"]: (r["n_events_used"], r["history"])
+        for r in assemble_key_histories(
+            rd.from_arrow(t), ["u"], "ts", "id", "ev", head_k=3
+        ).take_all()
+    }
+    assert got == {1: (3, "a,b,c"), 2: (1, "x")}

@@ -2054,6 +2054,20 @@ def q_custkey_overlap_kmv(sf_dir: str):
     return pd.DataFrame([est]).astype("int64")
 
 
+def q_order_price_histogram(sf_dir: str):
+    """Exact 16-bin equi-width histogram of micro-quantized order
+    totals between the column's own min/max — integer edges, so the
+    distribution profile hash-checks bit-for-bit.
+    stages/sketches.py:equiwidth_histogram (two pruned passes)."""
+    from gliner_cpp_ray.stages.sketches import equiwidth_histogram
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda t: pa.table({"price_micro": _micro(t.column("o_totalprice"))}),
+        batch_format="pyarrow",
+    )
+    return equiwidth_histogram(ds, "price_micro", n_bins=16)
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Grouped KMV distinct-count (C55): distinct users PER event type,
     fully distributed — per-batch grouped bottom-k partials, ONE
@@ -2373,6 +2387,7 @@ def queries():
         "lineitem_profile": q_lineitem_profile,
         "custkey_overlap_kmv": q_custkey_overlap_kmv,
         "user_event_history": q_user_event_history,
+        "order_price_histogram": q_order_price_histogram,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3700,6 +3715,16 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(CASE WHEN (SELECT cnt FROM n) < 64 THEN (SELECT cnt FROM n) "
             "ELSE 63 * 4294967296 // (SELECT v FROM kth) END AS BIGINT) "
             "AS estimate"
+        ),
+        "order_price_histogram": (
+            "WITH v AS (SELECT CAST(floor(o_totalprice * 1000000) AS BIGINT) "
+            "AS x FROM orders), "
+            "b AS (SELECT min(x) AS lo, (max(x) - min(x)) // 16 + 1 AS w "
+            "FROM v) "
+            "SELECT CAST((x - lo) // w AS BIGINT) AS bin, "
+            "CAST(lo + ((x - lo) // w) * w AS BIGINT) AS bin_lo, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM v, b GROUP BY 1, 2"
         ),
         "custkey_overlap_kmv": (
             # literal transcription of sketches.kmv_overlap: bottom-64

@@ -522,3 +522,46 @@ def kmv_overlap(ds_a, ds_b, col_a: str, col_b: str,
         "est_union": est_union,
         "est_intersection": est_int,
     }
+
+
+def equiwidth_histogram(ds, col: str, n_bins: int = 16):
+    """EXACT equi-width histogram with data-derived integer bounds —
+    the distribution-profile companion to the fixed-edge quantile
+    sketch (and the zone-map/table-profile stats): bin counts of an
+    int64 column between its own min and max.
+
+    Pure-integer edges: ``w = (max - min) // n_bins + 1`` guarantees
+    ``(v - min) // w`` lands in ``[0, n_bins)`` with no float edge in
+    sight, so any SQL engine reproduces every bin bit-for-bit.
+
+    Two passes over one pruned column: a min/max scalar aggregate, then
+    per-batch ``np.bincount`` partials folded by a tiny grouped sum
+    (movement: tasks x n_bins rows).  -> Dataset(bin, bin_lo, n).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = int(mm[f"min({col})"]), int(mm[f"max({col})"])
+    w = (hi - lo) // n_bins + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        bins = (v - lo) // w
+        counts = np.bincount(bins, minlength=n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "bin_lo": pa.array((lo + nz * w).astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin", "bin_lo"], "sum", val_col="n", out_col="n", n_buckets=8,
+    )

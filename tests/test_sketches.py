@@ -193,3 +193,29 @@ def test_kmv_overlap_saturated_within_tolerance(ray_session):
     tol = 4 / (k ** 0.5)
     assert abs(est["est_union"] - 1.5 * n) < 1.5 * n * tol
     assert abs(est["est_intersection"] - n // 2) < n // 2 * (2 * tol)
+
+
+def test_equiwidth_histogram_integer_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import equiwidth_histogram
+
+    # lo=0, hi=99 -> w = 99//4 + 1 = 25; bins [0,25),[25,50),[50,75),[75,100)
+    vals = list(range(100))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    rows = {r["bin"]: r for r in equiwidth_histogram(ds, "x", 4).take_all()}
+    assert {b: r["n"] for b, r in rows.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert rows[2]["bin_lo"] == 50
+    assert sum(r["n"] for r in rows.values()) == len(vals)
+
+
+def test_equiwidth_histogram_single_value(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import equiwidth_histogram
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([7, 7, 7], pa.int64())}))
+    (row,) = equiwidth_histogram(ds, "x", 4).take_all()
+    assert (row["bin"], row["bin_lo"], row["n"]) == (0, 7, 3)

@@ -877,6 +877,56 @@ def q_user_value_diff(sf_dir: str):
     )
 
 
+def q_user_snapshot_applied(sf_dir: str):
+    """CDC MERGE with tombstones: the first half of the event log
+    collapses to a per-user snapshot, the second half replays as a
+    delta stream (latest op per user wins; 'signup' = tombstone, any
+    other type upserts the value) —
+    stages/compaction.py:apply_cdc_delta.  Two key-hash exchanges, no
+    driver state; the half split reuses the min/max midpoint cut."""
+    from ray.data.aggregate import Max, Min
+
+    from gliner_cpp_ray.stages.compaction import apply_cdc_delta, latest_by_key
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value",
+                                   "event_type"]
+    )
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+                "value_micro": _micro(t.column("value")),
+                "op": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed 3x: min/max + both half filters
+    mm = ds.aggregate(Min("ts_us"), Max("ts_us"))
+    cut = (int(mm["min(ts_us)"]) + int(mm["max(ts_us)"])) // 2
+
+    def half(old: bool):
+        return ds.map_batches(
+            lambda t, o=old: t.filter(
+                pc.less(t.column("ts_us"), cut) if o
+                else pc.greater_equal(t.column("ts_us"), cut)
+            ),
+            batch_format="pyarrow",
+        )
+
+    base = latest_by_key(
+        half(True), "user_id", ["ts_us", "event_id"]
+    ).select_columns(["user_id", "value_micro"])
+    return apply_cdc_delta(
+        base, half(False), "user_id", ["value_micro"],
+        op_col="op", order_cols=["ts_us", "event_id"], delete_op="signup",
+    )
+
+
 _DECAY_HALFLIFE_US = 2 * 86_400 * 1_000_000  # 2 days
 
 
@@ -2388,6 +2438,7 @@ def queries():
         "custkey_overlap_kmv": q_custkey_overlap_kmv,
         "user_event_history": q_user_event_history,
         "order_price_histogram": q_order_price_histogram,
+        "user_snapshot_applied": q_user_snapshot_applied,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3301,6 +3352,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "user_snapshot_applied": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(floor(value * 1000000) AS BIGINT) AS value_micro, "
+            "event_type FROM events), "
+            "b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM e), "
+            "base AS (SELECT user_id, value_micro FROM (SELECT user_id, "
+            "value_micro, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts_us DESC, event_id DESC) AS rn FROM e, b "
+            "WHERE e.ts_us < b.cut) WHERE rn = 1), "
+            "dl AS (SELECT user_id, value_micro, event_type FROM ("
+            "SELECT user_id, value_micro, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn "
+            "FROM e, b WHERE e.ts_us >= b.cut) WHERE rn = 1) "
+            "SELECT user_id, value_micro FROM base "
+            "WHERE user_id NOT IN (SELECT user_id FROM dl) "
+            "UNION ALL SELECT user_id, value_micro FROM dl "
+            "WHERE event_type <> 'signup'"
         ),
         "user_value_decayed": (
             # same bit-exact decay arithmetic as the Ray stage: floor

@@ -58,3 +58,68 @@ def latest_by_key(ds, key: str, order_cols: list[str],
         .groupby("__bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+def apply_cdc_delta(base, delta, key: str, val_cols: list[str],
+                    op_col: str, order_cols: list[str],
+                    delete_op: str = "delete",
+                    n_buckets: int | None = None):
+    """MERGE INTO with tombstones — apply a CDC delta stream to a
+    snapshot: each key's LATEST delta op (greatest ``order_cols``, ties
+    included) wins; op ``delete_op`` drops the key, any other op
+    upserts its ``val_cols``; keys without a delta keep their base row.
+    The incremental-view / lakehouse-maintenance primitive one step
+    past ``latest_by_key`` (which collapses a log but cannot delete).
+
+    ``base``: Dataset(key, *val_cols) — one row per key (duplicate base
+    keys raise in the merge).
+    ``delta``: Dataset(key, *val_cols, op_col, *order_cols).
+
+    -> Dataset(key, *val_cols), the new snapshot.
+
+    Scale shape: the delta collapses through ``latest_by_key`` (hot
+    keys die in its map-side combiner; one key-hash exchange over
+    per-batch winners), then a second key-hash exchange co-locates the
+    base with the key-bounded collapsed delta (side-tagged union) and a
+    per-bucket vectorized isin-merge emits the new snapshot.  No driver
+    state; tombstones travel as ordinary rows and die in the merge.
+    """
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    out_cols = [key, *val_cols]
+
+    latest = latest_by_key(delta, key, order_cols)
+
+    def tag(op_expr):
+        def fn(t: pa.Table) -> pa.Table:
+            ops = op_expr(t)
+            t = t.select(out_cols).append_column("__op", ops)
+            return add_bucket(t, key, n_buckets)
+
+        return fn
+
+    base_t = base.map_batches(
+        tag(lambda t: pa.array(np.full(t.num_rows, "", object), pa.string())),
+        batch_format="pyarrow",
+    )
+    delta_t = latest.map_batches(
+        tag(lambda t: t.column(op_col).cast(pa.string())),
+        batch_format="pyarrow",
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        is_base = (g["__op"] == "").to_numpy()
+        b, d = g[is_base], g[~is_base]
+        if b[key].duplicated().any():
+            raise ValueError("base snapshot has duplicate keys")
+        kept_base = b[~b[key].isin(d[key])]
+        upserts = d[d["__op"] != delete_op]
+        return pd.concat([kept_base, upserts])[out_cols]
+
+    return (
+        base_t.union(delta_t)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

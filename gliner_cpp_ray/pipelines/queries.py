@@ -2118,6 +2118,23 @@ def q_order_price_histogram(sf_dir: str):
     return equiwidth_histogram(ds, "price_micro", n_bins=16)
 
 
+def q_lineitem_exact_median(sf_dir: str):
+    """EXACT lower-median of micro-quantized l_extendedprice via
+    distributed selection (iterative histogram refinement: 3-4 pruned
+    scans, tasks x 4096 bincount rows per scan, n_bins ints of driver
+    state) — stages/sketches.py:exact_order_statistic."""
+    from gliner_cpp_ray.stages.sketches import exact_order_statistic
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"price_micro": _micro(t.column("l_extendedprice"))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # scanned once per refinement round
+    est = exact_order_statistic(ds, "price_micro")
+    return pd.DataFrame([est]).astype("int64")
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Grouped KMV distinct-count (C55): distinct users PER event type,
     fully distributed — per-batch grouped bottom-k partials, ONE
@@ -2439,6 +2456,7 @@ def queries():
         "user_event_history": q_user_event_history,
         "order_price_histogram": q_order_price_histogram,
         "user_snapshot_applied": q_user_snapshot_applied,
+        "lineitem_exact_median": q_lineitem_exact_median,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3785,6 +3803,16 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(CASE WHEN (SELECT cnt FROM n) < 64 THEN (SELECT cnt FROM n) "
             "ELSE 63 * 4294967296 // (SELECT v FROM kth) END AS BIGINT) "
             "AS estimate"
+        ),
+        "lineitem_exact_median": (
+            "WITH v AS (SELECT CAST(floor(l_extendedprice * 1000000) "
+            "AS BIGINT) AS x FROM lineitem), "
+            "r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn, "
+            "count(*) OVER () AS n FROM v) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST((n - 1) // 2 AS BIGINT) AS rank, "
+            "CAST(x AS BIGINT) AS value "
+            "FROM r WHERE rn = (n - 1) // 2 + 1"
         ),
         "order_price_histogram": (
             "WITH v AS (SELECT CAST(floor(o_totalprice * 1000000) AS BIGINT) "

@@ -565,3 +565,72 @@ def equiwidth_histogram(ds, col: str, n_bins: int = 16):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["bin", "bin_lo"], "sum", val_col="n", out_col="n", n_buckets=8,
     )
+
+
+def exact_order_statistic(ds, col: str, rank: int | None = None,
+                          n_bins: int = 4096) -> dict[str, int]:
+    """EXACT k-th smallest of an int64 column at any scale — the exact
+    counterpart of the histogram quantile sketch, for when "p50 ± a
+    bin" isn't good enough (SLA cutoffs, exact medians for splits).
+
+    Classic iterative histogram refinement (distributed selection):
+    each round bins the candidate range ``[lo, hi]`` into ``n_bins``
+    integer-width cells, folds per-batch bincount partials (movement:
+    tasks x n_bins rows, data never moves), locates the cell containing
+    the target rank on the driver (n_bins ints of state), and recurses
+    into it.  The range shrinks ~n_bins x per round, so an int64-wide
+    domain resolves in <= ceil(64 / log2(n_bins)) = 6 scans of one
+    pruned column; a micro-quantized price column resolves in 3-4.
+    Every step is integer arithmetic — bit-reproducible anywhere.
+
+    ``rank``: 0-based target (default: the lower median ``(n-1) // 2``).
+
+    Returns ``{"n", "rank", "value"}`` (ints).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    agg = ds.aggregate(Min(col), Max(col), Count())
+    n = int(agg["count()"])
+    if n == 0:
+        raise ValueError("column is empty")
+    lo, hi = int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    if rank is None:
+        rank = (n - 1) // 2
+    if not 0 <= rank < n:
+        raise ValueError(f"rank {rank} out of [0, {n})")
+    out_rank, k = rank, rank
+
+    while lo < hi:
+        w = (hi - lo) // n_bins + 1
+
+        def partial(t: pa.Table, lo=lo, hi=hi, w=w) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            counts = np.bincount((v - lo) // w, minlength=n_bins)
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64)),
+                    "n": pa.array(counts[nz].astype(np.int64)),
+                }
+            )
+
+        hist = (
+            bucketed_group_agg(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                "bin", "sum", val_col="n", out_col="n", n_buckets=8,
+            )
+            .to_pandas()  # <= n_bins rows — driver state is tiny
+            .sort_values("bin")
+        )
+        cum = hist["n"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cum, k + 1))
+        b = int(hist["bin"].iloc[idx])
+        k -= int(cum[idx - 1]) if idx else 0
+        lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+
+    return {"n": n, "rank": out_rank, "value": lo}

@@ -219,3 +219,41 @@ def test_equiwidth_histogram_single_value(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([7, 7, 7], pa.int64())}))
     (row,) = equiwidth_histogram(ds, "x", 4).take_all()
     assert (row["bin"], row["bin_lo"], row["n"]) == (0, 7, 3)
+
+
+def test_exact_order_statistic_matches_sorted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import exact_order_statistic
+
+    rng = np.random.RandomState(7)
+    # wide int64 range + heavy duplicates force several refinement
+    # rounds with tiny n_bins
+    vals = np.concatenate(
+        [
+            rng.randint(-(10**15), 10**15, 500),
+            np.full(200, 123_456_789),
+        ]
+    )
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    srt = np.sort(vals)
+    for rank in [0, 1, len(vals) // 2, len(vals) - 1]:
+        got = exact_order_statistic(ds, "x", rank=rank, n_bins=16)
+        assert got["value"] == srt[rank], rank
+    med = exact_order_statistic(ds, "x", n_bins=16)
+    assert med["value"] == srt[(len(vals) - 1) // 2]
+    assert med["n"] == len(vals)
+
+
+def test_exact_order_statistic_rejects_bad_rank(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import exact_order_statistic
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError):
+        exact_order_statistic(ds, "x", rank=2)

@@ -927,6 +927,35 @@ def q_user_snapshot_applied(sf_dir: str):
     )
 
 
+_BAND_US = 10 * 3600 * 1_000_000  # 10 hours
+
+
+def q_event_pairs_banded(sf_dir: str):
+    """Banded self-join (stream-stream join within δ): every ordered
+    pair of same-user events at most 10 h apart — session stitching /
+    co-event mining — stages/joins.py:banded_self_pairs.  One user-hash
+    shuffle; the per-bucket band scan is ONE global searchsorted over a
+    monotone-shifted timeline, pairs expand via grouped arange."""
+    from gliner_cpp_ray.stages.joins import banded_self_pairs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return banded_self_pairs(
+        ds, ["user_id"], "ts_us", "event_id", band=_BAND_US
+    )
+
+
 _DECAY_HALFLIFE_US = 2 * 86_400 * 1_000_000  # 2 days
 
 
@@ -2457,6 +2486,7 @@ def queries():
         "order_price_histogram": q_order_price_histogram,
         "user_snapshot_applied": q_user_snapshot_applied,
         "lineitem_exact_median": q_lineitem_exact_median,
+        "event_pairs_banded": q_event_pairs_banded,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3370,6 +3400,12 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "event_pairs_banded": (
+            "SELECT a.event_id AS event_id_1, b.event_id AS event_id_2 "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id)) "
+            f"AND epoch_us(b.ts) - epoch_us(a.ts) <= {_BAND_US}"
         ),
         "user_snapshot_applied": (
             "WITH e AS (SELECT user_id, event_id, "

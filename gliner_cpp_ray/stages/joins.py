@@ -700,3 +700,92 @@ def bucketed_anti_join(left, right_keys, on: str,
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def banded_self_pairs(ds, key_cols: list[str], ts_col: str, id_col: str,
+                      band: int, n_buckets: int | None = None,
+                      pair_limit_per_bucket: int = 50_000_000):
+    """Banded (within-δ) self-join — the stream-stream join primitive:
+    all ordered pairs of rows sharing a key whose timestamps are at
+    most ``band`` apart (successor strictly greater under (ts, id), so
+    each unordered pair emits exactly once, smaller id first on ties).
+    Session stitching, retry/duplicate-burst mining, co-event features.
+
+    -> Dataset(<id>_1, <id>_2).
+
+    Scale shape: ONE composite-key-hash bucket shuffle co-locates each
+    key; the per-bucket reduce sorts once by (key, ts, id) and finds
+    every row's band window with a SINGLE global ``searchsorted`` —
+    per-key timelines are made globally monotone by adding
+    ``run_id * stride`` (stride > global ts span + band), so no per-key
+    Python loop exists.  Pair emission is the vectorized grouped-arange
+    expansion.  Output volume is (key activity density x band)-bounded,
+    NOT corpus-bounded — ``pair_limit_per_bucket`` fails loudly instead
+    of OOMing when a hot key's quadratic blowup exceeds it (remedies:
+    smaller band, or pre-aggregate the hot key).
+    """
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if band < 0:
+        raise ValueError("band must be >= 0")
+    n_buckets = default_buckets(n_buckets)
+    out_1, out_2 = f"{id_col}_1", f"{id_col}_2"
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {out_1: np.zeros(0, np.int64), out_2: np.zeros(0, np.int64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        if g[ts_col].dtype.kind not in "iu":
+            # a datetime64 column would silently flip the band's unit
+            # (pandas surfaces ns); make the caller quantize explicitly
+            raise TypeError(
+                f"banded_self_pairs needs an integer {ts_col!r} column "
+                "in the band's unit (cast timestamps first)"
+            )
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        run_id = np.cumsum(~same) - 1
+        span = int(ts.max()) - int(ts.min())
+        stride = span + band + 1
+        if int(run_id[-1] + 1) * stride >= (1 << 62):
+            raise ValueError(
+                "banded_self_pairs: run_count * (span + band) overflows "
+                "the monotone-key trick; shrink the band or bucket finer"
+            )
+        mono = ts + run_id * stride  # globally sorted, runs never overlap
+        hi = np.searchsorted(mono, mono + band, side="right")
+        n_i = hi - np.arange(len(g)) - 1  # successors within the band
+        total = int(n_i.sum())
+        if total > pair_limit_per_bucket:
+            raise ValueError(
+                f"banded_self_pairs: {total} pairs in one bucket exceeds "
+                f"pair_limit_per_bucket={pair_limit_per_bucket} (hot key "
+                "quadratic blowup) — shrink the band or pre-aggregate"
+            )
+        if not total:
+            return empty
+        left = np.repeat(np.arange(len(g)), n_i)
+        # grouped arange: each left row i pairs with rows i+1 .. hi-1
+        offs = np.concatenate([[0], np.cumsum(n_i)[:-1]])
+        right = np.arange(total) - np.repeat(offs, n_i) + left + 1
+        return pd.DataFrame({out_1: ids[left], out_2: ids[right]})
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

@@ -493,3 +493,68 @@ def test_global_top_k_exceeds_batch_boundaries(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["id", "v"]], want)
+
+
+def test_banded_self_pairs_matches_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import banded_self_pairs
+
+    rng = np.random.RandomState(3)
+    n = 400
+    keys = rng.randint(0, 12, n)
+    ts = rng.randint(0, 10_000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    band = 500
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(n)
+        for j in range(n)
+        if keys[i] == keys[j]
+        and (ts[j], ids[j]) > (ts[i], ids[i])
+        and ts[j] - ts[i] <= band
+    }
+    ds = rd.from_arrow(
+        pa.table({"k": keys.astype(np.int64), "ts_us": ts, "id": ids})
+    )
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in banded_self_pairs(ds, ["k"], "ts_us", "id", band).take_all()
+    }
+    assert got == want
+
+
+def test_banded_self_pairs_rejects_datetime_and_blowup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import banded_self_pairs
+
+    dt = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ts_us": pa.array([0, 1], pa.timestamp("us")),
+            "id": pa.array([0, 1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="integer"):
+        banded_self_pairs(
+            rd.from_arrow(dt), ["k"], "ts_us", "id", band=10
+        ).take_all()
+
+    hot = pa.table(
+        {
+            "k": pa.array([1] * 200, pa.int64()),
+            "ts_us": pa.array(np.zeros(200, np.int64)),
+            "id": pa.array(np.arange(200, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(Exception, match="pair_limit_per_bucket"):
+        banded_self_pairs(
+            rd.from_arrow(hot), ["k"], "ts_us", "id", band=10,
+            pair_limit_per_bucket=100,
+        ).take_all()

@@ -927,6 +927,56 @@ def q_user_snapshot_applied(sf_dir: str):
     )
 
 
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches event_sessions
+
+
+def q_event_session_ids(sf_dir: str):
+    """Per-event session assignment: each event's 1-based session
+    ordinal within its user (new session after a > 30 min gap) — the
+    labeling step that `event_sessions` (counts) builds on —
+    stages/windows.py:session_ids_per_key.  One user-hash shuffle,
+    vectorized diff + run-relative cumsum."""
+    from gliner_cpp_ray.stages.windows import session_ids_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return session_ids_per_key(
+        ds, ["user_id"], "ts_us", "event_id", gap_us=_SESSION_GAP_US
+    )
+
+
+def q_user_median_value(sf_dir: str):
+    """EXACT per-user lower-median event value (micro units) — the
+    exact grouped order statistic next to the approximate per-group
+    histogram quantiles — stages/sketches.py:grouped_exact_median.
+    One user-hash shuffle; per-bucket run-length median picks."""
+    from gliner_cpp_ray.stages.sketches import grouped_exact_median
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_exact_median(
+        ds, ["user_id"], "value_micro", out_col="median_micro"
+    )
+
+
 _BAND_US = 10 * 3600 * 1_000_000  # 10 hours
 
 
@@ -2487,6 +2537,8 @@ def queries():
         "user_snapshot_applied": q_user_snapshot_applied,
         "lineitem_exact_median": q_lineitem_exact_median,
         "event_pairs_banded": q_event_pairs_banded,
+        "user_median_value": q_user_median_value,
+        "event_session_ids": q_event_session_ids,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3400,6 +3452,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "event_session_ids": (
+            "WITH o AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+            f"> {_SESSION_GAP_US} THEN 1 ELSE 0 END AS ns FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, CAST(sum(ns) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS session_seq FROM o"
+        ),
+        "user_median_value": (
+            "WITH v AS (SELECT user_id, CAST(floor(value * 1000000) "
+            "AS BIGINT) AS x FROM events), "
+            "r AS (SELECT user_id, x, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY x) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM v) "
+            "SELECT user_id, CAST(x AS BIGINT) AS median_micro "
+            "FROM r WHERE rn = (cnt - 1) // 2 + 1"
         ),
         "event_pairs_banded": (
             "SELECT a.event_id AS event_id_1, b.event_id AS event_id_2 "

@@ -634,3 +634,60 @@ def exact_order_statistic(ds, col: str, rank: int | None = None,
         lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
 
     return {"n": n, "rank": out_rank, "value": lo}
+
+
+def grouped_exact_median(ds, key_cols: list[str], val_col: str,
+                         out_col: str = "median",
+                         n_buckets: int | None = None):
+    """EXACT lower-median per group (the element at 0-based rank
+    ``(cnt-1)//2`` under ascending ``val_col``) — the exact companion
+    to the approximate per-group histogram quantiles, for when every
+    group's answer must be a real data value.
+
+    Distributed shape: groups are co-located by ONE composite-key-hash
+    shuffle (group count is unbounded, but each group's rows land in
+    one bucket); the per-bucket reduce sorts once by (keys, val) and
+    picks every run's median POSITION with run-length arithmetic — a
+    diff/cumsum pass, never per-group frames.
+
+    -> Dataset(*key_cols, out_col).  Caveat vs ``exact_order_statistic``:
+    that one never moves the data but handles ONE global rank; this one
+    shuffles the value column once and answers every group.
+    """
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    **{k: np.zeros(0, np.int64) for k in key_cols},
+                    out_col: np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values([*key_cols, val_col], kind="stable")
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], len(g))
+        med_pos = starts + (ends - starts - 1) // 2
+        out = g.iloc[starts][key_cols].copy()
+        out[out_col] = g[val_col].to_numpy()[med_pos]
+        return out
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

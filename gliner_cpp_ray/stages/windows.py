@@ -515,3 +515,67 @@ def seq_numbers_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def session_ids_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
+                        gap_us: int, out_col: str = "session_seq",
+                        n_buckets: int | None = None):
+    """Per-event SESSION ASSIGNMENT: each row's 1-based session ordinal
+    within its key, where a new session starts at the key's first event
+    or after an inter-event gap > ``gap_us`` (ties ordered by id).
+    ``session_counts`` reports how many sessions a key had; this stage
+    labels every event with WHICH session it belongs to — the
+    prerequisite for per-session aggregates and session transcripts.
+
+    ``ts_col`` must be integer micro-epoch (cast timestamps first).
+
+    -> Dataset(id, out_col).  One composite-key-hash shuffle; the
+    per-bucket reduce is sort + diff + run-relative cumsum — no per-key
+    frames.
+    """
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if gap_us < 0:
+        raise ValueError("gap_us must be >= 0")
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    out_col: np.zeros(0, np.int64),
+                }
+            )
+        if g[ts_col].dtype.kind not in "iu":
+            raise TypeError(
+                f"session_ids_per_key needs an integer {ts_col!r} column "
+                "(cast timestamps to micro-epoch first)"
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        new = ~same
+        new[1:] |= same[1:] & ((ts[1:] - ts[:-1]) > gap_us)
+        cs = np.cumsum(new.astype(np.int64))
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, pos, 0))
+        seq = cs - cs[run_start] + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: seq})
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

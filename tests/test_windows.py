@@ -259,3 +259,48 @@ def test_assemble_key_histories_head_k_order_and_truncation(ray_session):
         ).take_all()
     }
     assert got == {1: (3, "a,b,c"), 2: (1, "x")}
+
+
+def test_session_ids_per_key_gap_splits(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import session_ids_per_key
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts_us": pa.array([0, 50, 200, 210, 0], pa.int64()),
+            "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    got = {
+        r["id"]: r["session_seq"]
+        for r in session_ids_per_key(
+            rd.from_arrow(t), ["u"], "ts_us", "id", gap_us=100
+        ).take_all()
+    }
+    # user 1: 0,50 session 1; 200,210 session 2 (gap 150 > 100)
+    assert got == {10: 1, 11: 1, 12: 2, 13: 2, 14: 1}
+
+
+def test_grouped_exact_median_lower_median(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import grouped_exact_median
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "v": pa.array([30, 10, 20, 4, 1, 3, 2], pa.int64()),
+        }
+    )
+    got = {
+        r["k"]: r["median"]
+        for r in grouped_exact_median(
+            rd.from_arrow(t), ["k"], "v"
+        ).take_all()
+    }
+    # odd count -> middle; even count -> LOWER median
+    assert got == {1: 20, 2: 2}

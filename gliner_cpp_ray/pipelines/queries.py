@@ -927,6 +927,17 @@ def q_user_snapshot_applied(sf_dir: str):
     )
 
 
+def q_doc_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling: each doc draws 4
+    pseudo-random other docs via md5-u60 position probes over the dense
+    ORDER BY doc_id ranking — stages/sampling.py:negative_samples.
+    Rank scan + one bucketed position join; fully SQL-replicated."""
+    from gliner_cpp_ray.stages.sampling import negative_samples
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return negative_samples(ds, "doc_id", k=4)
+
+
 _SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches event_sessions
 
 
@@ -2539,6 +2550,7 @@ def queries():
         "event_pairs_banded": q_event_pairs_banded,
         "user_median_value": q_user_median_value,
         "event_session_ids": q_event_session_ids,
+        "doc_negative_samples": q_doc_negative_samples,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3452,6 +3464,21 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "doc_negative_samples": (
+            "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) "
+            "- 1 AS rnk FROM documents), "
+            "n AS (SELECT count(*) AS cnt FROM r), "
+            "p AS (SELECT doc_id, rnk, j, "
+            "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), "
+            "'#', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) "
+            "% (SELECT cnt FROM n) AS tgt "
+            "FROM r, (SELECT unnest(generate_series(0, 3)) AS j)), "
+            "p2 AS (SELECT doc_id, CAST(j AS BIGINT) AS probe, "
+            "CASE WHEN tgt = rnk THEN (tgt + 1) % (SELECT cnt FROM n) "
+            "ELSE tgt END AS tgt FROM p) "
+            "SELECT p2.doc_id, p2.probe, r2.doc_id AS neg_doc_id "
+            "FROM p2 JOIN r r2 ON r2.rnk = p2.tgt"
         ),
         "event_session_ids": (
             "WITH o AS (SELECT event_id, user_id, ts, "

@@ -138,3 +138,91 @@ def weighted_sample_with_replacement(ds, id_col: str, weight_col: str,
     return bucketed.groupby("__bucket").map_groups(
         finish, batch_format="pandas"
     )
+
+
+def negative_samples(ds, id_col: str, k: int = 4,
+                     n_buckets: int | None = None):
+    """Deterministic NEGATIVE SAMPLING for contrastive training: each
+    document draws ``k`` pseudo-random other documents from the corpus
+    — uniformly, reproducibly, engine-independently.
+
+    Scheme: documents get dense 0-based positions under ORDER BY id
+    (the two-level range scan of ``global_order_rank`` — one count row
+    per bucket to the driver).  Draw j of doc d targets position
+    ``md5_u60(str(d) + '#' + str(j)) mod N``; a self-hit shifts to the
+    next position mod N.  Positions resolve to ids with ONE bucketed
+    hash join of the (N·k)-row probe table against the rank table —
+    both corpus-shaped, both distributed, and every step (md5, mod,
+    shift, rank) is replicated literally by a SQL engine.
+
+    -> Dataset(id_col, probe, neg_<id_col>).
+    """
+    import hashlib
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.packing import global_order_rank
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked, n_total = global_order_rank(
+        ds.select_columns([id_col]), id_col, id_col
+    )
+    if n_total < 2:
+        raise ValueError("need >= 2 documents to draw negatives")
+    out_neg = f"neg_{id_col}"
+
+    def probes(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        rnk = t.column("rank").to_numpy(zero_copy_only=False) - 1  # 0-based
+        # per-(id, j) md5 — the repo-wide SQL-replicable hash idiom
+        # (a Python loop, like every md5 sketch partial: bounded by
+        # batch_size * k calls per task, distributed across the pool)
+        tgt = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{d}#{j}".encode()).hexdigest()[:15], 16
+                ) % n_total
+                for d in ids
+                for j in range(k)
+            ),
+            np.int64,
+            len(ids) * k,
+        )
+        rep_rnk = np.repeat(rnk, k)
+        tgt = np.where(tgt == rep_rnk, (tgt + 1) % n_total, tgt)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, k)),
+                "probe": pa.array(
+                    np.tile(np.arange(k, dtype=np.int64), len(ids))
+                ),
+                "pos": pa.array(tgt),
+            }
+        )
+
+    probe_ds = ranked.map_batches(probes, batch_format="pyarrow")
+    lookup = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "pos": pa.array(
+                    t.column("rank").to_numpy(zero_copy_only=False) - 1
+                ),
+                out_neg: t.column(id_col),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        probe_ds,
+        lookup,
+        on="pos",
+        n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("probe", pa.int64()), ("pos", pa.int64())]
+        ),
+        right_schema=pa.schema([("pos", pa.int64()), (out_neg, pa.int64())]),
+    )
+    return joined.map_batches(
+        lambda t: t.select([id_col, "probe", out_neg]),
+        batch_format="pyarrow",
+    )

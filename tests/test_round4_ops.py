@@ -306,3 +306,28 @@ def test_time_decayed_sum_rejects_negative_values(ray_session):
             rd.from_arrow(rows), "k", "ts", "v",
             halflife_us=10, ref_ts_us=100,
         ).take_all()
+
+
+def test_negative_samples_no_self_and_deterministic(ray_session):
+    from gliner_cpp_ray.stages.sampling import negative_samples
+
+    ids = pa.table({"doc_id": pa.array(list(range(100, 140)), pa.int64())})
+    ds = rd.from_arrow(ids)
+    rows = negative_samples(ds, "doc_id", k=3).take_all()
+    assert len(rows) == 40 * 3
+    for r in rows:
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert 100 <= r["neg_doc_id"] < 140
+    again = negative_samples(rd.from_arrow(ids), "doc_id", k=3).take_all()
+    key = lambda r: (r["doc_id"], r["probe"])
+    assert sorted(map(dict, rows), key=key) == sorted(map(dict, again), key=key)
+
+
+def test_negative_samples_needs_two_docs(ray_session):
+    import pytest
+
+    from gliner_cpp_ray.stages.sampling import negative_samples
+
+    one = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        negative_samples(one, "doc_id")

@@ -927,6 +927,47 @@ def q_user_snapshot_applied(sf_dir: str):
     )
 
 
+def q_customer_golden_records(sf_dir: str):
+    """Entity-resolution survivorship (MDM golden records): FastSS
+    name near-dup pairs BLOCKED on nation → distributed connected
+    components → one golden row per cluster (min name, max balance,
+    member count) — stages/survivorship.py:golden_records, the
+    relational analog of the KG canonicalization chain.  Blocking is
+    load-bearing: unblocked distance-1 links chain the sequentially
+    numbered names into one mega-cluster."""
+    from gliner_cpp_ray.stages.dedup import edit_distance_pairs
+    from gliner_cpp_ray.stages.survivorship import golden_records
+
+    raw = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    records = raw.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                "acctbal_micro": _micro(t.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = edit_distance_pairs(
+        raw.select_columns(["c_name"]), "c_name", d=1
+    ).map_batches(
+        lambda t: t.rename_columns(["c_name_a", "c_name_b"]),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("c_nationkey", pa.int64()), ("acctbal_micro", pa.int64())]
+    )
+    return golden_records(
+        records, pairs, "c_custkey", "c_name",
+        take_min=["c_name"], take_max=["acctbal_micro"],
+        records_schema=schema, block_col="c_nationkey",
+    )
+
+
 def q_doc_negative_samples(sf_dir: str):
     """Deterministic contrastive negative sampling: each doc draws 4
     pseudo-random other docs via md5-u60 position probes over the dense
@@ -2551,6 +2592,7 @@ def queries():
         "user_median_value": q_user_median_value,
         "event_session_ids": q_event_session_ids,
         "doc_negative_samples": q_doc_negative_samples,
+        "customer_golden_records": q_customer_golden_records,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3464,6 +3506,29 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(row_number() OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS seq FROM events"
+        ),
+        "customer_golden_records": (
+            # near-dup pairs (levenshtein, as customer_name_near_dup) →
+            # recursive reachability closure → min-root clusters →
+            # survivorship aggregates; singletons via LEFT JOIN coalesce
+            "WITH RECURSIVE p AS (SELECT a.c_custkey AS ka, b.c_custkey "
+            "AS kb FROM customer a JOIN customer b ON a.c_name < b.c_name "
+            "AND levenshtein(a.c_name, b.c_name) <= 1 "
+            "AND a.c_nationkey = b.c_nationkey), "
+            "und AS (SELECT ka AS a, kb AS b FROM p "
+            "UNION SELECT kb, ka FROM p), "
+            "reach(a, b) AS (SELECT a, a FROM und "
+            "UNION SELECT a, b FROM und "
+            "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), "
+            "lab AS (SELECT a AS k, min(b) AS root FROM reach GROUP BY a), "
+            "f AS (SELECT coalesce(lab.root, c.c_custkey) AS cluster_id, "
+            "c.c_name, CAST(floor(c.c_acctbal * 1000000) AS BIGINT) AS bal "
+            "FROM customer c LEFT JOIN lab ON lab.k = c.c_custkey) "
+            "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(count(*) AS BIGINT) AS n_members, "
+            "min(c_name) AS min_c_name, "
+            "CAST(max(bal) AS BIGINT) AS max_acctbal_micro "
+            "FROM f GROUP BY cluster_id"
         ),
         "doc_negative_samples": (
             "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) "

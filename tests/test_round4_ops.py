@@ -331,3 +331,43 @@ def test_negative_samples_needs_two_docs(ray_session):
     one = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError):
         negative_samples(one, "doc_id")
+
+
+def test_golden_records_blocking_and_survivorship(ray_session):
+    from gliner_cpp_ray.stages.survivorship import golden_records
+
+    records = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "name": ["ann", "anx", "any", "bob", "cat"],
+                "blk": pa.array([7, 7, 8, 7, 7], pa.int64()),
+                "v": pa.array([10, 50, 30, 20, 40], pa.int64()),
+            }
+        )
+    )
+    # name pairs: ann-anx, ann-any, anx-any (distance 1 each)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "name_a": ["ann", "ann", "anx"],
+                "name_b": ["anx", "any", "any"],
+            }
+        )
+    )
+    schema = pa.schema(
+        [("k", pa.int64()), ("name", pa.string()), ("blk", pa.int64()),
+         ("v", pa.int64())]
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in golden_records(
+            records, pairs, "k", "name", take_min=["name"],
+            take_max=["v"], records_schema=schema, block_col="blk",
+        ).take_all()
+    }
+    # blocking keeps only ann-anx (blk 7); "any" (blk 8) stays single
+    assert set(rows) == {1, 3, 4, 5}
+    assert rows[1]["n_members"] == 2
+    assert rows[1]["min_name"] == "ann" and rows[1]["max_v"] == 50
+    assert rows[3]["n_members"] == 1 and rows[3]["max_v"] == 30

@@ -2150,6 +2150,38 @@ def q_top_terms_per_lang(sf_dir: str):
     return top_terms_per_group(ds, group_col="lang", text_col="text", k=10)
 
 
+def q_trending_terms(sf_dir: str):
+    """Trending terms per crawl minute: top-5 terms by occurrence
+    count for each warc_ts minute window over the synthetic crawl's
+    extracted text — the time x text heavy-hitters composition (trend
+    dashboards, burst detection; the corpus stamps one fetch per
+    second, so minutes give real window counts at every sf).  Same
+    vectorized partial + bucketed sum + shuffle-bounded grouped top-k
+    machinery as `top_terms_per_lang`, keyed by time window."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.text_analysis import top_terms_per_group
+
+    pages = rd.read_parquet(
+        os.path.join(_corpus(sf_dir), "pages"), columns=["warc_ts", "text"]
+    )
+    ds = pages.map_batches(
+        lambda t: pa.table(
+            {
+                "win": pc.cast(
+                    pc.divide(
+                        t.column("warc_ts").cast(pa.int64()), 60_000_000
+                    ),
+                    pa.string(),
+                ),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return top_terms_per_group(ds, group_col="win", text_col="text", k=5)
+
+
 def q_docs_above_median_chars(sf_dir: str):
     """Per-language count of documents whose n_chars bin exceeds the
     language's median bin — the sketch → broadcast → filter selection
@@ -2593,6 +2625,7 @@ def queries():
         "event_session_ids": q_event_session_ids,
         "doc_negative_samples": q_doc_negative_samples,
         "customer_golden_records": q_customer_golden_records,
+        "trending_terms": q_trending_terms,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3389,6 +3422,19 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
         "link_k_core": _k_core_sql(pages_glob),
+        "trending_terms": (
+            "WITH tt AS (SELECT CAST(epoch_us(warc_ts) // 60000000 "
+            f"AS VARCHAR) AS win, {_TRIM_SQL} AS t "
+            f"FROM read_parquet('{pages_glob}')), "
+            "toks AS (SELECT win, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) "
+            "AS x(tok) WHERE t <> ''), "
+            "c AS (SELECT win, term, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY win, term), "
+            "r AS (SELECT *, row_number() OVER ("
+            "PARTITION BY win ORDER BY n DESC, term) AS rn FROM c) "
+            "SELECT win, term, n FROM r WHERE rn <= 5"
+        ),
         "bfs_hops": (
             # recursive-CTE transcription of stages/graph.bfs_hop_distance
             "WITH RECURSIVE h AS (SELECT CAST(regexp_extract(url, "

@@ -165,6 +165,21 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("user_value_diff", q.q_user_value_diff)
         timed("bfs_hops", q.q_bfs_hops)
         timed("doc_chunks", q.q_doc_chunks)
+        timed("user_value_decayed", q.q_user_value_decayed)
+        timed("link_k_core", q.q_link_k_core)
+        timed("event_seq_numbers", q.q_event_seq_numbers)
+        timed("lineitem_profile", q.q_lineitem_profile)
+        timed("custkey_overlap_kmv", q.q_custkey_overlap_kmv)
+        timed("user_event_history", q.q_user_event_history)
+        timed("order_price_histogram", q.q_order_price_histogram)
+        timed("user_snapshot_applied", q.q_user_snapshot_applied)
+        timed("lineitem_exact_median", q.q_lineitem_exact_median)
+        timed("event_pairs_banded", q.q_event_pairs_banded)
+        timed("user_median_value", q.q_user_median_value)
+        timed("event_session_ids", q.q_event_session_ids)
+        timed("doc_negative_samples", q.q_doc_negative_samples)
+        timed("customer_golden_records", q.q_customer_golden_records)
+        timed("trending_terms", q.q_trending_terms)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -2150,6 +2150,189 @@ def q_top_terms_per_lang(sf_dir: str):
     return top_terms_per_group(ds, group_col="lang", text_col="text", k=10)
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table plan: revenue from EUROPE customers
+    buying from suppliers in their OWN nation, orders placed in 1996.
+    Scale shape: the 5/25-row region/nation dims resolve driver-side
+    (broadcast closure); orders are date-filtered MAP-SIDE at the read;
+    three bucketed hash joins (orders⋈customer on custkey,
+    lineitem⋈supplier on suppkey, then the two sides on orderkey) all
+    partition on their join key; the local-supplier predicate
+    (c_nationkey == s_nationkey) filters the joined stream before ONE
+    tiny nation-level grouped sum.  Revenue is integer-exact:
+    ``(floor(price·1e6) · (1000 − floor(disc·1e3))) // 1000`` micro
+    units per item — int64 sums hold ~3.7e8 average-revenue items per
+    nation group before overflow (document-bound, not checked)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    region = pq.read_table(_sf_path(sf_dir, "region"))
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    rkeys = region.filter(
+        pc.equal(region.column("r_name"), "EUROPE")
+    ).column("r_regionkey").combine_chunks()
+    nat_euro = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=rkeys)
+    )
+    nkeys = nat_euro.column("n_nationkey").combine_chunks()
+    names = dict(
+        zip(
+            nat_euro.column("n_nationkey").to_pylist(),
+            nat_euro.column("n_name").to_pylist(),
+        )
+    )
+    lo = int(np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64))
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(
+                    t.column("o_orderdate").cast(pa.int64()), lo
+                ),
+                pc.less(t.column("o_orderdate").cast(pa.int64()), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey").filter(
+                    pc.is_in(
+                        t.column("c_nationkey").cast(pa.int64()),
+                        value_set=nkeys.cast(pa.int64()),
+                    )
+                ),
+                "c_nationkey": t.column("c_nationkey").cast(pa.int64()).filter(
+                    pc.is_in(
+                        t.column("c_nationkey").cast(pa.int64()),
+                        value_set=nkeys.cast(pa.int64()),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        orders, cust, on="o_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    )
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_micro": pc.divide(
+                    pc.multiply(
+                        _micro(t.column("l_extendedprice")),
+                        pc.subtract(
+                            pa.scalar(1000, pa.int64()),
+                            pc.cast(
+                                pc.floor(
+                                    pc.multiply(
+                                        t.column("l_discount"), 1000.0
+                                    )
+                                ),
+                                pa.int64(),
+                            ),
+                        ),
+                    ),
+                    pa.scalar(1000, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t.column("s_suppkey").filter(
+                    pc.is_in(
+                        t.column("s_nationkey").cast(pa.int64()),
+                        value_set=nkeys.cast(pa.int64()),
+                    )
+                ),
+                "s_nationkey": t.column("s_nationkey").cast(pa.int64()).filter(
+                    pc.is_in(
+                        t.column("s_nationkey").cast(pa.int64()),
+                        value_set=nkeys.cast(pa.int64()),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_hash_join(
+        line, supp, on="l_suppkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("rev_micro", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "s_nationkey": t.column("s_nationkey"),
+                "rev_micro": t.column("rev_micro"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    j3 = bucketed_hash_join(
+        j2, j1, on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("s_nationkey", pa.int64()),
+             ("rev_micro", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("c_nationkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_nationkey"), t.column("s_nationkey"))
+        ).select(["s_nationkey", "rev_micro"]),
+        batch_format="pyarrow",
+    )
+    agg = bucketed_group_agg(
+        j3, "s_nationkey",
+        specs=[("count", None, "n_items"), ("sum", "rev_micro", "revenue_micro")],
+        n_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": pa.array(
+                    [names[k] for k in t.column("s_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+                "n_items": t.column("n_items"),
+                "revenue_micro": t.column("revenue_micro"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_trending_terms(sf_dir: str):
     """Trending terms per crawl minute: top-5 terms by occurrence
     count for each warc_ts minute window over the synthetic crawl's
@@ -2626,6 +2809,7 @@ def queries():
         "doc_negative_samples": q_doc_negative_samples,
         "customer_golden_records": q_customer_golden_records,
         "trending_terms": q_trending_terms,
+        "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -4193,6 +4377,20 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'EUROPE') "
             "GROUP BY l_returnflag"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum((CAST(floor(l_extendedprice * 1000000) AS BIGINT) "
+            "* (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) // 1000) "
+            "AS BIGINT) AS revenue_micro "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'EUROPE' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "

@@ -2150,6 +2150,21 @@ def q_top_terms_per_lang(sf_dir: str):
     return top_terms_per_group(ds, group_col="lang", text_col="text", k=10)
 
 
+def q_user_order_join_skew(sf_dir: str):
+    """Join-skew advisor (EXPLAIN-style diagnostics as an operator):
+    the 10 hottest keys of a prospective events⋈orders join on
+    user/customer key — per-side row counts + per-key output size,
+    computed from key-bounded count tables so the fact tables never
+    shuffle — stages/joins.py:join_skew_report."""
+    from gliner_cpp_ray.stages.joins import join_skew_report
+
+    return join_skew_report(
+        _read(sf_dir, "events", columns=["user_id"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        "user_id", "o_custkey", k=10,
+    )
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H-Q5-shaped 6-table plan: revenue from EUROPE customers
     buying from suppliers in their OWN nation, orders placed in 1996.
@@ -2810,6 +2825,7 @@ def queries():
         "customer_golden_records": q_customer_golden_records,
         "trending_terms": q_trending_terms,
         "local_supplier_volume": q_local_supplier_volume,
+        "user_order_join_skew": q_user_order_join_skew,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -4377,6 +4393,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'EUROPE') "
             "GROUP BY l_returnflag"
+        ),
+        "user_order_join_skew": (
+            "WITH l AS (SELECT user_id AS key, count(*) AS n_left "
+            "FROM events GROUP BY 1), "
+            "r AS (SELECT o_custkey AS key, count(*) AS n_right "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(key AS BIGINT) AS key, "
+            "CAST(n_left AS BIGINT) AS n_left, "
+            "CAST(n_right AS BIGINT) AS n_right, "
+            "CAST(n_left * n_right AS BIGINT) AS n_out "
+            "FROM l JOIN r USING (key) "
+            "ORDER BY n_out DESC, key LIMIT 10"
         ),
         "local_supplier_volume": (
             "SELECT n_name, CAST(count(*) AS BIGINT) AS n_items, "

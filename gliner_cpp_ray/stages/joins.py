@@ -789,3 +789,51 @@ def banded_self_pairs(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def join_skew_report(left, right, left_key: str, right_key: str,
+                     k: int = 10, n_buckets: int | None = None):
+    """Join-planning diagnostics — the skew advisor run BEFORE a big
+    equi join: for the k join keys that would produce the most output
+    rows, report both sides' row counts and the per-key output size
+    (their product).  The numbers decide salting factors, broadcast
+    eligibility and bucket counts (joins.py docstrings reference
+    exactly these quantities); as an operator the report is itself a
+    scale-shaped query, not a driver scan.
+
+    -> Dataset(key, n_left, n_right, n_out), top-k by
+    (n_out desc, key asc) — keys present on only one side produce no
+    output and are excluded (inner-join semantics).
+
+    Movement: each side collapses to (key, n) via its map-side-combined
+    grouped count (key-bounded), ONE bucketed join aligns the two count
+    tables, and the top-k is the tasks x k global combiner — the fact
+    tables themselves never shuffle.
+    """
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    counts = []
+    for ds, key, out in ((left, left_key, "n_left"),
+                         (right, right_key, "n_right")):
+        keyed = ds.map_batches(
+            lambda t, kk=key: pa.table({"key": t.column(kk).cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        counts.append(
+            bucketed_group_agg(
+                keyed, "key", "count", out_col=out, n_buckets=n_buckets
+            )
+        )
+    cnt_schema = [("key", pa.int64())]
+    both = bucketed_hash_join(
+        counts[0], counts[1], on="key", n_buckets=n_buckets,
+        left_schema=pa.schema(cnt_schema + [("n_left", pa.int64())]),
+        right_schema=pa.schema(cnt_schema + [("n_right", pa.int64())]),
+    ).map_batches(
+        lambda t: t.append_column(
+            "n_out",
+            pc.multiply(t.column("n_left"), t.column("n_right")),
+        ),
+        batch_format="pyarrow",
+    )
+    return global_top_k(both, "n_out", "key", k=k)

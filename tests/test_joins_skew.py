@@ -558,3 +558,21 @@ def test_banded_self_pairs_rejects_datetime_and_blowup(ray_session):
             rd.from_arrow(hot), ["k"], "ts_us", "id", band=10,
             pair_limit_per_bucket=100,
         ).take_all()
+
+
+def test_join_skew_report_counts_and_ranking(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import join_skew_report
+
+    left = rd.from_arrow(
+        pa.table({"a": pa.array([1] * 5 + [2] * 3 + [3], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"b": pa.array([1] * 2 + [2] * 4 + [4], pa.int64())})
+    )
+    rows = join_skew_report(left, right, "a", "b", k=2).take_all()
+    # products: key 1 -> 5*2=10, key 2 -> 3*4=12; keys 3/4 one-sided
+    assert [(r["key"], r["n_left"], r["n_right"], r["n_out"]) for r in rows] \
+        == [(2, 3, 4, 12), (1, 5, 2, 10)]

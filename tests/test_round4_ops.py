@@ -371,3 +371,67 @@ def test_golden_records_blocking_and_survivorship(ray_session):
     assert rows[1]["n_members"] == 2
     assert rows[1]["min_name"] == "ann" and rows[1]["max_v"] == 50
     assert rows[3]["n_members"] == 1 and rows[3]["max_v"] == 30
+
+
+def test_per_key_window_ops_match_pandas_randomized(ray_session):
+    """seq_numbers / session_ids / grouped median / decayed sum vs
+    plain-pandas references on one random keyed event log."""
+    import pandas as pd
+
+    from gliner_cpp_ray.stages.sketches import grouped_exact_median
+    from gliner_cpp_ray.stages.windows import (
+        seq_numbers_per_key,
+        session_ids_per_key,
+        time_decayed_sum,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 25, n).astype(np.int64),
+            "ts": rng.randint(0, 5_000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.randint(0, 10_000, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    srt = df.sort_values(["k", "ts", "id"])
+    want_seq = srt.groupby("k").cumcount().to_numpy() + 1
+    got = {r["id"]: r["seq"] for r in
+           seq_numbers_per_key(ds, ["k"], "ts", "id").take_all()}
+    assert [got[i] for i in srt["id"]] == want_seq.tolist()
+
+    gap = 40
+    new = (srt.groupby("k")["ts"].diff().fillna(gap + 1) > gap).to_numpy()
+    want_sess = pd.Series(new).groupby(srt["k"].to_numpy()).cumsum()
+    got = {r["id"]: r["session_seq"] for r in
+           session_ids_per_key(ds, ["k"], "ts", "id", gap_us=gap).take_all()}
+    assert [got[i] for i in srt["id"]] == want_sess.astype(int).tolist()
+
+    want_med = df.groupby("k")["v"].apply(
+        lambda s: int(np.sort(s.to_numpy())[(len(s) - 1) // 2])
+    )
+    got = {r["k"]: r["median"] for r in
+           grouped_exact_median(ds, ["k"], "v").take_all()}
+    assert got == want_med.to_dict()
+
+    ref, hl = 5_000, 700
+    dec = df.assign(
+        d=df["v"].to_numpy() >> np.minimum((ref - df["ts"]) // hl, 62)
+    )
+    want_dec = dec.groupby("k")["d"].sum()
+    ds_ts = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(df["k"]),
+                "ts": pa.array(df["ts"], pa.timestamp("us")),
+                "v": pa.array(df["v"]),
+            }
+        )
+    )
+    got = {r["k"]: r["decayed_micro"] for r in
+           time_decayed_sum(ds_ts, "k", "ts", "v", halflife_us=hl,
+                            ref_ts_us=ref).take_all()}
+    assert got == want_dec.to_dict()

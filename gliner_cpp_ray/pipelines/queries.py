@@ -2150,6 +2150,32 @@ def q_top_terms_per_lang(sf_dir: str):
     return top_terms_per_group(ds, group_col="lang", text_col="text", k=10)
 
 
+def q_host_crawl_budget(sf_dir: str):
+    """Crawl-budget allocation: each host keeps its first
+    ``n_pages//4 + 1`` page ids — variable-k grouped selection (big
+    hosts get proportional slots, every host at least one) —
+    stages/skew.py:budget_capped_head, one host-hash exchange."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.linkgraph import _src_ids
+    from gliner_cpp_ray.stages.skew import budget_capped_head
+
+    pages = rd.read_parquet(
+        os.path.join(_corpus(sf_dir), "pages"), columns=["url"]
+    )
+    ds = pages.map_batches(
+        lambda t: pa.table(
+            {
+                "host": pa.array(_src_ids(t.column("url")) % N_HOSTS),
+                "pid": pa.array(_src_ids(t.column("url"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return budget_capped_head(ds, ["host"], ["pid"], "pid")
+
+
 def q_user_order_join_skew(sf_dir: str):
     """Join-skew advisor (EXPLAIN-style diagnostics as an operator):
     the 10 hottest keys of a prospective events⋈orders join on
@@ -2826,6 +2852,7 @@ def queries():
         "trending_terms": q_trending_terms,
         "local_supplier_volume": q_local_supplier_volume,
         "user_order_join_skew": q_user_order_join_skew,
+        "host_crawl_budget": q_host_crawl_budget,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3622,6 +3649,17 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
         "link_k_core": _k_core_sql(pages_glob),
+        "host_crawl_budget": (
+            "WITH p AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            f"AS BIGINT) AS pid FROM read_parquet('{pages_glob}')), "
+            f"h AS (SELECT pid, pid % {_N_HOSTS} AS host FROM p), "
+            "r AS (SELECT host, pid, row_number() OVER ("
+            "PARTITION BY host ORDER BY pid) AS seq, "
+            "count(*) OVER (PARTITION BY host) AS n FROM h) "
+            "SELECT host, pid, CAST(seq AS BIGINT) AS seq, "
+            "CAST(n // 4 + 1 AS BIGINT) AS budget "
+            "FROM r WHERE seq <= n // 4 + 1"
+        ),
         "trending_terms": (
             "WITH tt AS (SELECT CAST(epoch_us(warc_ts) // 60000000 "
             f"AS VARCHAR) AS win, {_TRIM_SQL} AS t "

@@ -238,3 +238,69 @@ def stratified_sample(ds, stratum_col: str, id_col: str, n_per_stratum: int,
         .groupby("__bucket")
         .map_groups(take_n, batch_format="pandas")
     )
+
+
+def budget_capped_head(ds, key_cols: list[str], order_cols: list[str],
+                       id_col: str, num: int = 1, den: int = 4,
+                       add: int = 1, n_buckets: int | None = None):
+    """Variable-k grouped selection — each key keeps its FIRST
+    ``n*num//den + add`` rows under ORDER BY ``order_cols`` (ties by
+    id), where n is the key's own row count: the crawl-budget /
+    per-source quota primitive (big hosts get proportionally more
+    slots, every host gets at least ``add``).  Unlike ``grouped_top_k``
+    the cut is data-dependent per key.
+
+    -> Dataset(*key_cols, id_col, seq, budget) for kept rows (seq is
+    the row's 1-based ordinal, budget the key's cut).
+
+    ONE composite-key-hash exchange; the per-bucket reduce computes
+    ordinals AND per-run budgets from run lengths in a single
+    vectorized pass — no per-key frames, no second join.
+    """
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if den < 1 or num < 0 or add < 0:
+        raise ValueError("need den >= 1, num >= 0, add >= 0")
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    **{k: np.zeros(0, np.int64) for k in key_cols},
+                    id_col: np.zeros(0, np.int64),
+                    "seq": np.zeros(0, np.int64),
+                    "budget": np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values([*key_cols, *order_cols, id_col], kind="stable")
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, pos, 0))
+        starts = np.flatnonzero(~same)
+        run_len = np.diff(np.append(starts, len(g)))
+        length = np.repeat(run_len, run_len)
+        budget = length * num // den + add
+        seq = pos - run_start + 1
+        keep = seq <= budget
+        out = g.iloc[keep][[*key_cols, id_col]].reset_index(drop=True)
+        out["seq"] = seq[keep]
+        out["budget"] = budget[keep]
+        return out
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

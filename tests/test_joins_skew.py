@@ -576,3 +576,21 @@ def test_join_skew_report_counts_and_ranking(ray_session):
     # products: key 1 -> 5*2=10, key 2 -> 3*4=12; keys 3/4 one-sided
     assert [(r["key"], r["n_left"], r["n_right"], r["n_out"]) for r in rows] \
         == [(2, 3, 4, 12), (1, 5, 2, 10)]
+
+
+def test_budget_capped_head_variable_k(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.skew import budget_capped_head
+
+    # key 1: 9 rows -> budget 9//4+1 = 3; key 2: 2 rows -> budget 1
+    k = np.array([1] * 9 + [2] * 2, np.int64)
+    ids = np.arange(11, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "o": ids[::-1].copy(), "id": ids}))
+    rows = budget_capped_head(ds, ["k"], ["o"], "id", num=1, den=4, add=1)
+    got = sorted((r["k"], r["id"], r["seq"], r["budget"])
+                 for r in rows.take_all())
+    # key 1 ordered by o asc -> ids 8,7,6 first; key 2 -> id 10 (o=0)
+    assert got == [(1, 6, 3, 3), (1, 7, 2, 3), (1, 8, 1, 3), (2, 10, 1, 1)]

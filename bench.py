@@ -180,6 +180,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("doc_negative_samples", q.q_doc_negative_samples)
         timed("customer_golden_records", q.q_customer_golden_records)
         timed("trending_terms", q.q_trending_terms)
+        timed("local_supplier_volume", q.q_local_supplier_volume)
+        timed("user_order_join_skew", q.q_user_order_join_skew)
+        timed("host_crawl_budget", q.q_host_crawl_budget)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -103,10 +103,17 @@ def apply_cdc_delta(base, delta, key: str, val_cols: list[str],
         tag(lambda t: pa.array(np.full(t.num_rows, "", object), pa.string())),
         batch_format="pyarrow",
     )
-    delta_t = latest.map_batches(
-        tag(lambda t: t.column(op_col).cast(pa.string())),
-        batch_format="pyarrow",
-    )
+    def delta_ops(t: pa.Table) -> pa.Array:
+        ops = t.column(op_col).cast(pa.string())
+        # "" is the internal base-side tag; a delta op of "" would be
+        # silently treated as a base row — fail loudly instead
+        import pyarrow.compute as pc
+
+        if pc.any(pc.equal(ops, "")).as_py() or ops.null_count:
+            raise ValueError(f"{op_col} must be non-empty, non-null strings")
+        return ops
+
+    delta_t = latest.map_batches(tag(delta_ops), batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")

@@ -72,3 +72,11 @@ def test_cdc_duplicate_base_keys_raise(ray_session):
             dup, _delta([(1, 9, "upsert", 1)]), "k", ["v"],
             op_col="op", order_cols=["ts"],
         ).take_all()
+
+
+def test_cdc_rejects_empty_op_strings(ray_session):
+    with pytest.raises(Exception, match="non-empty"):
+        apply_cdc_delta(
+            _base(), _delta([(1, 9, "", 1)]), "k", ["v"],
+            op_col="op", order_cols=["ts"],
+        ).take_all()

@@ -2237,25 +2237,23 @@ def q_local_supplier_volume(sf_dir: str):
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
+    def _euro_keyed(key_col: str, nat_col: str, out_key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            nat = t.column(nat_col).cast(pa.int64())
+            mask = pc.is_in(nat, value_set=nkeys.cast(pa.int64()))
+            return pa.table(
+                {
+                    out_key: t.column(key_col).filter(mask),
+                    nat_col: nat.filter(mask),
+                }
+            )
+
+        return fn
+
     cust = _read(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
-        lambda t: pa.table(
-            {
-                "o_custkey": t.column("c_custkey").filter(
-                    pc.is_in(
-                        t.column("c_nationkey").cast(pa.int64()),
-                        value_set=nkeys.cast(pa.int64()),
-                    )
-                ),
-                "c_nationkey": t.column("c_nationkey").cast(pa.int64()).filter(
-                    pc.is_in(
-                        t.column("c_nationkey").cast(pa.int64()),
-                        value_set=nkeys.cast(pa.int64()),
-                    )
-                ),
-            }
-        ),
+        _euro_keyed("c_custkey", "c_nationkey", "o_custkey"),
         batch_format="pyarrow",
     )
     j1 = bucketed_hash_join(
@@ -2300,22 +2298,7 @@ def q_local_supplier_volume(sf_dir: str):
     supp = _read(
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(
-        lambda t: pa.table(
-            {
-                "l_suppkey": t.column("s_suppkey").filter(
-                    pc.is_in(
-                        t.column("s_nationkey").cast(pa.int64()),
-                        value_set=nkeys.cast(pa.int64()),
-                    )
-                ),
-                "s_nationkey": t.column("s_nationkey").cast(pa.int64()).filter(
-                    pc.is_in(
-                        t.column("s_nationkey").cast(pa.int64()),
-                        value_set=nkeys.cast(pa.int64()),
-                    )
-                ),
-            }
-        ),
+        _euro_keyed("s_suppkey", "s_nationkey", "l_suppkey"),
         batch_format="pyarrow",
     )
     j2 = bucketed_hash_join(

@@ -979,6 +979,26 @@ def q_doc_negative_samples(sf_dir: str):
     return negative_samples(ds, "doc_id", k=4)
 
 
+def q_user_value_mad(sf_dir: str):
+    """Robust per-user spread: exact lower-median + median absolute
+    deviation of event micro-values (outlier-resistant dispersion — a
+    corrupt page can't move it the way variance moves) —
+    stages/sketches.py:grouped_mad (two grouped medians + key-bounded
+    joins, all int64)."""
+    from gliner_cpp_ray.stages.sketches import grouped_mad
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: center pass + deviation join
+    return grouped_mad(ds, ["user_id"], "value_micro")
+
+
 _SESSION_GAP_US = 1800 * 1_000_000  # 30 min, matches event_sessions
 
 
@@ -2836,6 +2856,7 @@ def queries():
         "local_supplier_volume": q_local_supplier_volume,
         "user_order_join_skew": q_user_order_join_skew,
         "host_crawl_budget": q_host_crawl_budget,
+        "user_value_mad": q_user_value_mad,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3821,6 +3842,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "user_value_mad": (
+            "WITH v AS (SELECT user_id, CAST(floor(value * 1000000) "
+            "AS BIGINT) AS x FROM events), "
+            "r1 AS (SELECT user_id, x, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY x) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM v), "
+            "m1 AS (SELECT user_id, x AS median FROM r1 "
+            "WHERE rn = (cnt - 1) // 2 + 1), "
+            "d AS (SELECT v.user_id, abs(v.x - m1.median) AS dev "
+            "FROM v JOIN m1 USING (user_id)), "
+            "r2 AS (SELECT user_id, dev, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY dev) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM d), "
+            "m2 AS (SELECT user_id, dev AS mad FROM r2 "
+            "WHERE rn = (cnt - 1) // 2 + 1) "
+            "SELECT user_id, CAST(m1.median AS BIGINT) AS median, "
+            "CAST(m2.mad AS BIGINT) AS mad "
+            "FROM m1 JOIN m2 USING (user_id)"
         ),
         "user_median_value": (
             "WITH v AS (SELECT user_id, CAST(floor(value * 1000000) "

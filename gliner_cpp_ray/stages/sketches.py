@@ -691,3 +691,56 @@ def grouped_exact_median(ds, key_cols: list[str], val_col: str,
             batch_format="pandas",
         )
     )
+
+
+def grouped_mad(ds, key_cols: list[str], val_col: str,
+                n_buckets: int | None = None):
+    """EXACT per-group median absolute deviation (robust spread):
+    ``mad = lower-median of |x - lower-median(x)|`` per key — the
+    outlier-resistant dispersion statistic quality pipelines prefer to
+    variance (one corrupt crawl page cannot move it).
+
+    -> Dataset(*key_cols, median, mad).
+
+    Shape: ``grouped_exact_median`` (one key-hash exchange) gives the
+    per-key center; ONE bucketed join ships the key-bounded median
+    table back onto the values; a second grouped median over the
+    absolute deviations and a final key-bounded join of the two stat
+    tables finish it.  All exchanges are value- or key-bounded; all
+    arithmetic int64.
+    """
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    if len(key_cols) != 1:
+        raise NotImplementedError("grouped_mad: single key column only")
+    key = key_cols[0]
+    med = grouped_exact_median(ds, key_cols, val_col, out_col="median",
+                               n_buckets=n_buckets)
+    med_schema = pa.schema([(key, pa.int64()), ("median", pa.int64())])
+    joined = bucketed_hash_join(
+        ds, med, on=key, n_buckets=n_buckets,
+        left_schema=pa.schema([(key, pa.int64()), (val_col, pa.int64())]),
+        right_schema=med_schema,
+    )
+
+    def dev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                key: t.column(key),
+                "dev": pc.abs(
+                    pc.subtract(t.column(val_col), t.column("median"))
+                ),
+            }
+        )
+
+    mad = grouped_exact_median(
+        joined.map_batches(dev, batch_format="pyarrow"),
+        key_cols, "dev", out_col="mad", n_buckets=n_buckets,
+    )
+    return bucketed_hash_join(
+        med, mad, on=key, n_buckets=n_buckets,
+        left_schema=med_schema,
+        right_schema=pa.schema([(key, pa.int64()), ("mad", pa.int64())]),
+    )

@@ -257,3 +257,28 @@ def test_exact_order_statistic_rejects_bad_rank(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError):
         exact_order_statistic(ds, "x", rank=2)
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import grouped_mad
+
+    rng = np.random.RandomState(5)
+    k = rng.randint(0, 8, 300).astype(np.int64)
+    v = rng.randint(-1000, 1000, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v}))
+    got = {
+        r["k"]: (r["median"], r["mad"])
+        for r in grouped_mad(ds, ["k"], "v").take_all()
+    }
+
+    def lomed(a):
+        return int(np.sort(a)[(len(a) - 1) // 2])
+
+    for key in np.unique(k):
+        vals = v[k == key]
+        m = lomed(vals)
+        assert got[int(key)] == (m, lomed(np.abs(vals - m))), key

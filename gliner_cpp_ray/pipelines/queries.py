@@ -295,6 +295,40 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iters=3)
 
 
+def q_degree_distribution(sf_dir: str):
+    """Out-degree distribution of the crawl link graph (n_nodes per
+    distinct-out-degree — the power-law / crawl-health curve): one
+    grouped count over the cached distinct edge table, a key-bounded
+    LEFT join to give link-less pages degree 0, and a degree-keyed
+    count.  All exchanges node-bounded."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    edges, nodes = _link_graph(sf_dir)
+    deg = bucketed_group_agg(
+        edges.map_batches(
+            lambda t: t.select(["src_id"]), batch_format="pyarrow"
+        ),
+        "src_id", "count", out_col="deg",
+    )
+    labeled = bucketed_hash_join(
+        nodes, deg.map_batches(
+            lambda t: t.rename_columns(["node_id", "deg"]),
+            batch_format="pyarrow",
+        ),
+        on="node_id", how="left",
+        left_schema=pa.schema([("node_id", pa.int64())]),
+        right_schema=pa.schema([("node_id", pa.int64()), ("deg", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"deg": pc.coalesce(t.column("deg").cast(pa.int64()),
+                                pa.scalar(0, pa.int64()))}
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(labeled, "deg", "count", out_col="n_nodes",
+                              n_buckets=8)
+
+
 def q_link_k_core(sf_dir: str):
     """Bounded k-core peel of the crawl link graph (k=6, 2 rounds):
     per round, edges are semi-filtered to surviving endpoints (two
@@ -2196,6 +2230,42 @@ def q_host_crawl_budget(sf_dir: str):
     return budget_capped_head(ds, ["host"], ["pid"], "pid")
 
 
+def q_priority_revenue_share(sf_dir: str):
+    """Ratio-to-total contribution: each order priority's share of
+    total order value in exact micro fractions
+    (``share_micro = priority_sum * 1e6 // grand_total``) — the
+    contribution-analysis window (`sum() OVER ()`) as two combinable
+    aggregates + one tiny broadcast scalar, no second pass over rows."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_micro": _micro(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: group sums + grand total
+    total = int(ds.sum("price_micro"))
+    agg = bucketed_group_agg(
+        ds, "o_orderpriority",
+        specs=[("count", None, "n_orders"), ("sum", "price_micro", "sum_micro")],
+        n_buckets=8,
+    )
+    # finish driver-side: the agg is GROUP-bounded (5 priorities) and
+    # sum_micro * 1e6 exceeds int64 — Python bigints keep the share
+    # exact (the SQL side rides DuckDB's HUGEINT for the same step)
+    out = agg.to_pandas()
+    out["share_ppm"] = [
+        int(s) * 1_000_000 // total for s in out["sum_micro"]
+    ]
+    out["share_ppm"] = out["share_ppm"].astype("int64")
+    return out
+
+
 def q_user_order_join_skew(sf_dir: str):
     """Join-skew advisor (EXPLAIN-style diagnostics as an operator):
     the 10 hottest keys of a prospective events⋈orders join on
@@ -2857,6 +2927,8 @@ def queries():
         "user_order_join_skew": q_user_order_join_skew,
         "host_crawl_budget": q_host_crawl_budget,
         "user_value_mad": q_user_value_mad,
+        "priority_revenue_share": q_priority_revenue_share,
+        "degree_distribution": q_degree_distribution,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3653,6 +3725,22 @@ def oracle_sql_for_corpus(corpus_dir: str):
         "hits": _hits_sql(pages_glob),
         "link_triangles": _triangles_sql(pages_glob),
         "link_k_core": _k_core_sql(pages_glob),
+        "degree_distribution": (
+            "WITH l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS src, CAST(u AS BIGINT) AS dst "
+            "FROM (SELECT url, decode(html) AS s "
+            f"FROM read_parquet('{pages_glob}')) h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) "
+            "AS t(u)), "
+            "e AS (SELECT DISTINCT src, dst FROM l), "
+            "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+            "n AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            f"AS BIGINT) AS node FROM read_parquet('{pages_glob}')), "
+            "nd AS (SELECT coalesce(d.deg, 0) AS deg FROM n "
+            "LEFT JOIN d ON d.src = n.node) "
+            "SELECT CAST(deg AS BIGINT) AS deg, "
+            "CAST(count(*) AS BIGINT) AS n_nodes FROM nd GROUP BY deg"
+        ),
         "host_crawl_budget": (
             "WITH p AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
             f"AS BIGINT) AS pid FROM read_parquet('{pages_glob}')), "
@@ -4454,6 +4542,16 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'EUROPE') "
             "GROUP BY l_returnflag"
+        ),
+        "priority_revenue_share": (
+            "WITH v AS (SELECT o_orderpriority, "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS p "
+            "FROM orders) "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(p) AS BIGINT) AS sum_micro, "
+            "CAST(sum(p) * 1000000 // (SELECT sum(p) FROM v) AS BIGINT) "
+            "AS share_ppm "
+            "FROM v GROUP BY o_orderpriority"
         ),
         "user_order_join_skew": (
             "WITH l AS (SELECT user_id AS key, count(*) AS n_left "

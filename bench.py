@@ -183,6 +183,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("local_supplier_volume", q.q_local_supplier_volume)
         timed("user_order_join_skew", q.q_user_order_join_skew)
         timed("host_crawl_budget", q.q_host_crawl_budget)
+        timed("user_value_mad", q.q_user_value_mad)
+        timed("priority_revenue_share", q.q_priority_revenue_share)
+        timed("degree_distribution", q.q_degree_distribution)
+        timed("source_dup_rates", q.q_source_dup_rates)
 
     result = {
         "metric": "kg_pipeline_e2e",

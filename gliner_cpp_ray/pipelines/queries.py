@@ -1013,6 +1013,50 @@ def q_doc_negative_samples(sf_dir: str):
     return negative_samples(ds, "doc_id", k=4)
 
 
+def q_source_dup_rates(sf_dir: str):
+    """Dedup-health dashboard: per document source, total docs and docs
+    whose exact text hash occurs >= 2 times CORPUS-WIDE (cross-source
+    duplicates count on every side).  One hash-keyed grouped count
+    (corpus-bounded), a hash-bounded join back, and a tiny per-source
+    sum — the ingest-quality report run before choosing dedup policy."""
+    from gliner_cpp_ray.stages.dedup import add_content_hash
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+        lambda t: add_content_hash(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: hash counts + labeled rows
+    counts = bucketed_group_agg(
+        ds.map_batches(lambda t: t.select(["content_hash"]),
+                       batch_format="pyarrow"),
+        "content_hash", "count", out_col="n_copies",
+    )
+    labeled = bucketed_hash_join(
+        ds, counts, on="content_hash",
+        left_schema=pa.schema(
+            [("source", pa.string()), ("content_hash", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("content_hash", pa.string()), ("n_copies", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "source": t.column("source"),
+                "is_dup": pc.cast(
+                    pc.greater_equal(t.column("n_copies"), 2), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        labeled, "source",
+        specs=[("count", None, "n_docs"), ("sum", "is_dup", "n_dup_docs")],
+        n_buckets=8,
+    )
+
+
 def q_user_value_mad(sf_dir: str):
     """Robust per-user spread: exact lower-median + median absolute
     deviation of event micro-values (outlier-resistant dispersion — a
@@ -2929,6 +2973,7 @@ def queries():
         "user_value_mad": q_user_value_mad,
         "priority_revenue_share": q_priority_revenue_share,
         "degree_distribution": q_degree_distribution,
+        "source_dup_rates": q_source_dup_rates,
         "bfs_hops": q_bfs_hops,
         "doc_chunks": q_doc_chunks,
         "event_funnel": q_event_funnel,
@@ -3930,6 +3975,14 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "source_dup_rates": (
+            "WITH h AS (SELECT source, md5(text) AS ch FROM documents), "
+            "c AS (SELECT ch, count(*) AS n FROM h GROUP BY ch) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_docs "
+            "FROM h JOIN c USING (ch) GROUP BY source"
         ),
         "user_value_mad": (
             "WITH v AS (SELECT user_id, CAST(floor(value * 1000000) "

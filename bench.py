@@ -106,6 +106,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         # vocabulary-bounded broadcast join — timing it would double-count
         # kg_pipeline in the bench budget
         timed("host_link_components", q.q_host_link_components)
+        timed("personalized_pagerank", q.q_personalized_pagerank)
+        timed("cocitation_topk", q.q_cocitation_topk)
+        timed("host_reciprocity", q.q_host_reciprocity)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

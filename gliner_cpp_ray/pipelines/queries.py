@@ -295,6 +295,39 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iters=3)
 
 
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from a
+    deterministic seed set (node_id % 17 == 0) — the TrustRank-style
+    seeded-authority / crawl-seeding prior.  Same integer arithmetic
+    and data movement as global PageRank; the seed test is a map-side
+    id predicate, so no extra join."""
+    from gliner_cpp_ray.stages.linkgraph import pagerank
+
+    edges, nodes = _link_graph(sf_dir)
+    return pagerank(edges, nodes, n_iters=3, seed_mod=17)
+
+
+def q_cocitation_topk(sf_dir: str):
+    """Per-page top-3 co-cited partners (pages sharing in-link sources)
+    — related-page mining with the standard hub cut (sources with
+    out-degree > 64 excluded, replicated by the oracle)."""
+    from gliner_cpp_ray.stages.linkgraph import cocitation_topk
+
+    edges, _ = _link_graph(sf_dir)
+    return cocitation_topk(edges, k=3, deg_cap=64)
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Per-host reciprocal-link ratio over the host link graph — the
+    mutual-endorsement (link-farm / mirror-ring) signal.  Exact integer
+    ratio in micro-units."""
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.linkgraph import host_link_edges, host_reciprocity
+
+    edges, _ = _link_graph(sf_dir)
+    return host_reciprocity(host_link_edges(edges, N_HOSTS))
+
+
 def q_degree_distribution(sf_dir: str):
     """Out-degree distribution of the crawl link graph (n_nodes per
     distinct-out-degree — the power-law / crawl-health curve): one
@@ -2952,6 +2985,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "personalized_pagerank": q_personalized_pagerank,
+        "cocitation_topk": q_cocitation_topk,
+        "host_reciprocity": q_host_reciprocity,
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
@@ -3505,11 +3541,21 @@ def _dup_components_sql() -> str:
     )
 
 
-def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
+def _pagerank_sql(pages_glob: str, n_iters: int = 3,
+                  seed_mod: int | None = None) -> str:
     """Literal transcription of stages/linkgraph.pagerank: exact-integer
     rank updates (micro-units, damping 17/20, floor division), unrolled
     ``n_iters`` times.  Bit-identical to the distributed result because
-    both sides use only int64 floor arithmetic."""
+    both sides use only int64 floor arithmetic.  ``seed_mod`` set =
+    personalized variant: seed mass/teleport only where
+    ``id % seed_mod = 0`` (matching ``pagerank(seed_mod=...)``)."""
+    if seed_mod is None:
+        r0 = "CAST(1000000 AS BIGINT)"
+        tele = "150000"
+    else:
+        r0 = (f"CAST(CASE WHEN id % {seed_mod} = 0 THEN 1000000 "
+              "ELSE 0 END AS BIGINT)")
+        tele = f"(CASE WHEN h.id % {seed_mod} = 0 THEN 150000 ELSE 0 END)"
     parts = [
         "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
         f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), ",
@@ -3517,7 +3563,7 @@ def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
         "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), ",
         "edges AS (SELECT DISTINCT src, dst FROM links), ",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), ",
-        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM h), ",
+        f"r0 AS (SELECT id, {r0} AS r FROM h), ",
     ]
     for k in range(1, n_iters + 1):
         parts.append(
@@ -3527,11 +3573,60 @@ def _pagerank_sql(pages_glob: str, n_iters: int = 3) -> str:
             "JOIN deg d ON d.src = e.src GROUP BY e.dst), "
         )
         parts.append(
-            f"r{k} AS (SELECT h.id, CAST(150000 + coalesce(c.c, 0) AS BIGINT)"
+            f"r{k} AS (SELECT h.id, CAST({tele} + coalesce(c.c, 0) AS BIGINT)"
             f" AS r FROM h LEFT JOIN c{k} c ON c.id = h.id), "
         )
     sql = "".join(parts).rstrip(", ")
     return sql + f" SELECT id AS node_id, r AS rank_micro FROM r{n_iters}"
+
+
+def _cocitation_sql(pages_glob: str, k: int = 3, deg_cap: int = 64) -> str:
+    """Literal transcription of stages/linkgraph.cocitation_topk:
+    distinct directed edges, hub cut at out-degree ``deg_cap``, pair
+    counts over sources linking to both, symmetric emit, per-page
+    top-k by (n_common desc, partner_id asc)."""
+    return (
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), "
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+        "edges AS (SELECT DISTINCT src, dst FROM links), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "el AS (SELECT e.src, e.dst FROM edges e "
+        f"JOIN deg d ON d.src = e.src AND d.deg <= {deg_cap}), "
+        "pairs AS (SELECT x.dst AS a, y.dst AS b, count(*) AS n "
+        "FROM el x JOIN el y ON x.src = y.src AND x.dst < y.dst "
+        "GROUP BY x.dst, y.dst), "
+        "sym AS (SELECT a AS node_id, b AS partner_id, n FROM pairs "
+        "UNION ALL SELECT b, a, n FROM pairs), "
+        "rk AS (SELECT node_id, partner_id, CAST(n AS BIGINT) AS n_common, "
+        "row_number() OVER (PARTITION BY node_id "
+        "ORDER BY n DESC, partner_id) AS rn FROM sym) "
+        f"SELECT node_id, partner_id, n_common FROM rk WHERE rn <= {k}"
+    )
+
+
+def _host_reciprocity_sql(pages_glob: str, n_hosts: int) -> str:
+    """Literal transcription of stages/linkgraph.host_reciprocity over
+    the host rollup (host = id % n_hosts, the corpus url scheme):
+    distinct non-self host pairs, left join against the flip, exact
+    integer micro-ratio."""
+    return (
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), "
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+        f"eh AS (SELECT DISTINCT src % {n_hosts} AS sh, "
+        f"dst % {n_hosts} AS dh FROM links "
+        f"WHERE src % {n_hosts} <> dst % {n_hosts}), "
+        "r AS (SELECT a.sh AS host_id, count(*) AS n_out, "
+        "CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_rec FROM eh a LEFT JOIN eh b ON b.sh = a.dh AND b.dh = a.sh "
+        "GROUP BY a.sh) "
+        "SELECT host_id, CAST(n_out AS BIGINT) AS n_out_hosts, "
+        "n_rec AS n_reciprocal, "
+        "CAST(1000000 * n_rec // n_out AS BIGINT) AS recip_micro FROM r"
+    )
 
 
 def _hits_sql(pages_glob: str, n_iters: int = 2, scale_shift: int = 0) -> str:
@@ -3728,6 +3823,9 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT src_id, dst_id, count(*) AS n FROM l GROUP BY src_id, dst_id"
         ),
         "pagerank": _pagerank_sql(pages_glob),
+        "personalized_pagerank": _pagerank_sql(pages_glob, seed_mod=17),
+        "cocitation_topk": _cocitation_sql(pages_glob),
+        "host_reciprocity": _host_reciprocity_sql(pages_glob, _N_HOSTS),
         "host_link_components": (
             # intra-host edge filter is id arithmetic (host = id % N_HOSTS,
             # sources/pages.url_of); components via recursive reachability

@@ -201,7 +201,8 @@ _TELEPORT = 150_000
 _R0 = 1_000_000
 
 
-def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None):
+def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None,
+             seed_mod: int | None = None):
     """Integer-exact fixed-iteration PageRank.
 
     ``edges_ds``: (src_id, dst_id[, n]) — REQUIRED to be distinct
@@ -222,7 +223,17 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
     edges ⋈ (node_id, c) + the contribution group-sum — the edge table
     crosses the wire once per iteration and never carries a deg column;
     the state's deg rides the group-sum as a max() alongside the zero
-    rows that keep un-linked nodes alive (one exchange, not two)."""
+    rows that keep un-linked nodes alive (one exchange, not two).
+
+    ``seed_mod``: PERSONALIZED PageRank (random walk with restart /
+    TrustRank-style seeded authority — the crawl-seeding quality prior).
+    When set, only seed nodes (``node_id % seed_mod == 0`` — a
+    deterministic, engine-replicable predicate standing in for a real
+    seed list) receive initial mass and teleport:
+    r_0(v) = 1_000_000·[seed(v)];
+    r_{k+1}(v) = 150_000·[seed(v)] + Σ contributions.  The seed test is
+    a map-side predicate on the node id, so the data movement is
+    IDENTICAL to global PageRank — no extra join or broadcast."""
     from gliner_cpp_ray.stages.sizing import default_buckets
 
     edges_schema = pa.schema([("node_id", pa.int64()), ("dst_id", pa.int64())])
@@ -250,11 +261,20 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
 
     seed_schema = pa.schema([("node_id", pa.int64()), ("r", pa.int64())])
 
+    def _seed_mask(ids: np.ndarray) -> np.ndarray:
+        # all-ones for global PageRank; the personalized predicate
+        # otherwise.  int64 0/1 so it multiplies straight into the
+        # integer rank arithmetic.
+        if seed_mod is None:
+            return np.ones(len(ids), np.int64)
+        return (ids % seed_mod == 0).astype(np.int64)
+
     def seed(t: pa.Table) -> pa.Table:
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "node_id": t.column("node_id"),
-                "r": pa.array(np.full(t.num_rows, _R0, np.int64)),
+                "r": pa.array(_R0 * _seed_mask(ids)),
             },
             schema=seed_schema,
         )
@@ -343,10 +363,11 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 3, n_buckets: int | None = None)
 
         def next_state(t: pa.Table) -> pa.Table:
             c = t.column("c").to_numpy(zero_copy_only=False)
+            ids = t.column("node_id").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
                     "node_id": t.column("node_id"),
-                    "r": pa.array(_TELEPORT + c),
+                    "r": pa.array(_TELEPORT * _seed_mask(ids) + c),
                     "deg": t.column("deg"),
                 },
                 schema=state_schema,
@@ -808,3 +829,195 @@ def k_core_nodes(edges_ds, k: int = 3, n_rounds: int = 2,
         )
         surv = survivors_of(deg)
     return surv
+
+
+def cocitation_topk(edges_ds, k: int = 3, deg_cap: int = 64,
+                    n_buckets: int | None = None):
+    """Per-page top-k co-cited partners — the classic related-page
+    signal: pages (a, b) are co-cited once for every source page that
+    links to BOTH, and each page reports its ``k`` strongest partners.
+
+    ``edges_ds``: (src_id, dst_id[, n]) DISTINCT directed page links
+    (``page_link_edges`` output qualifies).
+
+    Returns Dataset (node_id, partner_id, n_common): for every page
+    with >= 1 co-citation partner, its top-k partners by
+    (n_common desc, partner_id asc) — deterministic, SQL-replicable.
+
+    Scale shape: a source with out-degree d yields d·(d-1)/2 pairs, so
+    directory/hub pages explode quadratically; sources with out-degree
+    > ``deg_cap`` are EXCLUDED (deterministic, replicated by the
+    oracle) — the standard co-citation hub cut (a page linking to 10^4
+    others asserts ~nothing pairwise).  Under the cap, wedge expansion
+    is a per-bucket vectorized self-merge bounded by cap × |edges|
+    rows; pair counts shuffle once (packed-u64 key), the top-k pass is
+    ``grouped_top_k``'s combiner-bounded shuffle.  Ids must fit 31
+    bits for the packed pair key (same contract + check as
+    ``triangle_counts``)."""
+    import pandas as pd
+
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def as_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t.column("src_id"), "dst": t.column("dst_id")},
+            schema=e_schema,
+        )
+
+    edges = edges_ds.map_batches(as_pairs, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        n_buckets = max(8, min(default_buckets(None), edges.count() // 250_000))
+
+    deg = bucketed_group_agg(edges, "src", "count", out_col="deg",
+                             n_buckets=n_buckets)
+    kept_src = deg.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("deg"), deg_cap))
+        .select(["src"]),
+        batch_format="pyarrow",
+    )
+    el = bucketed_hash_join(
+        edges, kept_src, on="src", n_buckets=n_buckets,
+        left_schema=e_schema,
+        right_schema=pa.schema([("src", pa.int64())]),
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g[["src", "dst"]]
+        if g["dst"].max() >= (1 << 31):
+            raise ValueError("dst ids must fit 31 bits for the packed pair key")
+        m = g.merge(g, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        key = m["dst_a"].to_numpy(np.int64) * np.int64(1 << 32) + m[
+            "dst_b"
+        ].to_numpy(np.int64)
+        # per-bucket combiner: collapse repeats before the pair shuffle
+        u, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({"k": u, "n": c.astype(np.int64)})
+
+    pair_counts = bucketed_group_agg(
+        el.map_batches(lambda t: add_bucket(t, "src", n_buckets),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas"),
+        "k", "sum", val_col="n", out_col="n_common", n_buckets=n_buckets,
+    )
+
+    sym_schema = pa.schema(
+        [("node_id", pa.int64()), ("partner_id", pa.int64()),
+         ("n_common", pa.int64())]
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        key = t.column("k").to_numpy(zero_copy_only=False)
+        n = t.column("n_common").to_numpy(zero_copy_only=False)
+        a = key >> np.int64(32)
+        b = key & np.int64((1 << 32) - 1)
+        return pa.table(
+            {
+                "node_id": np.concatenate([a, b]),
+                "partner_id": np.concatenate([b, a]),
+                "n_common": np.concatenate([n, n]),
+            },
+            schema=sym_schema,
+        )
+
+    sym = pair_counts.map_batches(symmetrize, batch_format="pyarrow")
+    return grouped_top_k(sym, "node_id", "n_common", "partner_id", k=k,
+                         n_buckets=n_buckets)
+
+
+def host_reciprocity(host_edges_ds, n_buckets: int | None = None):
+    """Per-host reciprocal-link ratio over the host-level link graph —
+    the mutual-endorsement vs drive-by-citation signal (link farms and
+    mirror rings show near-1.0 reciprocity; organic hosts sit low).
+
+    ``host_edges_ds``: (src_host, dst_host[, n]) distinct host pairs
+    (``host_link_edges`` output qualifies).  Self-loops are ignored.
+
+    Returns Dataset (host_id, n_out_hosts, n_reciprocal, recip_micro)
+    with recip_micro = 1_000_000 * n_reciprocal // n_out_hosts — exact
+    integer arithmetic, SQL-replicable.
+
+    Movement: one packed-key bucketed semi join of the edge table
+    against its own flip (host ids must fit 31 bits — checked) + one
+    host-keyed group-sum; everything is edge-table-bounded, no
+    densification."""
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    pair_schema = pa.schema([("src", pa.int64()), ("k", pa.int64())])
+
+    def fwd(t: pa.Table) -> pa.Table:
+        s = t.column("src_host").to_numpy(zero_copy_only=False)
+        d = t.column("dst_host").to_numpy(zero_copy_only=False)
+        if len(s) and max(s.max(), d.max()) >= (1 << 31):
+            raise ValueError("host ids must fit 31 bits for the packed key")
+        keep = s != d
+        return pa.table(
+            {"src": s[keep], "k": s[keep] * np.int64(1 << 32) + d[keep]},
+            schema=pair_schema,
+        )
+
+    def rev(t: pa.Table) -> pa.Table:
+        s = t.column("src_host").to_numpy(zero_copy_only=False)
+        d = t.column("dst_host").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "k": d[keep] * np.int64(1 << 32) + s[keep],
+                "flag": np.ones(int(keep.sum()), np.int64),
+            },
+            schema=pa.schema([("k", pa.int64()), ("flag", pa.int64())]),
+        )
+
+    host_edges = host_edges_ds.materialize()
+    if n_buckets is None:
+        n_buckets = max(8, min(default_buckets(None),
+                               host_edges.count() // 250_000))
+    marked = bucketed_hash_join(
+        host_edges.map_batches(fwd, batch_format="pyarrow"),
+        host_edges.map_batches(rev, batch_format="pyarrow"),
+        on="k", how="left", n_buckets=n_buckets,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("k", pa.int64()), ("flag", pa.int64())]),
+    )
+
+    def to_counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host_id": t.column("src"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "flag": pc.fill_null(t.column("flag"), 0).cast(pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        marked.map_batches(to_counts, batch_format="pyarrow"),
+        "host_id",
+        specs=[("sum", "one", "n_out_hosts"), ("sum", "flag", "n_reciprocal")],
+        n_buckets=n_buckets,
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        out = t.column("n_out_hosts").to_numpy(zero_copy_only=False)
+        rec = t.column("n_reciprocal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host_id": t.column("host_id"),
+                "n_out_hosts": t.column("n_out_hosts"),
+                "n_reciprocal": t.column("n_reciprocal"),
+                "recip_micro": pa.array(1_000_000 * rec // out),
+            }
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow")

@@ -369,3 +369,132 @@ def test_k_core_rejects_bad_params(ray_session):
         k_core_nodes(edges, k=0)
     with pytest.raises(ValueError):
         k_core_nodes(edges, k=2, n_rounds=0)
+
+
+def _ppr_numpy(edges, n_nodes, seed_mod, n_iters=3):
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: (1_000_000 if v % seed_mod == 0 else 0) for v in range(n_nodes)}
+    for _ in range(n_iters):
+        nxt = {v: (150_000 if v % seed_mod == 0 else 0) for v in range(n_nodes)}
+        for s, d in edges:
+            nxt[d] += (r[s] * 17) // (20 * deg[s])
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_personalized_pagerank_matches_integer_reference(ray_session, seed):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    edges = sorted(
+        {(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(120)}
+    )
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in edges], pa.int64()),
+                "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    nodes_ds = rd.from_arrow(
+        pa.table({"node_id": pa.array(list(range(n)), pa.int64())})
+    )
+    got = (
+        pagerank(edges_ds, nodes_ds, n_iters=3, seed_mod=7)
+        .to_pandas()
+        .set_index("node_id")["rank_micro"]
+        .to_dict()
+    )
+    assert got == _ppr_numpy(edges, n, seed_mod=7)
+    # non-seed nodes with no in-links get exactly 0 mass
+    isolated_nonseed = [
+        v for v in range(n)
+        if v % 7 and not any(d == v for _, d in edges)
+    ]
+    for v in isolated_nonseed:
+        assert got[v] == 0
+
+
+def test_cocitation_topk_small_graph(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import cocitation_topk
+
+    # srcs 100,101,102; 100->(1,2,3), 101->(1,2), 102->(2,3)
+    # pair counts: (1,2):2 (1,3):1 (2,3):2
+    edges = [(100, 1), (100, 2), (100, 3), (101, 1), (101, 2),
+             (102, 2), (102, 3)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in edges], pa.int64()),
+                "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = (
+        cocitation_topk(ds, k=2)
+        .to_pandas()
+        .sort_values(["node_id", "n_common", "partner_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    rows = {(r.node_id, r.partner_id): r.n_common for r in got.itertuples()}
+    assert rows == {
+        (1, 2): 2, (1, 3): 1,
+        (2, 1): 2, (2, 3): 2,
+        (3, 2): 2, (3, 1): 1,
+    }
+
+
+def test_cocitation_hub_cut_excludes_high_degree_sources(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import cocitation_topk
+
+    # hub 200 links to 10 targets; under deg_cap=5 it contributes nothing
+    edges = [(200, i) for i in range(10)] + [(201, 0), (201, 1)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([e[0] for e in edges], pa.int64()),
+                "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = cocitation_topk(ds, k=3, deg_cap=5).to_pandas()
+    pairs = {(r.node_id, r.partner_id): r.n_common for r in got.itertuples()}
+    assert pairs == {(0, 1): 1, (1, 0): 1}
+
+
+def test_host_reciprocity_exact_ratio(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import host_reciprocity
+
+    # host edges: 0->1, 1->0 (reciprocal), 0->2 (one-way), 2->2 (self,
+    # ignored)
+    t = pa.table(
+        {
+            "src_host": pa.array([0, 1, 0, 2], pa.int64()),
+            "dst_host": pa.array([1, 0, 2, 2], pa.int64()),
+            "n": pa.array([5, 1, 2, 9], pa.int64()),
+        }
+    )
+    got = (
+        host_reciprocity(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("host_id")
+        .sort_index()
+    )
+    assert got.loc[0, "n_out_hosts"] == 2
+    assert got.loc[0, "n_reciprocal"] == 1
+    assert got.loc[0, "recip_micro"] == 500_000
+    assert got.loc[1, "n_out_hosts"] == 1
+    assert got.loc[1, "recip_micro"] == 1_000_000
+    assert 2 not in got.index  # only a self-loop: no out edges

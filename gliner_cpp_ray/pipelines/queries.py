@@ -822,9 +822,10 @@ def q_dup_substring_stats(sf_dir: str):
     return repeated_kgram_stats(ds, k=24)
 
 
-def _dup_substring_sql(k: int = 24) -> str:
-    """O(total chars) transcription of the double rolling hash (the
-    naive per-position form is O(chars * k) and 43x slower in DuckDB).
+def _kgram_h_cte(k: int = 24) -> str:
+    """Shared WITH-prefix ending in ``h(doc_id, h)`` — the O(total
+    chars) transcription of the double rolling hash (the naive
+    per-position form is O(chars * k) and 43x slower in DuckDB).
 
     Algebra: with per-char contributions ``c(i) = cp[i] * invB^(i-1)``
     (1-based i) and their per-doc prefix sums ``T``, the window hash at
@@ -864,6 +865,13 @@ def _dup_substring_sql(k: int = 24) -> str:
         f"((p1 * ((t1 - t1p) % {MOD})) % {MOD}) * 2147483648 "
         f"+ (p2 * ((t2 - t2p) % {MOD})) % {MOD} AS h "
         f"FROM pref2 WHERE i >= {k}), "
+    )
+
+
+def _dup_substring_sql(k: int = 24) -> str:
+    """Per-doc repeated-window stats over the shared ``h`` CTE
+    (see ``_kgram_h_cte``)."""
+    return _kgram_h_cte(k) + (
         "dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c "
         "FROM h GROUP BY h) WHERE c >= 2), "
         "dg AS (SELECT doc_id, count(*) AS n FROM h "
@@ -871,6 +879,26 @@ def _dup_substring_sql(k: int = 24) -> str:
         f"SELECT d.doc_id, CAST(greatest(L - {k - 1}, 0) AS BIGINT) "
         "AS n_grams, CAST(coalesce(dg.n, 0) AS BIGINT) AS dup_grams "
         "FROM d LEFT JOIN dg ON d.doc_id = dg.doc_id"
+    )
+
+
+def _source_mirror_sql(k: int = 24) -> str:
+    """Literal transcription of stages/dedup.source_mirror_overlap:
+    distinct (source, window-hash) sets over the shared ``h`` CTE,
+    pairwise intersection / union / exact-integer Jaccard."""
+    return _kgram_h_cte(k) + (
+        "p AS (SELECT DISTINCT dd.source, h.h FROM h "
+        "JOIN documents dd USING (doc_id)), "
+        "sz AS (SELECT source, count(*) AS n FROM p GROUP BY source), "
+        "inter AS (SELECT x.source AS src_a, y.source AS src_b, "
+        "count(*) AS ni FROM p x JOIN p y "
+        "ON x.h = y.h AND x.source < y.source GROUP BY 1, 2) "
+        "SELECT src_a, src_b, CAST(ni AS BIGINT) AS n_common, "
+        "CAST(sa.n + sb.n - ni AS BIGINT) AS n_union, "
+        "CAST(1000000 * ni // (sa.n + sb.n - ni) AS BIGINT) "
+        "AS jaccard_micro "
+        "FROM inter JOIN sz sa ON sa.source = src_a "
+        "JOIN sz sb ON sb.source = src_b"
     )
 
 
@@ -1044,6 +1072,28 @@ def q_doc_negative_samples(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     return negative_samples(ds, "doc_id", k=4)
+
+
+def q_token_rarity_hist(sf_dir: str):
+    """Per-document token-rarity histogram (bucket = floor(log2 of the
+    corpus-wide token count)) — the unigram-LM quality signal; the
+    (doc, term) × vocabulary bucketed join keeps everything
+    corpus-shaped distributed."""
+    from gliner_cpp_ray.stages.text_analysis import token_rarity_hist
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_rarity_hist(ds)
+
+
+def q_source_mirror_overlap(sf_dir: str):
+    """Cross-source partial-mirror detection: exact Jaccard overlap of
+    the distinct 24-char window fingerprint sets per source pair —
+    which ingest feeds ship the same text (fragment-level, so partial
+    mirrors register too)."""
+    from gliner_cpp_ray.stages.dedup import source_mirror_overlap
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_mirror_overlap(ds, k=24)
 
 
 def q_source_dup_rates(sf_dir: str):
@@ -2988,6 +3038,8 @@ def queries():
         "personalized_pagerank": q_personalized_pagerank,
         "cocitation_topk": q_cocitation_topk,
         "host_reciprocity": q_host_reciprocity,
+        "token_rarity_hist": q_token_rarity_hist,
+        "source_mirror_overlap": q_source_mirror_overlap,
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
@@ -4074,6 +4126,21 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
         ),
+        "token_rarity_hist": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "toks AS (SELECT doc_id, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) "
+            "AS x(tok) WHERE t <> ''), "
+            "occ AS (SELECT doc_id, term, count(*) AS n "
+            "FROM toks GROUP BY doc_id, term), "
+            "vocab AS (SELECT term, CAST(sum(n) AS BIGINT) AS c "
+            "FROM occ GROUP BY term) "
+            "SELECT o.doc_id, CAST(floor(log2(v.c)) AS BIGINT) AS bucket, "
+            "CAST(sum(o.n) AS BIGINT) AS n_tokens "
+            "FROM occ o JOIN vocab v USING (term) "
+            "GROUP BY o.doc_id, bucket"
+        ),
+        "source_mirror_overlap": _source_mirror_sql(),
         "source_dup_rates": (
             "WITH h AS (SELECT source, md5(text) AS ch FROM documents), "
             "c AS (SELECT ch, count(*) AS n FROM h GROUP BY ch) "

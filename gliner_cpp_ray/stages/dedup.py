@@ -1173,3 +1173,145 @@ def edit_distance_pairs(ds, col: str, d: int = 1):
         )
     )
     return pairs
+
+
+def group_set_overlap(ds, group_col: str, key_col: str,
+                      n_buckets: int = 16):
+    """Exact pairwise set overlap between GROUPS: for every pair of
+    groups sharing at least one key, |A∩B|, |A∪B| and the exact-integer
+    Jaccard (micro-units).  Input: (group, key) rows, repeats allowed
+    (collapsed internally).
+
+    Returns Dataset (src_a, src_b, n_common, n_union, jaccard_micro),
+    src_a < src_b, with a STABLE schema even when no pair overlaps.
+
+    Movement: one grouped count collapses to distinct (group, key) rows
+    (stays distributed, corpus-bounded); the intersection is a
+    key-hash-bucketed self-merge that only pays for keys held by >= 2
+    groups; set sizes are a |groups|-bounded aggregate carried into the
+    final map as a plain dict (groups are feeds/hosts/shards —
+    thousands, never corpus-proportional)."""
+    from gliner_cpp_ray.stages.joins import add_bucket, bucketed_group_agg
+
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_union", pa.int64()),
+            ("jaccard_micro", pa.int64()),
+        ]
+    )
+
+    distinct_pairs = bucketed_group_agg(
+        ds, [group_col, key_col], "count", out_col="_one",
+    ).map_batches(
+        lambda t: t.select([group_col, key_col]), batch_format="pyarrow"
+    ).materialize()
+
+    sizes = (
+        bucketed_group_agg(distinct_pairs, group_col, "count", out_col="n")
+        .to_pandas()  # |groups| rows — feed-bounded, never corpus-bounded
+    )
+    size_of = dict(zip(sizes[group_col], sizes["n"].astype(int)))
+
+    pair_n_schema = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        # explicit Arrow schema even for empty buckets, so the overall
+        # result keeps its columns when NO pair overlaps
+        if not len(g):
+            return pair_n_schema.empty_table()
+        g = g[[group_col, key_col]]
+        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{group_col}_a"] < m[f"{group_col}_b"]]
+        if not len(m):
+            return pair_n_schema.empty_table()
+        c = (
+            m.groupby([f"{group_col}_a", f"{group_col}_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "src_a": pa.array(c[f"{group_col}_a"], pa.string()),
+                "src_b": pa.array(c[f"{group_col}_b"], pa.string()),
+                "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+            },
+            schema=pair_n_schema,
+        )
+
+    inter = bucketed_group_agg(
+        distinct_pairs.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas"),
+        ["src_a", "src_b"], "sum", val_col="n", out_col="n_common",
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        a = t.column("src_a").to_pylist()
+        b = t.column("src_b").to_pylist()
+        ni = t.column("n_common").to_numpy(zero_copy_only=False)
+        na = np.array([size_of[s] for s in a], np.int64)
+        nb = np.array([size_of[s] for s in b], np.int64)
+        nu = na + nb - ni
+        return pa.table(
+            {
+                "src_a": t.column("src_a").cast(pa.string()),
+                "src_b": t.column("src_b").cast(pa.string()),
+                "n_common": t.column("n_common"),
+                "n_union": pa.array(nu),
+                "jaccard_micro": pa.array(
+                    1_000_000 * ni // nu if len(nu) else nu
+                ),
+            },
+            schema=out_schema,
+        )
+
+    import ray.data as rd
+
+    # when NO bucket yields a pair, zero blocks flow and the dataset
+    # would have no schema at all — union one schema'd empty block so
+    # consumers always see the stable column set
+    return inter.map_batches(ratios, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table())
+    )
+
+
+def source_mirror_overlap(ds, group_col: str = "source",
+                          text_col: str = "text", k: int = 24):
+    """Cross-SOURCE partial-mirror detection — which ingest feeds ship
+    the same text: exact Jaccard overlap of the distinct ``k``-char
+    window fingerprint sets (stages/substring.py double rolling hash —
+    the same hash family the substring-dedup op pins and its oracle
+    replicates literally) for every source pair sharing >= 1 fragment.
+    The dedup-policy dashboard one level above ``source_dup_rates``
+    (that op says "source X is 30% dups"; this one says "because it
+    mirrors source Y") — and fragment-level, so partial mirrors
+    (boilerplate wrapping, truncated syndication) register too.
+
+    Returns Dataset (src_a, src_b, n_common, n_union, jaccard_micro),
+    src_a < src_b, exact integers."""
+    from gliner_cpp_ray.stages.substring import kgram_hashes
+
+    pair_schema = pa.schema([("source", pa.string()), ("h", pa.int64())])
+
+    def fragment_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        srcs = t.column(group_col).to_pandas().to_numpy()
+        di, _, h = kgram_hashes(texts, k)
+        df = pd.DataFrame({"source": srcs[di], "h": h}).drop_duplicates()
+        return pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    frags = ds.map_batches(fragment_rows, batch_format="pyarrow")
+    return group_set_overlap(frags, "source", "h")

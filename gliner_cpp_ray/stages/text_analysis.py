@@ -569,3 +569,93 @@ def pmi_collocations(ds, k: int = 20, min_count: int = 5,
         .repartition(1)
         .map_batches(final_rank, batch_format="pyarrow")
     )
+
+
+def doc_term_occurrences_partial(batch: pa.Table, id_col: str = "doc_id",
+                                 text_col: str = "text") -> pa.Table:
+    """Per-batch (doc_id, term, n) occurrence combine — the shared
+    first phase of per-document × corpus-vocabulary joins (token
+    rarity, pointwise-MI features).  Tokenization pinned to
+    ``token_counts``'s SQL-matchable definition (RE2 ``\\s+`` split of
+    RE2-trimmed text), lowercased.  Raw token occurrences collapse to
+    distinct (doc, term) rows before anything crosses the wire."""
+    trimmed = _re2_trim(batch.column(text_col))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"doc_id": ids[parents], "term": flat.to_pandas()})
+    df = df[nonempty[parents]]
+    counts = (
+        df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="n")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(counts["doc_id"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(counts["term"], pa.string()),
+            "n": pa.array(counts["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def token_rarity_hist(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document token-RARITY histogram — the unigram-LM quality
+    signal: each token is bucketed by the magnitude of its CORPUS-WIDE
+    occurrence count (bucket = floor(log2(global_count)), exact via the
+    float64 exponent — ``np.frexp``, no float log), and each document
+    reports how many of its tokens fall in each rarity bucket.  A
+    boilerplate page piles into the high buckets; gibberish/OCR noise
+    piles into bucket 0 (hapax legomena).
+
+    Returns Dataset (doc_id, bucket, n_tokens).
+
+    Movement (everything corpus-shaped stays distributed): one pass
+    emits per-batch (doc, term, n) combines, materialized ONCE and
+    consumed twice — (a) a term-keyed group-sum builds the vocabulary
+    count table (vocabulary-bounded, stays a Dataset), (b) a bucketed
+    string-key join maps each distinct (doc, term) row to its rarity
+    bucket, then a (doc, bucket) group-sum folds the histogram.  No
+    driver-side vocabulary, no broadcast — the join moves distinct
+    (doc, term) rows once, the same shape as the contamination gram
+    join."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    occ = ds.map_batches(
+        lambda t: doc_term_occurrences_partial(t, id_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    vocab = bucketed_group_agg(
+        occ.map_batches(lambda t: t.select(["term", "n"]),
+                        batch_format="pyarrow"),
+        "term", "sum", val_col="n", out_col="c",
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        # exact floor(log2(c)) for 1 <= c < 2^53 via the IEEE exponent
+        # (c = m * 2^e, 0.5 <= m < 1  =>  floor(log2(c)) = e - 1); a
+        # single token would need > 9e15 occurrences to break the bound
+        # (a 100 TB corpus holds ~2e13 tokens TOTAL)
+        bucket = (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+        return pa.table({"term": t.column("term"), "bucket": bucket})
+
+    rarity = vocab.map_batches(to_bucket, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        occ, rarity, on="term",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("n", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("term", pa.string()), ("bucket", pa.int64())]
+        ),
+    )
+    return bucketed_group_agg(
+        joined.map_batches(
+            lambda t: t.select(["doc_id", "bucket", "n"]),
+            batch_format="pyarrow",
+        ),
+        ["doc_id", "bucket"], "sum", val_col="n", out_col="n_tokens",
+    )

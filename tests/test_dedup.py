@@ -279,3 +279,70 @@ def test_minhash_clusters_distributed_cc_gate(ray_session):
     pd.testing.assert_frame_equal(via_driver, via_cc)
     # the corpus really is duplicate-heavy: one giant cluster
     assert (via_cc["cluster_id"] == 0).sum() >= 12
+
+
+def test_group_set_overlap_exact_jaccard(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import group_set_overlap
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x", "x", "y", "y", "y", "z"], pa.string()),
+            "k": pa.array([1, 2, 3, 2, 3, 4, 9], pa.int64()),
+        }
+    )
+    got = (
+        group_set_overlap(rd.from_arrow(t), "g", "k")
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    assert len(got) == 1
+    row = got.loc[("x", "y")]
+    assert row["n_common"] == 2
+    assert row["n_union"] == 4
+    assert row["jaccard_micro"] == 500_000
+
+
+def test_group_set_overlap_empty_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import group_set_overlap
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "y"], pa.string()),
+            "k": pa.array([1, 2], pa.int64()),
+        }
+    )
+    got = group_set_overlap(rd.from_arrow(t), "g", "k")
+    # Ray's to_pandas() drops columns entirely on 0-row datasets; the
+    # schema'd empty union block keeps the Dataset-level schema stable
+    assert got.schema().names == [
+        "src_a", "src_b", "n_common", "n_union", "jaccard_micro"
+    ]
+    assert got.count() == 0
+
+
+def test_source_mirror_overlap_detects_shared_fragments(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import source_mirror_overlap
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    t = pa.table(
+        {
+            "source": pa.array(["s1", "s2", "s3"], pa.string()),
+            "text": pa.array(
+                [shared + " alpha", shared + " omega", "zz" * 30],
+                pa.string(),
+            ),
+        }
+    )
+    got = source_mirror_overlap(rd.from_arrow(t), k=24).to_pandas()
+    pairs = set(zip(got["src_a"], got["src_b"]))
+    assert ("s1", "s2") in pairs
+    assert not any("s3" in p for p in pairs)
+    row = got.set_index(["src_a", "src_b"]).loc[("s1", "s2")]
+    assert row["n_common"] >= 1
+    assert row["n_union"] > row["n_common"]

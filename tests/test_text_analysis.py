@@ -100,3 +100,41 @@ def test_term_doc_frequency_counts_once_per_doc(ray_session):
     assert got == {"cat": 2, "dog": 2, "bird": 1}
     # deterministic order: df desc, term asc
     assert out["term"].tolist() == ["cat", "dog", "bird"]
+
+
+def test_token_rarity_hist_small(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.text_analysis import token_rarity_hist
+
+    # corpus counts: 'a' x4 (bucket 2), 'b' x2 (bucket 1), 'c' x1 (bucket 0)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a b c", "A a b"], pa.string()),
+        }
+    )
+    got = (
+        token_rarity_hist(rd.from_arrow(t))
+        .to_pandas()
+        .set_index(["doc_id", "bucket"])["n_tokens"]
+        .to_dict()
+    )
+    assert got == {
+        (1, 2): 2,  # doc1: a,a
+        (1, 1): 1,  # doc1: b
+        (1, 0): 1,  # doc1: c
+        (2, 2): 2,  # doc2: A,a (lowercased)
+        (2, 1): 1,  # doc2: b
+    }
+
+
+def test_token_rarity_bucket_exact_at_power_boundaries():
+    # the frexp bucket must be floor(log2) exactly at and around powers
+    # of two
+    import numpy as np
+
+    c = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 2**52 + 1], np.int64)
+    bucket = (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+    want = np.array([0, 1, 1, 2, 2, 3, 9, 10, 10, 52], np.int64)
+    assert (bucket == want).all()

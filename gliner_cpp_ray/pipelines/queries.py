@@ -1451,6 +1451,148 @@ def q_top_building_orders(sf_dir: str):
     return global_top_k(joined, "revenue_nano", "o_orderkey", k=10)
 
 
+def q_returned_revenue_topk(sf_dir: str):
+    """TPC-H-Q10-shaped 4-table pipeline: top-20 customers by revenue
+    from RETURNED lineitems, with name and nation.  Scale shape: the
+    returnflag filter prunes at the read; lineitem revenue pre-aggs
+    per order (block-partial Sum) so the corpus-sized exchange carries
+    (orderkey, partial) rows; order→customer attribution is one
+    bucketed join + one custkey group-sum; the customer dimension join
+    is bucket-hashed; the 25-row nation dimension rides map-side as a
+    plain dict; the final top-20 is a per-batch combiner + k-row
+    reduce — no full sort.  Revenue integer-exact in nano units:
+    floor(price·1e6) × (1000 − floor(discount·1e3))."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    li = rd.read_parquet(
+        _sf_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        price = _micro(t.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(li_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_nano", alias_name="r"))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    per_order = bucketed_hash_join(
+        rev, orders, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("r", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+    per_cust = bucketed_group_agg(
+        per_order.map_batches(
+            lambda t: t.select(["o_custkey", "r"]), batch_format="pyarrow"
+        ),
+        "o_custkey", "sum", val_col="r", out_col="revenue_nano",
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "revenue_nano"]),
+        batch_format="pyarrow",
+    )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    labeled = bucketed_hash_join(
+        per_cust, cust, on="c_custkey",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("revenue_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("c_nationkey", pa.int32())]
+        ),
+    )
+
+    # 25-row nation dimension: map-side dict, never a shuffle
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    n_name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "n_name": pa.array([n_name_of[int(k)] for k in nk],
+                                   pa.string()),
+                "revenue_nano": t.column("revenue_nano"),
+            }
+        )
+
+    full = labeled.map_batches(add_nation, batch_format="pyarrow")
+    return global_top_k(full, "revenue_nano", "c_custkey", k=20)
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit across every FK edge of the schema —
+    the lake-hygiene report run before joins are trusted: per relation,
+    total child rows and rows whose FK has NO parent.  Each check is
+    the adaptive exact anti join (bloom-negative rows resolved
+    map-side with zero shuffle; only suspects shuffle), so the audit
+    costs ~one pruned-column scan per edge.  Returns a 6-row table —
+    aggregate-sized, never corpus-sized."""
+    from gliner_cpp_ray.stages.joins import bloom_anti_join
+
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    names, totals, orphans = [], [], []
+    for name, child, ck, parent, pk in rels:
+        c = _read(sf_dir, child, columns=[ck]).map_batches(
+            lambda t, ck=ck: pa.table({"k": t.column(ck).cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        p = _read(sf_dir, parent, columns=[pk]).map_batches(
+            lambda t, pk=pk: pa.table({"k": t.column(pk).cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        names.append(name)
+        totals.append(c.count())
+        orphans.append(bloom_anti_join(c, p, on="k").count())
+    return pa.table(
+        {
+            "relation": pa.array(names, pa.string()),
+            "n_rows": pa.array(totals, pa.int64()),
+            "n_orphans": pa.array(orphans, pa.int64()),
+        }
+    )
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Full-corpus distributed k-means (IVF coarse-quantizer training):
     3 deterministic Lloyd iterations over every embedding, k=8 —
@@ -3040,6 +3182,8 @@ def queries():
         "host_reciprocity": q_host_reciprocity,
         "token_rarity_hist": q_token_rarity_hist,
         "source_mirror_overlap": q_source_mirror_overlap,
+        "returned_revenue_topk": q_returned_revenue_topk,
+        "fk_orphan_audit": q_fk_orphan_audit,
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
@@ -4141,6 +4285,40 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "GROUP BY o.doc_id, bucket"
         ),
         "source_mirror_overlap": _source_mirror_sql(),
+        "returned_revenue_topk": (
+            # revenue integer-exact in nano units, matching the Ray
+            # stage: floor(price*1e6) * (1000 - floor(discount*1e3))
+            "WITH rev AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT) "
+            "* (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT) "
+            "AS r FROM lineitem WHERE l_returnflag = 'R' "
+            "GROUP BY l_orderkey), "
+            "pc AS (SELECT o.o_custkey AS c_custkey, "
+            "CAST(sum(rev.r) AS BIGINT) AS revenue_nano "
+            "FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey "
+            "GROUP BY o.o_custkey) "
+            "SELECT c.c_custkey, c.c_name, n.n_name, p.revenue_nano "
+            "FROM pc p JOIN customer c ON c.c_custkey = p.c_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "ORDER BY p.revenue_nano DESC, c.c_custkey LIMIT 20"
+        ),
+        "fk_orphan_audit": (
+            " UNION ALL ".join(
+                f"SELECT '{child}.{ck}->{parent}' AS relation, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_orphans "
+                f"FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}"
+                for child, ck, parent, pk in [
+                    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                    ("lineitem", "l_partkey", "part", "p_partkey"),
+                    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+                    ("orders", "o_custkey", "customer", "c_custkey"),
+                    ("customer", "c_nationkey", "nation", "n_nationkey"),
+                    ("nation", "n_regionkey", "region", "r_regionkey"),
+                ]
+            )
+        ),
         "source_dup_rates": (
             "WITH h AS (SELECT source, md5(text) AS ch FROM documents), "
             "c AS (SELECT ch, count(*) AS n FROM h GROUP BY ch) "

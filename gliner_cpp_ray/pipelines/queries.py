@@ -1074,6 +1074,17 @@ def q_doc_negative_samples(sf_dir: str):
     return negative_samples(ds, "doc_id", k=4)
 
 
+def q_term_postings(sf_dir: str):
+    """Inverted-index build with bounded posting heads: per term, its
+    DF and the first 8 doc ids comma-joined — the retrieval-serving
+    artifact; posting heads ride a per-batch min-k combiner so the
+    shuffle never carries full postings."""
+    from gliner_cpp_ray.stages.retrieval import term_postings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_postings(ds, head_k=8)
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3184,6 +3195,7 @@ def queries():
         "source_mirror_overlap": q_source_mirror_overlap,
         "returned_revenue_topk": q_returned_revenue_topk,
         "fk_orphan_audit": q_fk_orphan_audit,
+        "term_postings": q_term_postings,
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
@@ -4285,6 +4297,21 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "GROUP BY o.doc_id, bucket"
         ),
         "source_mirror_overlap": _source_mirror_sql(),
+        "term_postings": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) "
+            "AS x(tok) WHERE t <> ''), "
+            "dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM toks GROUP BY term), "
+            "rk AS (SELECT term, doc_id, row_number() OVER "
+            "(PARTITION BY term ORDER BY doc_id) AS rn FROM toks), "
+            "ph AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id) AS posting_head FROM rk WHERE rn <= 8 "
+            "GROUP BY term) "
+            "SELECT d.term, d.df, ph.posting_head "
+            "FROM dfc d JOIN ph USING (term)"
+        ),
         "returned_revenue_topk": (
             # revenue integer-exact in nano units, matching the Ray
             # stage: floor(price*1e6) * (1000 - floor(discount*1e3))

@@ -307,3 +307,86 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         batch_format="pyarrow",
     )
     return _ranked_topk(scored, k)
+
+
+def term_postings(ds, id_col: str = "doc_id", text_col: str = "text",
+                  head_k: int = 8):
+    """Inverted-index build with bounded posting heads: per term, its
+    document frequency and the first ``head_k`` doc ids (ascending,
+    comma-joined) — the retrieval-serving artifact one step past the
+    DF table (``text_analysis.term_doc_frequency``): a shard of this
+    table IS a serveable index fragment.
+
+    -> Dataset (term, df, posting_head).
+
+    Scale shape: per-batch (doc, term) distinct partials (each doc
+    lives in exactly one batch, so rows are globally distinct); the
+    posting heads ride ``grouped_top_k``'s per-batch min-k combiner —
+    the shuffle carries tasks × terms × head_k rows, never the full
+    postings; DF is one term-keyed grouped count; the final assembly
+    sorts each term's ≤ head_k rows inside its hash bucket.  Full
+    (unbounded) postings would be this same plan minus the combiner,
+    written sharded — bounded heads keep the driver-checkable contract
+    exact."""
+    from gliner_cpp_ray.stages.canonicalize import add_key_bucket
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.sizing import default_buckets
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+    from gliner_cpp_ray.stages.text_analysis import doc_term_occurrences_partial
+
+    occ = ds.map_batches(
+        lambda t: doc_term_occurrences_partial(t, id_col, text_col)
+        .select(["term", "doc_id"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: DF count + posting heads
+
+    # rows-scaled bucket count, cluster-capped (the pagerank rationale):
+    # this plan pays ~4 hash exchanges, each with a per-group fixed
+    # cost, so small corpora must not fan out to per-CPU × CPUs groups
+    n_buckets = max(8, min(default_buckets(None), occ.count() // 250_000))
+
+    df_tbl = bucketed_group_agg(occ, "term", "count", out_col="df",
+                                n_buckets=n_buckets)
+
+    heads = grouped_top_k(
+        occ, "term", "doc_id", "doc_id", k=head_k, descending=False,
+        n_buckets=n_buckets,
+    )
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.schema(
+                [("term", pa.string()), ("posting_head", pa.string())]
+            ).empty_table()
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        joined = (
+            g.groupby("term", sort=False)["doc_id"]
+            .apply(lambda s: ",".join(str(v) for v in s))
+            .reset_index(name="posting_head")
+        )
+        return pa.table(
+            {
+                "term": pa.array(joined["term"], pa.string()),
+                "posting_head": pa.array(joined["posting_head"], pa.string()),
+            }
+        )
+
+    posting = (
+        heads.map_batches(
+            lambda df: add_key_bucket(df, ["term"], n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: assemble(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+
+    return bucketed_hash_join(
+        df_tbl, posting, on="term", n_buckets=n_buckets,
+        left_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+        right_schema=pa.schema(
+            [("term", pa.string()), ("posting_head", pa.string())]
+        ),
+    )

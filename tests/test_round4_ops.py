@@ -435,3 +435,30 @@ def test_per_key_window_ops_match_pandas_randomized(ray_session):
            time_decayed_sum(ds_ts, "k", "ts", "v", halflife_us=hl,
                             ref_ts_us=ref).take_all()}
     assert got == want_dec.to_dict()
+
+
+def test_term_postings_bounded_heads(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.retrieval import term_postings
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 9], pa.int64()),
+            "text": pa.array(
+                ["apple pear", "apple", "apple pear", "pear PEAR"],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        term_postings(rd.from_arrow(t), head_k=2)
+        .to_pandas()
+        .set_index("term")
+        .sort_index()
+    )
+    assert got.loc["apple", "df"] == 3
+    assert got.loc["apple", "posting_head"] == "1,3"  # first 2 ascending
+    assert got.loc["pear", "df"] == 3  # doc 9 counts once (lowercased)
+    assert got.loc["pear", "posting_head"] == "3,5"

@@ -1056,12 +1056,23 @@ def _ed_bucket_pairs(g: pd.DataFrame, d: int, n_buckets: int) -> pd.DataFrame:
         return _ED_EMPTY.copy()
     strings = g["s"].to_numpy()[keep]
     codes = codes[keep]
+    # block prefix of each row's shuffle key ('' when unblocked) —
+    # constant within a collision group; the canonical-ownership check
+    # must rebuild keys with the SAME prefix or blocked pairs would be
+    # owned by no bucket at all
+    kept_keys = g["key"].to_numpy()[keep]
+    prefixes = np.array(
+        [k[: k.find("\x1f") + 1] for k in kept_keys], dtype=object
+    )
     # drop duplicate (key, value) rows (several deletions of one string
     # can coincide) — then sort by group
-    dd = pd.DataFrame({"c": codes, "s": strings}).drop_duplicates()
+    dd = pd.DataFrame(
+        {"c": codes, "s": strings, "p": prefixes}
+    ).drop_duplicates(subset=["c", "s"])
     dd = dd.sort_values(["c", "s"], kind="stable")  # (a<b within group)
     codes = dd["c"].to_numpy()
     strings = dd["s"].to_numpy()
+    prefixes = dd["p"].to_numpy()
     n = len(codes)
     starts = np.r_[0, np.flatnonzero(np.diff(codes)) + 1]
     lens = np.diff(np.r_[starts, n])
@@ -1077,14 +1088,18 @@ def _ed_bucket_pairs(g: pd.DataFrame, d: int, n_buckets: int) -> pd.DataFrame:
         return _ED_EMPTY.copy()
     ii = np.concatenate(ii_parts)
     jj = np.concatenate(jj_parts)
-    cand = pd.DataFrame({"a": strings[ii], "b": strings[jj]}).drop_duplicates()
+    cand = pd.DataFrame(
+        {"a": strings[ii], "b": strings[jj], "p": prefixes[ii]}
+    ).drop_duplicates(subset=["a", "b"])
     a = cand["a"].to_numpy()
     b = cand["b"].to_numpy()
+    pref = cand["p"].to_numpy()
     if d != 1:
         ok = np.fromiter(
             (levenshtein_leq(x, y, d) for x, y in zip(a, b)), bool, count=len(a)
         )
-        return _canonical_bucket_pairs(a[ok], b[ok], d, bucket_id, n_buckets)
+        return _canonical_bucket_pairs(a[ok], b[ok], pref[ok], d, bucket_id,
+                                       n_buckets)
     la = np.fromiter((len(x) for x in a), np.int64, count=len(a))
     lb = np.fromiter((len(x) for x in b), np.int64, count=len(b))
     diff = np.abs(la - lb)
@@ -1104,13 +1119,15 @@ def _ed_bucket_pairs(g: pd.DataFrame, d: int, n_buckets: int) -> pd.DataFrame:
         if len(s) > len(t):
             s, t = t, s
         ok[idx] = _one_indel_apart(s, t)
-    return _canonical_bucket_pairs(a[ok], b[ok], d, bucket_id, n_buckets)
+    return _canonical_bucket_pairs(a[ok], b[ok], pref[ok], d, bucket_id,
+                                   n_buckets)
 
 
-def _canonical_bucket_pairs(a, b, d: int, bucket_id: int,
+def _canonical_bucket_pairs(a, b, pref, d: int, bucket_id: int,
                             n_buckets: int) -> pd.DataFrame:
     """Keep only the pairs this bucket CANONICALLY owns: the one whose
-    minimum common deletion key hashes here.  Every verified pair has a
+    minimum common deletion key (rebuilt with the pair's block prefix,
+    matching the shuffle keys) hashes here.  Every verified pair has a
     non-empty common-key set (FastSS), each key lives in exactly one
     bucket, so each pair is emitted exactly once globally — no
     downstream pair shuffle."""
@@ -1119,7 +1136,8 @@ def _canonical_bucket_pairs(a, b, d: int, bucket_id: int,
     if not len(a):
         return _ED_EMPTY.copy()
     kmin = [
-        min(_deletion_keys(x, d) & _deletion_keys(y, d)) for x, y in zip(a, b)
+        p + min(_deletion_keys(x, d) & _deletion_keys(y, d))
+        for p, x, y in zip(pref, a, b)
     ]
     buck = add_key_bucket(
         pd.DataFrame({"key": kmin}), ["key"], n_buckets
@@ -1129,11 +1147,24 @@ def _canonical_bucket_pairs(a, b, d: int, bucket_id: int,
                          "b": pd.Series(b[keep], dtype="string")})
 
 
-def edit_distance_pairs(ds, col: str, d: int = 1):
+def edit_distance_pairs(ds, col: str, d: int = 1,
+                        block_col: str | None = None):
     """Distinct unordered pairs of ``col`` values within Levenshtein
     distance ``d`` — the fuzzy-string near-dup join (names, titles,
     normalized URLs; NOT document bodies — key amplification is
     ``O(len^d)`` per row, so this is a SHORT-string operator).
+
+    ``block_col``: optional BLOCKING column — only pairs agreeing on it
+    are generated (the deletion key is block-prefixed, so cross-block
+    candidates never even meet in a collision group).  Identical result
+    to generating unblocked pairs and post-filtering on block equality
+    (values are compared within their own block either way), but the
+    candidate volume drops by the cross-block fraction BEFORE the
+    shuffle — on sequentially-numbered MDM names at sf0.1 this is
+    262k → ~10k pair rows through every downstream join.  (If the SAME
+    two values co-exist in several blocks, the pair is emitted once per
+    such block — harmless for the CC/merge consumers; the unblocked
+    call stays globally distinct.)
 
     Shape: per-batch deletion-key explode (FastSS: complete by
     construction) → ONE bucket-hash shuffle of (key, value) rows →
@@ -1149,11 +1180,22 @@ def edit_distance_pairs(ds, col: str, d: int = 1):
 
     def explode(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_pylist()
+        if block_col is None:
+            distinct = {(None, s) for s in vals}
+        else:
+            blks = t.column(block_col).to_pylist()
+            distinct = set(zip(blks, vals))
         keys: list[str] = []
         ss: list[str] = []
-        for s in set(vals):
+        for blk, s in distinct:
+            # NOT "\x00": pandas' hash_pandas_object(categorize=True) —
+            # the bucket hash — truncates object strings at an embedded
+            # NUL, which collapses every key of a block into one bucket
+            # AND breaks the ownership rehash.  \x1f is hash-safe; block
+            # values are ints (or must not contain \x1f when strings).
+            prefix = "" if blk is None else f"{blk}\x1f"
             for k in _deletion_keys(s, d):
-                keys.append(k)
+                keys.append(prefix + k)
                 ss.append(s)
         return pa.table(
             {"key": pa.array(keys, pa.string()), "s": pa.array(ss, pa.string())}

@@ -57,6 +57,15 @@ def golden_records(records_ds, pairs_ds, key_col: str, match_col: str,
     from gliner_cpp_ray.stages.joins import add_bucket, bucketed_hash_join
     from gliner_cpp_ray.stages.sizing import default_buckets
 
+    # consumed twice (match lookup + final label join): materialize
+    # once, and rows-scale the bucket count (the pagerank rationale:
+    # ~5 hash exchanges each pay a per-group fixed cost, so small
+    # record sets must not fan out to per-CPU × CPUs groups)
+    records_ds = records_ds.materialize()
+    if n_buckets is None:
+        n_buckets = max(
+            8, min(default_buckets(None), records_ds.count() // 250_000)
+        )
     n_buckets_out = default_buckets(n_buckets)
     a_col, b_col = f"{match_col}_a", f"{match_col}_b"
     pair_schema = pa.schema([(a_col, pa.string()), (b_col, pa.string())])

@@ -346,3 +346,33 @@ def test_source_mirror_overlap_detects_shared_fragments(ray_session):
     row = got.set_index(["src_a", "src_b"]).loc[("s1", "s2")]
     assert row["n_common"] >= 1
     assert row["n_union"] > row["n_common"]
+
+
+def test_edit_distance_pairs_blocked_equals_postfiltered(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import edit_distance_pairs
+
+    names = ["abcd", "abce", "abcf", "xbcd", "abgd"]
+    blks = [1, 1, 2, 1, 1]
+    t = pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "blk": pa.array(blks, pa.int64()),
+        }
+    )
+    blocked = edit_distance_pairs(
+        rd.from_arrow(t), "name", d=1, block_col="blk"
+    ).to_pandas()
+    un = edit_distance_pairs(
+        rd.from_arrow(t.select(["name"])), "name", d=1
+    ).to_pandas()
+    blk_of = dict(zip(names, blks))
+    want = {
+        (a, b)
+        for a, b in zip(un["a"], un["b"])
+        if blk_of[a] == blk_of[b]
+    }
+    got = set(zip(blocked["a"], blocked["b"]))
+    assert got == want
+    assert ("abcd", "abcf") not in got  # cross-block dist-1 pair cut

@@ -114,6 +114,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("returned_revenue_topk", q.q_returned_revenue_topk)
         timed("fk_orphan_audit", q.q_fk_orphan_audit)
         timed("term_postings", q.q_term_postings)
+        timed("media_frame_index", q.q_media_frame_index)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

@@ -1090,6 +1090,69 @@ def q_term_postings(sf_dir: str):
     return term_postings(ds, head_k=8)
 
 
+def q_media_frame_index(sf_dir: str):
+    """Multimodal frame-sampling pipeline end-to-end with a FULL
+    oracle: build a deterministic synthetic video payload per document
+    (header + n_frames 8×4 frames, every pixel = doc_id % 251), explode
+    it through the ACTOR-POOL ``FrameSampleStage`` (stride 2; small
+    batches — the memory-aware shape for large binary rows), then
+    reduce each sampled frame to (len, byte-sum).  The decode/explode
+    runs on REAL bytes; the oracle is the closed form the construction
+    implies, so the whole actor plumbing is hash-checked, not
+    rows-only."""
+    from gliner_cpp_ray.stages.multimodal import _MAGIC, FrameSampleStage
+    from gliner_cpp_ray.stages.sizing import default_concurrency
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        payloads = []
+        for did, nc in zip(ids, nch):
+            n_frames = 1 + int(nc) % 5
+            fill = int(did) % 251
+            payloads.append(
+                _MAGIC
+                + (8).to_bytes(2, "little")
+                + (4).to_bytes(2, "little")
+                + bytes([fill]) * (8 * 4 * n_frames)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    frames = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"stride": 2},
+        concurrency=(1, default_concurrency()[1]),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        frames_b = t.column("frame").to_pylist()
+        sums = np.fromiter(
+            (sum(f) for f in frames_b), np.int64, count=len(frames_b)
+        )
+        lens = np.fromiter(
+            (len(f) for f in frames_b), np.int64, count=len(frames_b)
+        )
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_idx": t.column("frame_idx").cast(pa.int64()),
+                "frame_len": pa.array(lens),
+                "frame_sum": pa.array(sums),
+            }
+        )
+
+    return frames.map_batches(stats, batch_format="pyarrow")
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3201,6 +3264,7 @@ def queries():
         "returned_revenue_topk": q_returned_revenue_topk,
         "fk_orphan_audit": q_fk_orphan_audit,
         "term_postings": q_term_postings,
+        "media_frame_index": q_media_frame_index,
         "user_value_decayed": q_user_value_decayed,
         "link_k_core": q_link_k_core,
         "event_seq_numbers": q_event_seq_numbers,
@@ -4286,6 +4350,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "media_frame_index": (
+            # closed form of the deterministic payload construction:
+            # frames 0..nf-1 step 2 (stride), every 8x4 frame filled
+            # with byte (doc_id % 251)
+            "WITH f AS (SELECT doc_id, 1 + n_chars % 5 AS nf "
+            "FROM documents), "
+            "k AS (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) "
+            "AS frame_idx FROM f) "
+            "SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) "
+            "AS frame_idx, CAST(32 AS BIGINT) AS frame_len, "
+            "CAST(32 * (doc_id % 251) AS BIGINT) AS frame_sum FROM k"
         ),
         "token_rarity_hist": (
             f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "

@@ -115,6 +115,12 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("fk_orphan_audit", q.q_fk_orphan_audit)
         timed("term_postings", q.q_term_postings)
         timed("media_frame_index", q.q_media_frame_index)
+        timed("distinct_users_hll", q.q_distinct_users_hll)
+        timed("large_order_customers", q.q_large_order_customers)
+        timed("promo_revenue_ppm", q.q_promo_revenue_ppm)
+        timed("brand_supplier_counts", q.q_brand_supplier_counts)
+        timed("events_csv_roundtrip", q.q_events_csv_roundtrip)
+        timed("docs_partitioned_roundtrip", q.q_docs_partitioned_roundtrip)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

@@ -1153,6 +1153,277 @@ def q_media_frame_index(sf_dir: str):
     return frames.map_batches(stats, batch_format="pyarrow")
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-count over ``events.user_id`` — the
+    register-array cardinality sketch (16 registers, md5-u60 hash,
+    exact-integer raw estimator), stages/sketches.py:hll_distinct_count.
+    Movement is tasks × 16 register rows; the oracle transcribes the
+    bucket/rho arithmetic (``length(to_base(rest, 2))`` for the bit
+    length) and the HUGEINT floor estimator, so the APPROXIMATE
+    estimate itself is hash-checked."""
+    from gliner_cpp_ray.stages.sketches import hll_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct_count(ds, "user_id")
+    return pd.DataFrame({"m": [16], "estimate": [est]}).astype("int64")
+
+
+def q_large_order_customers(sf_dir: str):
+    """TPC-H-Q18-shaped large-order report: orders whose total lineitem
+    quantity exceeds 250, attributed to their customer, top 20 by order
+    value.  Scale shape: quantities pre-aggregate per order through the
+    block-partial combiner in ``bucketed_group_agg`` (the HAVING filter
+    then drops ~98% of orders BEFORE any join), and both joins
+    (orders, customer) are key-partitioned bucketed hash joins — the
+    customer dimension scales with the corpus, so no broadcast.  The
+    final sort runs over the filtered survivors only."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    nb = _join_buckets(sf_dir, "lineitem", "orders")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                # quantities are integral by generation; a lossy cast
+                # raises rather than rounding silently
+                "qty": t.column("l_quantity").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sums = bucketed_group_agg(
+        li, "o_orderkey", specs=[("sum", "qty", "sum_qty")], n_buckets=nb
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty"), 250)),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "c_custkey": t.column("o_custkey"),
+                "total_micro": _micro(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        sums, orders, on="o_orderkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("sum_qty", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("c_custkey", pa.int64()),
+             ("total_micro", pa.int64())]
+        ),
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = bucketed_hash_join(
+        j1, cust, on="c_custkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("sum_qty", pa.int64()),
+             ("c_custkey", pa.int64()), ("total_micro", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]
+        ),
+    )
+    return j2.sort(
+        ["total_micro", "o_orderkey"], descending=[True, False]
+    ).limit(20)
+
+
+def q_promo_revenue_ppm(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share: the fraction (exact ppm)
+    of lineitem revenue coming from PROMO-type parts.  ONE bucketed
+    hash join (lineitem ⋈ part on partkey — the part dimension scales
+    with the corpus, no broadcast), then a two-cell combinable sum per
+    block; the driver sees one (promo, total) pair per task and
+    finishes the share in Python bigints (ppm numerator exceeds int64;
+    the oracle rides HUGEINT for the same step)."""
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    nb = _join_buckets(sf_dir, "lineitem", "part")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "rev_micro": pc.divide(
+                    pc.multiply(
+                        _micro(t.column("l_extendedprice")),
+                        pc.subtract(
+                            pa.scalar(1000, pa.int64()),
+                            pc.cast(
+                                pc.floor(
+                                    pc.multiply(t.column("l_discount"), 1000.0)
+                                ),
+                                pa.int64(),
+                            ),
+                        ),
+                    ),
+                    1000,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = bucketed_hash_join(
+        li, part, on="p_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("rev_micro", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_type", pa.string())]
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev_micro").to_numpy(zero_copy_only=False)
+        promo = pc.equal(t.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_micro": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_micro": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo = int(parts["promo_micro"].sum())
+    total = int(parts["total_micro"].sum())
+    return pd.DataFrame(
+        {
+            "promo_micro": [promo],
+            "total_micro": [total],
+            "share_ppm": [promo * 1_000_000 // total],
+        }
+    ).astype("int64")
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped brand sourcing stats: per part brand, how many
+    DISTINCT suppliers ship it and how many lineitems it moved.  The
+    grouped COUNT(DISTINCT) decomposes into two exact aggregates: the
+    corpus-sized (brand, suppkey) pair count (ONE bucketed shuffle with
+    block-partial combining), then a combination-bounded re-aggregate
+    (25 brands × 100 suppliers) for both outputs."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    nb = _join_buckets(sf_dir, "lineitem", "part")
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    j = bucketed_hash_join(
+        li, part, on="p_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("l_suppkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string())]
+        ),
+    )
+    pairs = bucketed_group_agg(
+        j.select_columns(["p_brand", "l_suppkey"]),
+        ["p_brand", "l_suppkey"],
+        specs=[("count", None, "n")],
+        n_buckets=nb,
+    )
+    return bucketed_group_agg(
+        pairs, "p_brand",
+        specs=[("count", None, "n_suppliers"), ("sum", "n", "n_items")],
+        n_buckets=8,
+    )
+
+
+def q_events_csv_roundtrip(sf_dir: str):
+    """CSV sink + source: write the (int-coded) events through Ray's
+    CSV sink, read them back with the CSV source, aggregate — the
+    text-format counterpart of the JSONL roundtrip.  The oracle
+    aggregates the original Parquet, so any loss in the CSV roundtrip
+    (dtype drift, quoting, row loss) fails the hash."""
+    import shutil
+
+    import ray.data as rd
+
+    out = os.path.join(
+        "/tmp/kgray_out/csv_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).write_csv(out)
+
+    from ray.data.aggregate import Count, Sum
+
+    back = rd.read_csv(out)
+    return back.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_micro", alias_name="sum_value_micro"),
+    )
+
+
+def q_docs_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned Parquet sink + source: write documents
+    partitioned by ``lang`` (one directory per partition — the
+    resumable/prunable output layout this repo's sinks standardize on),
+    read the partitioned tree back (partition values re-derived from
+    directory names), aggregate per lang.  The oracle aggregates the
+    original table, so partition-column round-trip loss fails the
+    hash."""
+    import shutil
+
+    import ray.data as rd
+
+    out = os.path.join(
+        "/tmp/kgray_out/parquet_part",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds.write_parquet(out, partition_cols=["lang"])
+
+    from ray.data.aggregate import Count, Sum
+
+    back = rd.read_parquet(out).map_batches(
+        # hive partition values read back as dictionary<string>
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang").cast(pa.string()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return back.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3256,6 +3527,12 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "distinct_users_hll": q_distinct_users_hll,
+        "large_order_customers": q_large_order_customers,
+        "promo_revenue_ppm": q_promo_revenue_ppm,
+        "brand_supplier_counts": q_brand_supplier_counts,
+        "events_csv_roundtrip": q_events_csv_roundtrip,
+        "docs_partitioned_roundtrip": q_docs_partitioned_roundtrip,
         "personalized_pagerank": q_personalized_pagerank,
         "cocitation_topk": q_cocitation_topk,
         "host_reciprocity": q_host_reciprocity,
@@ -4350,6 +4627,66 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "distinct_users_hll": (
+            # HLL transcription: 60-bit md5 hash, top 4 bits index one
+            # of 16 registers, rho = 57 - bitlength(56-bit remainder)
+            # (57 when zero); raw estimator in HUGEINT floor arithmetic
+            "WITH h AS (SELECT DISTINCT CAST(concat('0x', "
+            "substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "AS hv FROM events), "
+            "b AS (SELECT hv // 72057594037927936 AS bucket, "
+            "hv % 72057594037927936 AS rest FROM h), "
+            "r AS (SELECT bucket, max(CASE WHEN rest = 0 THEN 57 "
+            "ELSE 57 - length(to_base(rest, 2)) END) AS mx "
+            "FROM b GROUP BY bucket), "
+            "s AS (SELECT CAST(sum(CAST(1 AS BIGINT) "
+            "<< CAST(57 - mx AS INT)) AS HUGEINT) "
+            "+ (16 - count(*)) * CAST(144115188075855872 AS HUGEINT) "
+            "AS ssum FROM r) "
+            "SELECT CAST(16 AS BIGINT) AS m, "
+            "CAST(CAST(673 AS HUGEINT) * 256 * 144115188075855872 "
+            "// (1000 * ssum) AS BIGINT) AS estimate FROM s"
+        ),
+        "large_order_customers": (
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) "
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+            "CAST(floor(o.o_totalprice * 1000000) AS BIGINT) "
+            "AS total_micro, q.sum_qty "
+            "FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY total_micro DESC, o.o_orderkey LIMIT 20"
+        ),
+        "promo_revenue_ppm": (
+            "WITH j AS (SELECT (CAST(floor(l_extendedprice * 1000000) "
+            "AS BIGINT) * (1000 - CAST(floor(l_discount * 1000) "
+            "AS BIGINT))) // 1000 AS rev, p_type "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey) "
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev "
+            "ELSE 0 END) AS BIGINT) AS promo_micro, "
+            "CAST(sum(rev) AS BIGINT) AS total_micro, "
+            "CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 "
+            "END) AS HUGEINT) * 1000000 // CAST(sum(rev) AS HUGEINT) "
+            "AS BIGINT) AS share_ppm FROM j"
+        ),
+        "brand_supplier_counts": (
+            "WITH p AS (SELECT p_brand, l_suppkey, count(*) AS n "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "GROUP BY p_brand, l_suppkey) "
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers, "
+            "CAST(sum(n) AS BIGINT) AS n_items FROM p GROUP BY p_brand"
+        ),
+        "events_csv_roundtrip": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro FROM events GROUP BY event_type"
+        ),
+        "docs_partitioned_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
         ),
         "media_frame_index": (
             # closed form of the deterministic payload construction:

@@ -744,3 +744,75 @@ def grouped_mad(ds, key_cols: list[str], val_col: str,
         left_schema=med_schema,
         right_schema=pa.schema([(key, pa.int64()), ("mad", pa.int64())]),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct count (Flajolet et al. 2007) — the register-array
+# companion to KMV: fixed m int8-ish registers instead of k hashes, so the
+# merge is a per-bucket max and the accumulator never grows with k.
+
+_HLL_M = 16          # registers (b = 4 index bits)
+_HLL_REST_BITS = 56  # 60-bit md5 hash minus the 4 index bits
+_HLL_ALPHA = (673, 1000)  # alpha_16 = 0.673 as an exact rational
+
+
+def _hll_rho(rest: int) -> int:
+    """Position (1-based) of the first 1-bit in the ``_HLL_REST_BITS``-wide
+    remainder; all-zero remainder saturates at REST_BITS + 1."""
+    return _HLL_REST_BITS + 1 - rest.bit_length()
+
+
+class HllPartial:
+    """Per-batch HLL partial: one (bucket, mx) row per non-empty register.
+
+    Distinct values hashed once each (md5-u60, the registry-wide
+    SQL-expressible hash); movement is <= tasks x m rows, corpus-size
+    independent — registers merge with a plain grouped max."""
+
+    def __init__(self, col: str):
+        # m is pinned to _HLL_M: the bucket shift and the alpha constant
+        # are both m-specific, and the oracle SQL transcribes them as
+        # literals — a runtime m knob would silently desync the two.
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_pylist()
+        regs: dict[int, int] = {}
+        mask = (1 << _HLL_REST_BITS) - 1
+        for v in set(vals):
+            h = _md5_u60(str(v))
+            bucket = h >> _HLL_REST_BITS
+            rho = _hll_rho(h & mask)
+            if rho > regs.get(bucket, 0):
+                regs[bucket] = rho
+        b = sorted(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "mx": pa.array([regs[x] for x in b], pa.int64()),
+            }
+        )
+
+
+def hll_estimate_from_registers(regs: dict[int, int]) -> int:
+    """Raw HLL estimator, integer-exact: with R = REST_BITS + 1,
+    ``sum(2^-M[j]) = sum(2^(R - M[j])) / 2^R`` (empty register => M = 0),
+    so ``E = alpha * m^2 / sum(2^-M)`` becomes one Python-bigint floor
+    division — bit-replicable in SQL via HUGEINT.  No small-range linear
+    counting correction (ln is not rational); the raw estimate is the
+    contract and is itself hash-checked."""
+    r = _HLL_REST_BITS + 1
+    m = _HLL_M
+    s = sum(1 << (r - regs.get(j, 0)) for j in range(m))
+    num, den = _HLL_ALPHA
+    return (num * m * m * (1 << r)) // (den * s)
+
+
+def hll_distinct_count(ds, col: str) -> int:
+    """Distributed HLL distinct-count estimate of ``ds[col]``: per-batch
+    register partials (tasks x m rows to the driver, nothing else), a
+    tiny grouped-max merge, then the exact-integer estimator."""
+    part = ds.map_batches(HllPartial(col=col), batch_format="pyarrow")
+    df = part.to_pandas()  # bounded: <= tasks * m rows
+    merged = df.groupby("bucket")["mx"].max().to_dict()
+    return hll_estimate_from_registers(merged)

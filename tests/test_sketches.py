@@ -282,3 +282,42 @@ def test_grouped_mad_matches_numpy(ray_session):
         vals = v[k == key]
         m = lomed(vals)
         assert got[int(key)] == (m, lomed(np.abs(vals - m))), key
+
+
+def test_hll_register_merge_equals_single_pass(ray_session):
+    """HLL registers are a max-merge sketch: the distributed per-batch
+    partial merge must equal a single-process register build, and the
+    estimate must be within the theoretical ~1.04/sqrt(16)=26%% band."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import (
+        _HLL_REST_BITS,
+        _hll_rho,
+        _md5_u60,
+        hll_distinct_count,
+        hll_estimate_from_registers,
+    )
+
+    vals = np.arange(5000, dtype=np.int64) % 1200  # 1200 distinct
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+    est = hll_distinct_count(ds, "v")
+
+    regs = {}
+    mask = (1 << _HLL_REST_BITS) - 1
+    for v in set(vals.tolist()):
+        h = _md5_u60(str(v))
+        regs[h >> _HLL_REST_BITS] = max(
+            regs.get(h >> _HLL_REST_BITS, 0), _hll_rho(h & mask)
+        )
+    assert est == hll_estimate_from_registers(regs)
+    assert abs(est - 1200) / 1200 < 0.30
+
+
+def test_hll_rho_saturation():
+    from gliner_cpp_ray.stages.sketches import _HLL_REST_BITS, _hll_rho
+
+    assert _hll_rho(0) == _HLL_REST_BITS + 1
+    assert _hll_rho(1) == _HLL_REST_BITS
+    assert _hll_rho(1 << (_HLL_REST_BITS - 1)) == 1

@@ -121,6 +121,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("brand_supplier_counts", q.q_brand_supplier_counts)
         timed("events_csv_roundtrip", q.q_events_csv_roundtrip)
         timed("docs_partitioned_roundtrip", q.q_docs_partitioned_roundtrip)
+        timed("doc_keywords", q.q_doc_keywords)
+        timed("frequent_part_pairs", q.q_frequent_part_pairs)
+        timed("session_stats", q.q_session_stats)
+        timed("user_value_outliers", q.q_user_value_outliers)
+        timed("events_running_total", q.q_events_running_total)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

@@ -1424,6 +1424,135 @@ def q_docs_partitioned_roundtrip(sf_dir: str):
     )
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document top-3 keywords by integer corpus TF-IDF — the
+    metadata-enrichment operator (C118), stages/retrieval.py:doc_keywords.
+    Vocabulary-bounded DF shuffle + term-bucketed tf⋈df join +
+    shuffle-bounded per-doc top-k; every score int64-exact."""
+    from gliner_cpp_ray.stages.retrieval import doc_keywords
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_keywords(ds, k=3)
+
+
+def q_frequent_part_pairs(sf_dir: str):
+    """Market-basket frequent pairs (C119): unordered part pairs bought
+    together in >= 2 orders — per-batch distinct (order, part) combiner,
+    ONE order-hash shuffle, whole-bucket vectorized pair expansion
+    (volume Σ basket², corpus-independent), pair-keyed grouped sum,
+    support filter.  stages/cooccur.py:basket_pair_counts."""
+    from gliner_cpp_ray.stages.cooccur import basket_pair_counts
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "basket": t.column("l_orderkey"),
+                "part": t.column("l_partkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return basket_pair_counts(ds, "basket", "part", min_support=2)
+
+
+_SESSION_STATS_GAP_US = 86_400_000_000  # 1 day
+
+
+def q_session_stats(sf_dir: str):
+    """Per-session rollup (C120): one row per (user, session) with the
+    session ordinal, event count, value sum and start/end time — the
+    aggregate ``event_session_ids`` labels events for, computed in the
+    SAME single key-hash exchange (no label-then-join second shuffle).
+    stages/windows.py:session_stats_per_key."""
+    from gliner_cpp_ray.stages.windows import session_stats_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return session_stats_per_key(
+        ds, ["user_id"], "us", "event_id", "value_micro",
+        gap_us=_SESSION_STATS_GAP_US,
+    )
+
+
+def q_user_value_outliers(sf_dir: str):
+    """Robust per-user outlier counts (C121): events whose |value −
+    per-user median| exceeds 3× the per-user MAD — the quality-pipeline
+    anomaly flag built on the exact grouped median/MAD machinery.  Two
+    grouped-median exchanges (inside ``grouped_mad``), one key-bounded
+    join back to the value stream, one grouped conditional count."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.sketches import grouped_mad
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "x": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: median/MAD pass + flag pass
+    mad = grouped_mad(ds, ["user_id"], "x")
+    j = bucketed_hash_join(
+        ds, mad, on="user_id",
+        left_schema=pa.schema([("user_id", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("median", pa.int64()),
+             ("mad", pa.int64())]
+        ),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(t.column("x"), t.column("median")))
+        out = pc.cast(
+            pc.greater(dev, pc.multiply(t.column("mad"), 3)), pa.int64()
+        )
+        return pa.table({"user_id": t.column("user_id"), "flag": out})
+
+    return bucketed_group_agg(
+        j.map_batches(flag, batch_format="pyarrow"),
+        "user_id",
+        specs=[("count", None, "n_events"), ("sum", "flag", "n_outliers")],
+    )
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running value total (C122): ``sum(value) OVER
+    (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` —
+    the cumulative lifetime-spend feature; ONE key-hash exchange +
+    per-bucket global cumsum rebased at key-run starts.
+    stages/windows.py:running_sum_per_key."""
+    from gliner_cpp_ray.stages.windows import running_sum_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return running_sum_per_key(
+        ds, ["user_id"], "us", "event_id", "value_micro",
+        out_col="run_total_micro",
+    )
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3527,6 +3656,11 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "doc_keywords": q_doc_keywords,
+        "frequent_part_pairs": q_frequent_part_pairs,
+        "session_stats": q_session_stats,
+        "user_value_outliers": q_user_value_outliers,
+        "events_running_total": q_events_running_total,
         "distinct_users_hll": q_distinct_users_hll,
         "large_order_customers": q_large_order_customers,
         "promo_revenue_ppm": q_promo_revenue_ppm,
@@ -4627,6 +4761,76 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "doc_keywords": (
+            f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t "
+            "FROM documents), "
+            "lst AS (SELECT doc_id, list_filter(string_split_regex(t, "
+            "'\\s+'), x -> x <> '') AS l FROM tt), "
+            "tok AS (SELECT doc_id, unnest(l) AS w FROM lst), "
+            "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, w), "
+            "dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY w), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.w AS term, "
+            "CAST(tf.tf * ((1000000 * n.n) // dfq.df) AS BIGINT) "
+            "AS score_micro FROM tf JOIN dfq USING (w) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_micro DESC, term) AS rn FROM sc) "
+            "SELECT doc_id, term, score_micro FROM r WHERE rn <= 3"
+        ),
+        "frequent_part_pairs": (
+            "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, "
+            "CAST(count(*) AS BIGINT) AS n FROM b a JOIN b c "
+            "USING (l_orderkey) WHERE a.l_partkey < c.l_partkey "
+            "GROUP BY part_a, part_b) "
+            "SELECT part_a, part_b, n FROM p WHERE n >= 2"
+        ),
+        "session_stats": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), "
+            "l AS (SELECT user_id, event_id, us, v, CASE WHEN "
+            "lag(us) OVER w IS NULL OR us - lag(us) OVER w > "
+            f"{_SESSION_STATS_GAP_US} THEN 1 ELSE 0 END AS new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "s AS (SELECT *, sum(new) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS session_seq FROM l) "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(v) AS BIGINT) AS sum_val, "
+            "CAST(min(us) AS BIGINT) AS start_us, "
+            "CAST(max(us) AS BIGINT) AS end_us "
+            "FROM s GROUP BY user_id, session_seq"
+        ),
+        "user_value_outliers": (
+            "WITH v AS (SELECT user_id, CAST(floor(value * 1000000) "
+            "AS BIGINT) AS x FROM events), "
+            "r1 AS (SELECT user_id, x, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY x) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM v), "
+            "m1 AS (SELECT user_id, x AS median FROM r1 "
+            "WHERE rn = (cnt - 1) // 2 + 1), "
+            "d AS (SELECT v.user_id, v.x, abs(v.x - m1.median) AS dev, "
+            "m1.median FROM v JOIN m1 USING (user_id)), "
+            "r2 AS (SELECT user_id, dev, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY dev) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM d), "
+            "m2 AS (SELECT user_id, dev AS mad FROM r2 "
+            "WHERE rn = (cnt - 1) // 2 + 1) "
+            "SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN abs(d.x - d.median) > 3 * m2.mad "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM d JOIN m2 USING (user_id) GROUP BY d.user_id"
+        ),
+        "events_running_total": (
+            "SELECT event_id, CAST(sum(CAST(floor(value * 1000000) "
+            "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_micro "
+            "FROM events"
         ),
         "distinct_users_hll": (
             # HLL transcription: 60-bit md5 hash, top 4 bits index one

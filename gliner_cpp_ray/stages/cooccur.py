@@ -138,3 +138,70 @@ def cooccurrence_counts(mentions_ds, canon_map: dict, n_buckets: int | None = No
         pairs, ["canon_a", "canon_b"], "sum", val_col="n",
         out_col="n_docs", n_buckets=n_buckets,
     )
+
+
+def basket_pair_counts(ds, basket_col: str, item_col: str,
+                       min_support: int = 2, n_buckets: int | None = None):
+    """Market-basket pair mining: count, over all baskets, how many
+    baskets contain BOTH items of each unordered pair; keep pairs with
+    support >= ``min_support`` (the frequent-2-itemset primitive under
+    recommendations / co-purchase graphs).
+
+    Same scale shape as the entity co-occurrence graph above: a
+    per-batch DISTINCT (basket, item) combiner, ONE basket-hash bucket
+    shuffle (a basket lands wholly in one bucket, so the per-bucket
+    self-merge is globally exact), vectorized pair expansion bounded by
+    sum over baskets of k_b^2 (basket width, not corpus size), then a
+    pair-keyed grouped sum.  Raw basket rows never cross the wire
+    twice; nothing touches the driver.
+    """
+    import pyarrow.compute as pc
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket, bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    a_col, b_col = f"{item_col}_a", f"{item_col}_b"
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                basket_col: t.column(basket_col).to_pandas(),
+                item_col: t.column(item_col).to_pandas(),
+            }
+        ).drop_duplicates()
+        return add_group_bucket(
+            pa.Table.from_pandas(df, preserve_index=False),
+            [basket_col], n_buckets,
+        )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").drop_duplicates(
+            [basket_col, item_col]
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    a_col: pd.Series([], dtype=np.int64),
+                    b_col: pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = g.merge(g, on=basket_col, suffixes=("_a", "_b"))
+        m = m[m[a_col] < m[b_col]]
+        out = m.groupby([a_col, b_col], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(expand, batch_format="pandas")
+    )
+    summed = bucketed_group_agg(
+        pairs, [a_col, b_col], specs=[("sum", "n", "n")], n_buckets=n_buckets
+    )
+    return summed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_support)),
+        batch_format="pyarrow",
+    )

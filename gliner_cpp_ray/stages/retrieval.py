@@ -390,3 +390,87 @@ def term_postings(ds, id_col: str = "doc_id", text_col: str = "text",
             [("term", pa.string()), ("posting_head", pa.string())]
         ),
     )
+
+
+def doc_keywords(ds, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int | None = None):
+    """Per-document top-k keywords by corpus TF-IDF — the metadata
+    -enrichment / RAG-indexing operator (``tfidf_topk`` ranks DOCS for a
+    query; this ranks TERMS for every doc).
+
+    Integer-exact scoring (``score_micro = tf · ((SCALE·N) // df)``, the
+    registry-wide log-free idf) so every score is SQL-replicable.
+
+    Scale shape: (1) corpus DF table via the vectorized per-batch
+    document-frequency partials + ONE term-keyed grouped sum —
+    vocabulary-bounded, never a raw token shuffle; (2) per-doc (doc,
+    term, tf) rows computed exactly inside each batch (a document lives
+    in one row); (3) tf ⋈ df is a term-bucketed hash join (the
+    vocabulary is corpus-scaled — never broadcast); (4) per-doc top-k
+    rides the shuffle-bounded ``grouped_top_k`` combiner chain."""
+    import pandas as pd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+    from gliner_cpp_ray.stages.text_analysis import term_doc_frequency_partial
+
+    n_docs = ds.count()  # parquet metadata count — no data pass
+
+    df_tab = bucketed_group_agg(
+        ds.map_batches(
+            lambda t: term_doc_frequency_partial(t, text_col),
+            batch_format="pyarrow",
+        ),
+        "term", specs=[("sum", "df", "df")], n_buckets=n_buckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "term": t.column("term"),
+                "w": pc.cast(
+                    pc.divide(
+                        pa.scalar(SCALE * n_docs, pa.int64()), t.column("df")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens(batch, text_col)
+        ids = batch.column(id_col).to_pandas().to_numpy()
+        d = pd.DataFrame({id_col: ids[parents], "term": flat.to_pandas()})
+        counts = (
+            d.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                id_col: pa.array(counts[id_col],
+                                 batch.schema.field(id_col).type),
+                "term": pa.array(counts["term"], pa.string()),
+                "tf": pa.array(counts["tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tf_tab = ds.map_batches(tf_partial, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        tf_tab, df_tab, on="term", n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("term", pa.string()), ("w", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                "term": t.column("term"),
+                "score_micro": pc.multiply(t.column("tf"), t.column("w")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_top_k(
+        joined, group_col=id_col, order_col="score_micro",
+        id_col="term", k=k, n_buckets=n_buckets,
+    )

@@ -579,3 +579,125 @@ def session_ids_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def running_sum_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
+                        val_col: str, out_col: str = "run_total",
+                        n_buckets: int | None = None):
+    """Per-key running total: ``sum(val) OVER (PARTITION BY keys ORDER
+    BY (ts, id) ROWS UNBOUNDED PRECEDING)`` — the cumulative-feature
+    primitive (lifetime spend to date, inventory level, balance).
+
+    -> Dataset(id, out_col).  ONE composite-key-hash bucket shuffle +
+    per-bucket vectorized sort, then a single global cumsum rebased at
+    each key run's start (the ``lag_delta`` run-start trick) — int64
+    exact, no per-key frames."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    out_col: np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        v = g[val_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, pos, 0))
+        cs = np.cumsum(v)
+        out = cs - cs[run_start] + v[run_start]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: out})
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+def session_stats_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
+                          val_col: str, gap_us: int,
+                          n_buckets: int | None = None):
+    """Per-SESSION aggregates: one output row per (key, session) with
+    the session's ordinal, event count, value sum and start/end time —
+    the rollup ``session_ids_per_key`` labels events for, computed in
+    the SAME single exchange (no label-then-join second shuffle).
+
+    ``ts_col`` must be integer micro-epoch.  -> Dataset(*key_cols,
+    session_seq, n_events, sum_val, start_us, end_us).  Output volume
+    is one row per session, bounded by event count."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if gap_us < 0:
+        raise ValueError("gap_us must be >= 0")
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            **{k: g[k].head(0) for k in key_cols},
+            "session_seq": np.zeros(0, np.int64),
+            "n_events": np.zeros(0, np.int64),
+            "sum_val": np.zeros(0, np.int64),
+            "start_us": np.zeros(0, np.int64),
+            "end_us": np.zeros(0, np.int64),
+        }
+        if not len(g):
+            return pd.DataFrame(cols)
+        if g[ts_col].dtype.kind not in "iu":
+            raise TypeError(
+                f"session_stats_per_key needs an integer {ts_col!r} column"
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = True
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same[1:] &= kv[1:] == kv[:-1]
+        new = ~same
+        new[1:] |= same[1:] & ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(new.astype(np.int64))  # bucket-global session id
+        pos = np.arange(len(g), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, pos, 0))
+        seq = sid - sid[run_start] + 1  # per-key session ordinal
+        d = g.assign(_sid=sid, _seq=seq)
+        agg = d.groupby("_sid", sort=True).agg(
+            **{k: (k, "first") for k in key_cols},
+            session_seq=("_seq", "first"),
+            n_events=(ts_col, "size"),
+            sum_val=(val_col, "sum"),
+            start_us=(ts_col, "min"),
+            end_us=(ts_col, "max"),
+        ).reset_index(drop=True)
+        for c in ("session_seq", "n_events", "sum_val", "start_us", "end_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

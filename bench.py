@@ -126,6 +126,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("user_customer_overlap", q.q_user_customer_overlap)
+        timed("events_hourly_dense", q.q_events_hourly_dense)
+        timed("label_embedding_centroid", q.q_label_embedding_centroid)
         timed("dedup_exact_docs", q.q_dedup_exact_docs)
         timed("minhash_clusters", q.q_minhash_clusters)
         timed("minhash_dedup_keep", q.q_minhash_dedup_keep)

@@ -1553,6 +1553,155 @@ def q_events_running_total(sf_dir: str):
     )
 
 
+def q_user_customer_overlap(sf_dir: str):
+    """Distributed set operations on key sets (C123): |events-only|,
+    |orders-only| and |both| over DISTINCT events.user_id vs DISTINCT
+    orders.o_custkey — INTERSECT / EXCEPT as one co-partitioned merge.
+    Shape: per-batch distinct combiner per side, tagged union, ONE
+    key-hash grouped max per side flag, then a 4-row flag-combo count —
+    key sets never reach the driver."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    def side(ds, col, bit):
+        def tag(t: pa.Table) -> pa.Table:
+            u = pc.unique(t.column(col).combine_chunks())
+            return pa.table(
+                {
+                    "k": u,
+                    "f_events": pa.array(np.full(len(u), 1 - bit, np.int64)),
+                    "f_orders": pa.array(np.full(len(u), bit, np.int64)),
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    ev = side(_read(sf_dir, "events", columns=["user_id"]), "user_id", 0)
+    od = side(_read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", 1)
+    flags = bucketed_group_agg(
+        ev.union(od), "k",
+        specs=[("max", "f_events", "in_e"), ("max", "f_orders", "in_o")],
+    )
+
+    def combo(t: pa.Table) -> pa.Table:
+        e = t.column("in_e").to_numpy(zero_copy_only=False)
+        o = t.column("in_o").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_events_only": pa.array([int((e & ~o.astype(bool)).sum())],
+                                          pa.int64()),
+                "n_orders_only": pa.array([int((o & ~e.astype(bool)).sum())],
+                                          pa.int64()),
+                "n_both": pa.array([int((e & o).sum())], pa.int64()),
+            }
+        )
+
+    parts = flags.map_batches(combo, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum().astype("int64")])
+
+
+def q_events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly series (C124): the tumbling hourly count with
+    EVERY bucket between the corpus min and max hour present (zero
+    rows for silent hours) — the resample/densify step before
+    time-series models.  The dense axis comes from a ``ray.data.range``
+    generator source (never a driver-side arange), left-joined to the
+    sparse counts by bucket hash; span is time-range-bounded, not
+    corpus-bounded."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pc.divide(
+                    t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                    HOUR,
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: min/max scalars + counts
+    lo, hi = int(ds.min("bucket")), int(ds.max("bucket"))
+    counts = bucketed_group_agg(ds, "bucket", agg="count", out_col="n")
+    dense = rd.range(hi - lo + 1).map_batches(
+        lambda t: pa.table(
+            {"bucket": pc.add(t.column("id"), pa.scalar(lo, pa.int64()))}
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_hash_join(
+        dense, counts, on="bucket", how="left",
+        left_schema=pa.schema([("bucket", pa.int64())]),
+        right_schema=pa.schema([("bucket", pa.int64()), ("n", pa.int64())]),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n": pc.fill_null(t.column("n"), 0).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_label_embedding_centroid(sf_dir: str):
+    """Per-label embedding centroid (C125): mean vector per label over
+    int-quantized components (floor(x·1e6); mean = sum // n) so every
+    coordinate is bit-reproducible — the class-prototype / cluster-
+    profile aggregate.  Per-batch partials emit labels×64 (label, dim,
+    sum, n) rows; ONE (label, dim)-keyed grouped sum; nothing
+    corpus-sized moves."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        labs = np.unique(lab)
+        rows_l, rows_d, rows_s, rows_n = [], [], [], []
+        for lv in labs:
+            m = lab == lv
+            s = q[m].sum(axis=0)
+            rows_l.append(np.full(q.shape[1], lv, np.int64))
+            rows_d.append(np.arange(q.shape[1], dtype=np.int64))
+            rows_s.append(s)
+            rows_n.append(np.full(q.shape[1], int(m.sum()), np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(rows_l)),
+                "dim": pa.array(np.concatenate(rows_d)),
+                "s": pa.array(np.concatenate(rows_s)),
+                "n": pa.array(np.concatenate(rows_n)),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        specs=[("sum", "s", "s"), ("sum", "n", "n")],
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        # component sums CAN be negative: integer division must agree
+        # between engines — Arrow pc.divide and DuckDB // BOTH truncate
+        # toward zero (measured: -7 // 2 = -3 in DuckDB), so the mean
+        # is defined as the truncated quotient (NOT Python's floor //)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "centroid_micro": pc.divide(t.column("s"), t.column("n")),
+                "n_vecs": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3656,6 +3805,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "user_customer_overlap": q_user_customer_overlap,
+        "events_hourly_dense": q_events_hourly_dense,
+        "label_embedding_centroid": q_label_embedding_centroid,
         "doc_keywords": q_doc_keywords,
         "frequent_part_pairs": q_frequent_part_pairs,
         "session_stats": q_session_stats,
@@ -4761,6 +4913,41 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "user_customer_overlap": (
+            "WITH u AS (SELECT DISTINCT user_id AS k FROM events), "
+            "o AS (SELECT DISTINCT o_custkey AS k FROM orders), "
+            "j AS (SELECT CASE WHEN u.k IS NULL THEN 0 ELSE 1 END AS lu, "
+            "CASE WHEN o.k IS NULL THEN 0 ELSE 1 END AS lo "
+            "FROM u FULL OUTER JOIN o ON u.k = o.k) "
+            "SELECT CAST(sum(CASE WHEN lu = 1 AND lo = 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_events_only, "
+            "CAST(sum(CASE WHEN lu = 0 AND lo = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_orders_only, "
+            "CAST(sum(CASE WHEN lu = 1 AND lo = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_both FROM j"
+        ),
+        "events_hourly_dense": (
+            "WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) "
+            "AS bucket FROM events), "
+            "r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b), "
+            "dense AS (SELECT unnest(generate_series(lo, hi)) AS bucket "
+            "FROM r), "
+            "c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket) "
+            "SELECT dense.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+            "FROM dense LEFT JOIN c USING (bucket)"
+        ),
+        "label_embedding_centroid": (
+            "WITH q AS (SELECT label, generate_subscripts(embedding, 1) "
+            "AS idx, unnest(embedding) AS x FROM embeddings), "
+            "v AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(idx - 1 AS BIGINT) AS dim, "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq "
+            "FROM q), "
+            "a AS (SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY label, dim) "
+            "SELECT label, dim, CAST(s // n AS BIGINT) AS centroid_micro, "
+            "n AS n_vecs FROM a"
         ),
         "doc_keywords": (
             f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t "

@@ -3808,6 +3808,20 @@ def queries():
         "user_customer_overlap": q_user_customer_overlap,
         "events_hourly_dense": q_events_hourly_dense,
         "label_embedding_centroid": q_label_embedding_centroid,
+        # -- the 12 queries VERDICT r3 flagged as lacking a driver row
+        # (never driver-checked in any round): inside the cap FIRST
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "docs_above_median_chars": q_docs_above_median_chars,
+        "event_props_k_stats": q_event_props_k_stats,
+        "distinct_users_kmv": q_distinct_users_kmv,
+        "train_test_split": q_train_test_split,
+        "order_lineitem_join": q_order_lineitem_join,
+        "events_asof_order": q_events_asof_order,
+        "events_in_order_window": q_events_in_order_window,
+        "orders_by_nation": q_orders_by_nation,
+        "top_orders_per_status": q_top_orders_per_status,
+        "lineitem_europe_semi": q_lineitem_europe_semi,
+        "lineitem_pricing": q_lineitem_pricing,
         "doc_keywords": q_doc_keywords,
         "frequent_part_pairs": q_frequent_part_pairs,
         "session_stats": q_session_stats,
@@ -3878,19 +3892,6 @@ def queries():
         "distinct_users_per_type": q_distinct_users_per_type,
         "customer_name_near_dup": q_customer_name_near_dup,
         "top_collocations": q_top_collocations,
-        # -- never driver-checked before round 4
-        "top_terms_per_lang": q_top_terms_per_lang,
-        "docs_above_median_chars": q_docs_above_median_chars,
-        "event_props_k_stats": q_event_props_k_stats,
-        "distinct_users_kmv": q_distinct_users_kmv,
-        "train_test_split": q_train_test_split,
-        "order_lineitem_join": q_order_lineitem_join,
-        "events_asof_order": q_events_asof_order,
-        "events_in_order_window": q_events_in_order_window,
-        "orders_by_nation": q_orders_by_nation,
-        "top_orders_per_status": q_top_orders_per_status,
-        "lineitem_europe_semi": q_lineitem_europe_semi,
-        "lineitem_pricing": q_lineitem_pricing,
         # -- the bulk
         "kg_extracted_text": q_kg_extracted_text,
         "kg_triples": q_kg_triples,

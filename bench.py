@@ -126,6 +126,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("doc_segment_dedup", q.q_doc_segment_dedup)
+        timed("nation_trade_volume", q.q_nation_trade_volume)
+        timed("wealthy_inactive_customers", q.q_wealthy_inactive_customers)
+        timed("user_interarrival", q.q_user_interarrival)
         timed("user_customer_overlap", q.q_user_customer_overlap)
         timed("events_hourly_dense", q.q_events_hourly_dense)
         timed("label_embedding_centroid", q.q_label_embedding_centroid)

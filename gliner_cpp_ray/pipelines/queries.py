@@ -1702,6 +1702,293 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_doc_segment_dedup(sf_dir: str):
+    """Cross-document segment (pseudo-paragraph) dedup stats (C126):
+    the CCNet/MassiveText paragraph-hash boilerplate signal over the
+    documents table — per doc, how many of its non-overlapping 8-token
+    segments occur verbatim in at least one OTHER document.  Two key
+    exchanges (segment hash, then doc id); md5-u60 segment hashes so
+    the oracle replicates the bucketing literally;
+    stages/dedup.py:segment_dedup_stats."""
+    from gliner_cpp_ray.stages.dedup import segment_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return segment_dedup_stats(ds, seg_len=8)
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped shipping-volume report: revenue flowing between
+    NATION_12 and NATION_19 (both directions kept separate) by ship
+    year, 1996-1997 — the cross-border trade rollup.  Scale shape:
+    the supplier/customer sides reduce to (key, nationkey) streams
+    filtered MAP-SIDE to the two nations (tiny fraction survives);
+    three bucketed hash joins partition on their join key
+    (lineitem⋈supplier on suppkey, orders⋈customer on custkey, then
+    orderkey); the cross-nation predicate filters the joined stream
+    before ONE 4-row grouped sum.  Revenue integer-exact in micro
+    units (same formula as the Q5 plan)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    pick = nation.filter(
+        pc.is_in(
+            nation.column("n_name"),
+            value_set=pa.array(["NATION_12", "NATION_19"]),
+        )
+    )
+    nkeys = pick.column("n_nationkey").cast(pa.int64()).combine_chunks()
+    names = dict(
+        zip(
+            pick.column("n_nationkey").to_pylist(),
+            pick.column("n_name").to_pylist(),
+        )
+    )
+    lo = int(np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64))
+    yr97 = int(
+        np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+    )
+
+    def _keyed(key_col: str, nat_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            nat = t.column(nat_col).cast(pa.int64())
+            mask = pc.is_in(nat, value_set=nkeys)
+            return pa.table(
+                {
+                    key_col: t.column(key_col).filter(mask),
+                    nat_col: nat.filter(mask),
+                }
+            )
+
+        return fn
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
+        t = t.filter(keep)
+        sd = t.column("l_shipdate").cast(pa.int64())
+        year = pc.add(
+            pa.scalar(1996, pa.int64()),
+            pc.cast(
+                pc.greater_equal(sd, pa.scalar(yr97, pa.int64())), pa.int64()
+            ),
+        )
+        rev = pc.divide(
+            pc.multiply(
+                _micro(t.column("l_extendedprice")),
+                pc.subtract(
+                    pa.scalar(1000, pa.int64()),
+                    pc.cast(
+                        pc.floor(pc.multiply(t.column("l_discount"), 1000.0)),
+                        pa.int64(),
+                    ),
+                ),
+            ),
+            pa.scalar(1000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": year,
+                "rev_micro": rev,
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t, f=_keyed("s_suppkey", "s_nationkey"): pa.table(
+            {
+                "l_suppkey": f(t).column("s_suppkey"),
+                "s_nationkey": f(t).column("s_nationkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        line, supp, on="l_suppkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_year", pa.int64()), ("rev_micro", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.select(
+            ["l_orderkey", "l_year", "rev_micro", "s_nationkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t, f=_keyed("c_custkey", "c_nationkey"): pa.table(
+            {
+                "o_custkey": f(t).column("c_custkey"),
+                "c_nationkey": f(t).column("c_nationkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j2 = bucketed_hash_join(
+        orders, cust, on="o_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "c_nationkey": t.column("c_nationkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    j3 = bucketed_hash_join(
+        j1, j2, on="l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_year", pa.int64()),
+             ("rev_micro", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        ).select(["s_nationkey", "c_nationkey", "l_year", "rev_micro"]),
+        batch_format="pyarrow",
+    )
+    agg = bucketed_group_agg(
+        j3, ["s_nationkey", "c_nationkey", "l_year"],
+        agg="sum", val_col="rev_micro", out_col="revenue_micro",
+        n_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[k] for k in t.column("s_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+                "cust_nation": pa.array(
+                    [names[k] for k in t.column("c_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+                "l_year": t.column("l_year"),
+                "revenue_micro": t.column("revenue_micro"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_wealthy_inactive_customers(sf_dir: str):
+    """TPC-H-Q22-shaped opportunity report: customers with an account
+    balance above the positive-balance mean who have LAPSED — no order
+    on/after 2000-01-01 — counted per market segment.  Scale shape:
+    the mean is a scalar distributed aggregate (sum+count of micro-unit
+    balances in one pass, threshold = sum // count broadcast into the
+    filter — never a sort or a second scan); the lapse predicate is a
+    bucketed anti join on custkey against the date-filtered order
+    stream (filter pushed MAP-SIDE so only recent-order custkeys
+    shuffle); ONE tiny per-segment grouped rollup ends the plan.  All
+    int64: balance micro units, truncated-quotient mean (matches
+    DuckDB ``//``)."""
+    from gliner_cpp_ray.stages.joins import bucketed_anti_join, bucketed_group_agg
+
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "bal_micro": _micro(t.column("c_acctbal")),
+                "c_mktsegment": t.column("c_mktsegment"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: scalar mean + filtered anti join
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t.column("bal_micro")
+        pos = pc.greater(b, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "s": pa.array(
+                    [pc.sum(b.filter(pos)).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([int(pc.sum(pos).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    s, n = int(parts["s"].sum()), int(parts["n"].sum())
+    thr = int(np.int64(s) // np.int64(n)) if s >= 0 else -((-s) // n)
+    # DuckDB // truncates toward zero; balances sum positive here, and
+    # the branch above keeps the two engines identical if they didn't
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("bal_micro"), pa.scalar(thr, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    cut = int(
+        np.datetime64("2000-01-01").astype("datetime64[us]").astype(np.int64)
+    )
+    recent = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey").filter(
+                    pc.greater_equal(
+                        t.column("o_orderdate").cast(pa.int64()),
+                        pa.scalar(cut, pa.int64()),
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    inactive = bucketed_anti_join(rich, recent, on="c_custkey")
+    return bucketed_group_agg(
+        inactive, "c_mktsegment",
+        specs=[("count", None, "n_custs"), ("sum", "bal_micro", "total_bal_micro")],
+        n_buckets=8,
+    )
+
+
+def q_user_interarrival(sf_dir: str):
+    """Per-user inter-event gap profile: min / max / truncated-mean
+    microsecond gap between consecutive events (ordered by ts then
+    event_id) — the burstiness / bot-cadence feature.  ONE key-hash
+    exchange on user_id; per-bucket vectorized sort + diff with gaps
+    located by key-run boundaries (no per-user loop); users with a
+    single event have no gaps and are absent on both engines."""
+    from gliner_cpp_ray.stages.windows import interarrival_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return interarrival_per_key(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id"
+    )
+
+
 def q_token_rarity_hist(sf_dir: str):
     """Per-document token-rarity histogram (bucket = floor(log2 of the
     corpus-wide token count)) — the unigram-LM quality signal; the
@@ -3805,6 +4092,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "nation_trade_volume": q_nation_trade_volume,
+        "wealthy_inactive_customers": q_wealthy_inactive_customers,
+        "user_interarrival": q_user_interarrival,
         "user_customer_overlap": q_user_customer_overlap,
         "events_hourly_dense": q_events_hourly_dense,
         "label_embedding_centroid": q_label_embedding_centroid,
@@ -4914,6 +5205,78 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "doc_segment_dedup": (
+            f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t "
+            "FROM documents), "
+            "lst AS (SELECT doc_id, list_filter(string_split_regex(t, "
+            "'\\s+'), x -> x <> '') AS l FROM tt), "
+            "tok AS (SELECT doc_id, unnest(l) AS w, "
+            "generate_subscripts(l, 1) AS idx FROM lst), "
+            "seg AS (SELECT doc_id, (idx - 1) // 8 AS chunk, "
+            "string_agg(w, ' ' ORDER BY idx) AS s "
+            "FROM tok GROUP BY doc_id, chunk), "
+            "hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) "
+            "AS BIGINT) AS h FROM seg), "
+            "pair AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS n_inst "
+            "FROM hh GROUP BY doc_id, h), "
+            "dq AS (SELECT h, count(*) AS ndocs FROM pair GROUP BY h), "
+            "per AS (SELECT p.doc_id, CAST(sum(p.n_inst) AS BIGINT) "
+            "AS n_segments, CAST(sum(CASE WHEN dq.ndocs >= 2 THEN p.n_inst "
+            "ELSE 0 END) AS BIGINT) AS n_dup_segments "
+            "FROM pair p JOIN dq USING (h) GROUP BY p.doc_id) "
+            "SELECT doc_id, n_segments, n_dup_segments, "
+            "CAST(n_dup_segments * 1000000 // n_segments AS BIGINT) "
+            "AS dup_ppm FROM per"
+        ),
+        "nation_trade_volume": (
+            "WITH supp AS (SELECT s_suppkey, n_name AS supp_nation "
+            "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name IN ('NATION_12', 'NATION_19')), "
+            "cust AS (SELECT c_custkey, n_name AS cust_nation "
+            "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+            "WHERE n_name IN ('NATION_12', 'NATION_19')), "
+            "li AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' "
+            "THEN 1997 ELSE 1996 END AS BIGINT) AS l_year, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) "
+            "* (1000 - CAST(floor(l_discount * 1000) AS BIGINT)) // 1000 "
+            "AS rev FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01') "
+            "SELECT supp.supp_nation, cust.cust_nation, li.l_year, "
+            "CAST(sum(li.rev) AS BIGINT) AS revenue_micro "
+            "FROM li JOIN supp ON supp.s_suppkey = li.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = li.l_orderkey "
+            "JOIN cust ON cust.c_custkey = o.o_custkey "
+            "WHERE supp.supp_nation <> cust.cust_nation "
+            "GROUP BY supp.supp_nation, cust.cust_nation, li.l_year"
+        ),
+        "wealthy_inactive_customers": (
+            "WITH c AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(floor(c_acctbal * 1000000) AS BIGINT) AS bal_micro "
+            "FROM customer), "
+            "thr AS (SELECT CAST(sum(bal_micro) // count(*) AS BIGINT) "
+            "AS t FROM c WHERE bal_micro > 0), "
+            "rich AS (SELECT c.* FROM c, thr WHERE c.bal_micro > thr.t "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01')) "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs, "
+            "CAST(sum(bal_micro) AS BIGINT) AS total_bal_micro "
+            "FROM rich GROUP BY c_mktsegment"
+        ),
+        "user_interarrival": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pt FROM events), "
+            "g AS (SELECT user_id, t - pt AS gap FROM o "
+            "WHERE pt IS NOT NULL) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(min(gap) AS BIGINT) AS min_gap_us, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+            "CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us "
+            "FROM g GROUP BY user_id"
         ),
         "user_customer_overlap": (
             "WITH u AS (SELECT DISTINCT user_id AS k FROM events), "

@@ -1357,3 +1357,124 @@ def source_mirror_overlap(ds, group_col: str = "source",
 
     frags = ds.map_batches(fragment_rows, batch_format="pyarrow")
     return group_set_overlap(frags, "source", "h")
+
+
+def segment_dedup_stats(ds, seg_len: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int | None = None):
+    """Cross-document SEGMENT dedup stats — the paragraph-hash dedup of
+    CCNet/MassiveText adapted to single-line documents: the unit is a
+    non-overlapping run of ``seg_len`` tokens (last partial run kept),
+    a "duplicated" segment is one whose text occurs in >= 2 DISTINCT
+    documents, and the per-document report is the boilerplate signal a
+    cleaning pipeline thresholds on before training.
+
+    Scale shape (two key exchanges, nothing corpus-sized on the driver):
+
+    1. per-batch map emits one ``(doc_id, h, n_inst)`` row per DISTINCT
+       (document, segment-hash) pair — md5-u60 of the space-joined
+       lowercased token run, the same SQL-expressible hash family the
+       MinHash shingles use, so the DuckDB oracle replicates it
+       literally.  Rows per doc <= tokens/seg_len; within-doc repeats
+       collapse into ``n_inst`` before anything moves.
+    2. ONE hash exchange on ``h``: within each bucket every row of a
+       given hash is present, so the cross-doc flag is a vectorized
+       per-group size >= 2 — emitted per row, same cardinality out.
+    3. ONE hash exchange on ``doc_id`` (bucketed_group_agg) rolls up
+       ``n_segments`` / ``n_dup_segments``; ``dup_ppm`` is exact int64
+       floor arithmetic (headroom: segments-per-doc * 1e6 << 2^63).
+
+    Returns Dataset (doc_id, n_segments, n_dup_segments, dup_ppm).
+    Documents with zero tokens have zero segments and are absent, on
+    both engines by construction."""
+    from gliner_cpp_ray.stages.joins import add_bucket, bucketed_group_agg
+    from gliner_cpp_ray.stages.retrieval import _tokens
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    pair_schema = pa.schema(
+        [(id_col, pa.int64()), ("h", pa.int64()), ("n_inst", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, parents = _tokens(t, text_col)
+        if len(parents) == 0:
+            return pair_schema.empty_table()
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        # within-doc token ordinal -> non-overlapping chunk id; parents
+        # is ascending, so each doc's run start locates via searchsorted
+        starts = np.searchsorted(parents, np.arange(t.num_rows))
+        pos = np.arange(len(parents)) - starts[parents]
+        chunk = pos // seg_len
+        df = pd.DataFrame(
+            {"p": parents, "c": chunk, "w": toks.to_pandas()}
+        )
+        # per-segment join preserves token order (groupby keeps row
+        # order within groups); per-SEGMENT python md5 mirrors the
+        # shingle-hash precedent above — not a per-row hot loop
+        segs = df.groupby(["p", "c"], sort=False)["w"].agg(" ".join)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                for s in segs
+            ),
+            dtype=np.int64,
+            count=len(segs),
+        )
+        pidx = segs.index.get_level_values(0).to_numpy()
+        cnt = (
+            pd.DataFrame({id_col: doc[pidx], "h": h})
+            .groupby([id_col, "h"], sort=False)
+            .size()
+            .rename("n_inst")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(cnt[id_col].to_numpy(np.int64)),
+                "h": pa.array(cnt["h"].to_numpy(np.int64)),
+                "n_inst": pa.array(cnt["n_inst"].to_numpy(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    def flag(g: pd.DataFrame) -> pa.Table:
+        # rows are globally distinct per (doc, h) — a doc lives in one
+        # batch row — so per-h row count IS the distinct-doc count
+        ndocs = g.groupby("h")["h"].transform("size").to_numpy()
+        n_inst = g["n_inst"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                "n_inst": pa.array(n_inst),
+                "dup_inst": pa.array(
+                    np.where(ndocs >= 2, n_inst, 0).astype(np.int64)
+                ),
+            }
+        )
+
+    pair = ds.map_batches(pairs, batch_format="pyarrow")
+    flagged = (
+        pair.map_batches(
+            lambda t: add_bucket(t, "h", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("__bucket")
+        .map_groups(flag, batch_format="pandas")
+    )
+    agg = bucketed_group_agg(
+        flagged,
+        id_col,
+        specs=[("sum", "n_inst", "n_segments"),
+               ("sum", "dup_inst", "n_dup_segments")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dup_ppm",
+            pc.divide(
+                pc.multiply(t.column("n_dup_segments"),
+                            pa.scalar(1_000_000, pa.int64())),
+                t.column("n_segments"),
+            ),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -701,3 +701,60 @@ def session_stats_per_key(ds, key_cols: list[str], ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def interarrival_per_key(ds, key_col: str, ts_col: str, id_col: str,
+                         n_buckets: int | None = None):
+    """Per-key inter-event gap profile: n_gaps, min/max gap and the
+    truncated-quotient mean gap (microseconds) between CONSECUTIVE
+    events ordered by (ts, id) — the burstiness / cadence feature
+    (bot detection, session design, retention modeling).
+
+    -> Dataset(key, n_gaps, min_gap_us, max_gap_us, mean_gap_us).
+    ONE key-hash bucket shuffle; per-bucket vectorized sort + diff with
+    key-run boundaries masking cross-key diffs (no per-key loop);
+    keys with a single event have no gaps and are absent.  All int64;
+    mean = sum // n matches DuckDB ``//`` (gaps are non-negative)."""
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    out_cols = [key_col, "n_gaps", "min_gap_us", "max_gap_us", "mean_gap_us"]
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: np.zeros(0, np.int64) for c in out_cols})
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = ts[1:] - ts[:-1]
+        same = k[1:] == k[:-1]
+        gk, gv = k[1:][same], gap[same]
+        if not len(gv):
+            return pd.DataFrame({c: np.zeros(0, np.int64) for c in out_cols})
+        df = pd.DataFrame({key_col: gk, "g": gv})
+        grp = df.groupby(key_col, sort=False)["g"]
+        out = pd.DataFrame(
+            {
+                "n_gaps": grp.size().astype(np.int64),
+                "min_gap_us": grp.min().astype(np.int64),
+                "max_gap_us": grp.max().astype(np.int64),
+                "s": grp.sum().astype(np.int64),
+            }
+        ).reset_index()
+        out["mean_gap_us"] = (
+            out["s"].to_numpy() // out["n_gaps"].to_numpy()
+        ).astype(np.int64)
+        return out[out_cols]
+
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

@@ -376,3 +376,38 @@ def test_edit_distance_pairs_blocked_equals_postfiltered(ray_session):
     got = set(zip(blocked["a"], blocked["b"]))
     assert got == want
     assert ("abcd", "abcf") not in got  # cross-block dist-1 pair cut
+
+
+def test_segment_dedup_stats_boundaries(ray_session):
+    """Chunking edge cases: exact multiple of seg_len, short partial
+    tail, whole-doc shorter than seg_len, within-doc repeat (counted
+    in n_segments, NOT cross-doc dup), and a genuine cross-doc dup."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.dedup import segment_dedup_stats
+
+    seg = "a b c d e f g h"          # one full 8-token segment
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                seg + " " + seg,      # doc0: same segment twice (within-doc)
+                seg + " tail only",   # doc1: full seg (cross-dup w/ doc0) + partial
+                "tiny doc",           # doc2: single partial segment, unique
+                "tail only",          # doc3: equals doc1's partial 2-token segment
+            ],
+        }
+    )
+    got = (
+        segment_dedup_stats(rd.from_pandas(docs).repartition(3), seg_len=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0: 2 segments, both instances of a hash that doc1 also has -> 2 dup
+    # doc1: seg (dup w/ doc0) + 'tail only' (dup w/ doc3) -> 2/2
+    # doc2: 1 unique partial -> 0 dup
+    # doc3: 'tail only' dup w/ doc1 -> 1/1
+    assert got["n_segments"].tolist() == [2, 2, 1, 1]
+    assert got["n_dup_segments"].tolist() == [2, 2, 0, 1]
+    assert got["dup_ppm"].tolist() == [1_000_000, 1_000_000, 0, 1_000_000]

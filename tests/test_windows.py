@@ -304,3 +304,79 @@ def test_grouped_exact_median_lower_median(ray_session):
     }
     # odd count -> middle; even count -> LOWER median
     assert got == {1: 20, 2: 2}
+
+
+def test_interarrival_per_key_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import interarrival_per_key
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    users = rng.integers(0, 80, n).astype(np.int64)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 86_400_000_000, n).astype("timedelta64[us]")
+    # force ties: several events share a timestamp, order falls to id
+    ts[100:110] = ts[100]
+    df = pd.DataFrame(
+        {
+            "user_id": users,
+            "ts": pd.to_datetime(ts),
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        interarrival_per_key(
+            rd.from_pandas(df).repartition(7),
+            key_col="user_id", ts_col="ts", id_col="event_id",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    t_us = ref["ts"].astype("int64")
+    gap = t_us.groupby(ref["user_id"]).diff().dropna().astype(np.int64)
+    rg = pd.DataFrame({"user_id": ref.loc[gap.index, "user_id"], "g": gap})
+    grp = rg.groupby("user_id")["g"]
+    want = pd.DataFrame(
+        {
+            "n_gaps": grp.size().astype(np.int64),
+            "min_gap_us": grp.min().astype(np.int64),
+            "max_gap_us": grp.max().astype(np.int64),
+        }
+    ).reset_index()
+    want["mean_gap_us"] = (
+        grp.sum().to_numpy() // grp.size().to_numpy()
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()], check_dtype=False
+    )
+
+
+def test_interarrival_singletons_absent(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import interarrival_per_key
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array(
+                    ["2024-01-01T00:00:00", "2024-01-01T01:00:00",
+                     "2024-01-01T01:30:00"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "event_id": np.arange(3, dtype=np.int64),
+        }
+    )
+    got = interarrival_per_key(
+        rd.from_pandas(df), key_col="user_id", ts_col="ts",
+        id_col="event_id",
+    ).to_pandas()
+    assert got["user_id"].tolist() == [2]
+    assert got["n_gaps"].tolist() == [1]
+    assert got["min_gap_us"].tolist() == [1_800_000_000]

@@ -1702,6 +1702,156 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_minhash_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram (C130): how big do MinHash+LSH
+    clusters get — the dup-density diagnostic a dedup policy is tuned
+    against (singleton share, largest-mirror size).  Reuses the
+    per-session cached cluster table (one MinHash run serves the four
+    cluster-derived queries); two tiny grouped counts follow
+    (cluster_id -> size, size -> n_clusters), nothing corpus-sized
+    past the cached table."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    clusters = _minhash_clusters_cached(sf_dir)
+    sizes = bucketed_group_agg(
+        clusters, "cluster_id", agg="count", out_col="size"
+    )
+    return bucketed_group_agg(
+        sizes, "size", agg="count", out_col="n_clusters", n_buckets=8
+    )
+
+
+def q_order_first_ship_latency(sf_dir: str):
+    """Order fulfilment latency histogram (C131): whole days between
+    an order's placement and its FIRST line shipment, counted per
+    latency — the SLA / ops-health curve.  Scale shape: per-order min
+    shipdate via one key-hash grouped min (combiner inside the
+    bucketed agg), key-partitioned join back to orders on orderkey,
+    then a bounded-domain grouped count (latency days are
+    calendar-bounded, 8 buckets).  All int64 (epoch-us floor-div)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    first = bucketed_group_agg(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "ship_us": t.column("l_shipdate").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "o_orderkey", agg="min", val_col="ship_us", out_col="ship0",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    j = bucketed_hash_join(
+        first, orders, on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("ship0", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+    DAY = 86_400_000_000
+    lat = j.map_batches(
+        lambda t: pa.table(
+            {
+                "latency_days": pc.divide(
+                    pc.subtract(
+                        t.column("ship0"),
+                        t.column("o_orderdate").cast(pa.int64()),
+                    ),
+                    pa.scalar(DAY, pa.int64()),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        lat, "latency_days", agg="count", out_col="n_orders", n_buckets=8
+    )
+
+
+def q_user_rfm_segments(sf_dir: str):
+    """RFM user segmentation (C132): quartile each user on Recency
+    (last event time), Frequency (event count) and Monetary (micro-unit
+    value sum) and emit the 3-digit segment code — the classic
+    marketing / retention cut.  Scale shape: ONE key-hash grouped
+    aggregate builds the per-user triple; each dimension ranks through
+    ``ntile_global`` (two-level value-range scan — one count row per
+    range bucket to the driver, never a global sort); two
+    key-partitioned joins stitch the tile columns back.  Tie rule is
+    SQL's: NTILE(4) OVER (ORDER BY dim, user_id)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.packing import ntile_global
+
+    ev = _read(
+        sf_dir, "events", columns=["user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "t_us": t.column("ts").cast(pa.int64()),
+                "v_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    base = bucketed_group_agg(
+        ev, "user_id",
+        specs=[("max", "t_us", "rec"), ("count", None, "freq"),
+               ("sum", "v_micro", "mon")],
+    ).materialize()  # user-bounded; consumed by three rank passes
+
+    tiles = {}
+    for dim, out in (("rec", "r_tile"), ("freq", "f_tile"), ("mon", "m_tile")):
+        t = ntile_global(
+            base.select_columns(["user_id", dim]), val_col=dim,
+            id_col="user_id", tiles=4,
+        ).map_batches(
+            lambda tt, o=out: pa.table(
+                {"user_id": tt.column("user_id"), o: tt.column("tile")}
+            ),
+            batch_format="pyarrow",
+        )
+        tiles[out] = t
+
+    j = bucketed_hash_join(
+        tiles["r_tile"], tiles["f_tile"], on="user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("r_tile", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("f_tile", pa.int64())]
+        ),
+    )
+    j = bucketed_hash_join(
+        j, tiles["m_tile"], on="user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("r_tile", pa.int64()),
+             ("f_tile", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("m_tile", pa.int64())]
+        ),
+    )
+    return j.map_batches(
+        lambda t: t.append_column(
+            "rfm_code",
+            pc.add(
+                pc.add(
+                    pc.multiply(t.column("r_tile"), pa.scalar(100, pa.int64())),
+                    pc.multiply(t.column("f_tile"), pa.scalar(10, pa.int64())),
+                ),
+                t.column("m_tile"),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_segment_dedup(sf_dir: str):
     """Cross-document segment (pseudo-paragraph) dedup stats (C126):
     the CCNet/MassiveText paragraph-hash boilerplate signal over the
@@ -4092,6 +4242,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "minhash_cluster_sizes": q_minhash_cluster_sizes,
+        "order_first_ship_latency": q_order_first_ship_latency,
+        "user_rfm_segments": q_user_rfm_segments,
         "doc_segment_dedup": q_doc_segment_dedup,
         "nation_trade_volume": q_nation_trade_volume,
         "wealthy_inactive_customers": q_wealthy_inactive_customers,
@@ -5205,6 +5358,36 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "minhash_cluster_sizes": (
+            f"SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM "
+            f"(SELECT cluster_id, CAST(count(*) AS BIGINT) AS size "
+            f"FROM ({_minhash_sql()}) c GROUP BY cluster_id) s "
+            "GROUP BY size"
+        ),
+        "order_first_ship_latency": (
+            "WITH fs AS (SELECT l_orderkey, min(epoch_us(l_shipdate)) "
+            "AS ship0 FROM lineitem GROUP BY l_orderkey) "
+            "SELECT CAST((fs.ship0 - epoch_us(o.o_orderdate)) "
+            "// 86400000000 AS BIGINT) AS latency_days, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM fs JOIN orders o ON o.o_orderkey = fs.l_orderkey "
+            "GROUP BY 1"
+        ),
+        "user_rfm_segments": (
+            "WITH u AS (SELECT user_id, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS rec, "
+            "CAST(count(*) AS BIGINT) AS freq, "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS mon FROM events GROUP BY user_id), "
+            "t AS (SELECT user_id, "
+            "CAST(ntile(4) OVER (ORDER BY rec, user_id) AS BIGINT) AS r_tile, "
+            "CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_tile, "
+            "CAST(ntile(4) OVER (ORDER BY mon, user_id) AS BIGINT) AS m_tile "
+            "FROM u) "
+            "SELECT user_id, r_tile, f_tile, m_tile, "
+            "CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code "
+            "FROM t"
         ),
         "doc_segment_dedup": (
             f"WITH tt AS (SELECT doc_id, lower({_TRIM_SQL}) AS t "

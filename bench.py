@@ -126,6 +126,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("corpus_clean_survivors", q.q_corpus_clean_survivors)
+        timed("rrf_fusion", q.q_rrf_fusion)
         timed("minhash_cluster_sizes", q.q_minhash_cluster_sizes)
         timed("order_first_ship_latency", q.q_order_first_ship_latency)
         timed("user_rfm_segments", q.q_user_rfm_segments)

@@ -1702,6 +1702,89 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_corpus_clean_survivors(sf_dir: str):
+    """End-to-end corpus cleaning composition (C133): the doc_ids that
+    survive the full dedup+quality gauntlet — (a) canonical of their
+    EXACT-content group (min doc_id per md5(text)), (b) canonical of
+    their MinHash near-dup cluster (doc_id == cluster_id, cached
+    cluster table shared with the other cluster queries), (c) at least
+    5 whitespace tokens.  This is the assembly a pretraining pipeline
+    actually ships: each filter stays streaming, and membership tests
+    are ADAPTIVE exact semi joins (broadcast key set when small, bloom
+    prefilter + bucketed verify when not — joins.py:bloom_semi_join),
+    so the corpus-sized stream is filtered map-side wherever the keep
+    sets allow."""
+    from gliner_cpp_ray.stages.dedup import exact_dedup
+    from gliner_cpp_ray.stages.joins import bloom_semi_join
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def long_enough(t: pa.Table) -> pa.Table:
+        trimmed = _re2_trim(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.list_value_length(toks).cast(pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(
+                    pc.greater_equal(n, pa.scalar(5, pa.int64()))
+                )
+            }
+        )
+
+    base = ds.map_batches(long_enough, batch_format="pyarrow")
+    exact_keep = exact_dedup(ds).select_columns(["doc_id"])
+    cl = _minhash_clusters_cached(sf_dir)
+    near_keep = cl.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    s1 = bloom_semi_join(base, exact_keep, on="doc_id")
+    return bloom_semi_join(s1, near_keep, on="doc_id")
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the TF-IDF and BM25 retrieval runs
+    (C134): ``rrf = Σ 1e6 // (60 + rank)`` over both systems' top-20
+    lists for the shared query — the standard zero-tuning ranked-list
+    combiner.  Both inputs are k-bounded (20 rows each), so the union
+    + grouped sum moves 40 rows; every contribution is exact int64
+    floor arithmetic."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.retrieval import bm25_topk, tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "c": pc.divide(
+                    pa.scalar(1_000_000, pa.int64()),
+                    pc.add(t.column("rank"), pa.scalar(60, pa.int64())),
+                ),
+            }
+        )
+
+    u = (
+        tfidf_topk(ds, _TFIDF_TERMS, k=20)
+        .map_batches(contrib, batch_format="pyarrow")
+        .union(
+            bm25_topk(ds, _TFIDF_TERMS, k=20)
+            .map_batches(contrib, batch_format="pyarrow")
+        )
+    )
+    return bucketed_group_agg(
+        u, "doc_id", agg="sum", val_col="c", out_col="rrf_micro", n_buckets=8
+    )
+
+
 def q_minhash_cluster_sizes(sf_dir: str):
     """Near-dup cluster-size histogram (C130): how big do MinHash+LSH
     clusters get — the dup-density diagnostic a dedup policy is tuned
@@ -4242,6 +4325,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "corpus_clean_survivors": q_corpus_clean_survivors,
+        "rrf_fusion": q_rrf_fusion,
         "minhash_cluster_sizes": q_minhash_cluster_sizes,
         "order_first_ship_latency": q_order_first_ship_latency,
         "user_rfm_segments": q_user_rfm_segments,
@@ -5358,6 +5443,26 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "corpus_clean_survivors": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "tok AS (SELECT doc_id FROM tt WHERE t <> '' AND "
+            "len(string_split_regex(t, '\\s+')) >= 5), "
+            "ex AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text)), "
+            f"mh AS (SELECT doc_id FROM ({_minhash_sql()}) c "
+            "WHERE doc_id = cluster_id) "
+            "SELECT tok.doc_id FROM tok "
+            "JOIN ex ON ex.doc_id = tok.doc_id "
+            "JOIN mh ON mh.doc_id = tok.doc_id"
+        ),
+        "rrf_fusion": (
+            f"WITH u AS (SELECT doc_id, 1000000 // (60 + rank) AS c "
+            f"FROM ({_tfidf_sql()}) tf "
+            f"UNION ALL SELECT doc_id, 1000000 // (60 + rank) "
+            f"FROM ({_bm25_sql()}) bm) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro "
+            "FROM u GROUP BY doc_id"
         ),
         "minhash_cluster_sizes": (
             f"SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM "

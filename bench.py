@@ -126,6 +126,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("forecast_revenue_q6", q.q_forecast_revenue_q6)
+        timed("orders_monthly_growth", q.q_orders_monthly_growth)
+        timed("event_dwell_by_type", q.q_event_dwell_by_type)
+        timed("embedding_quantize_int8", q.q_embedding_quantize_int8)
         timed("corpus_clean_survivors", q.q_corpus_clean_survivors)
         timed("rrf_fusion", q.q_rrf_fusion)
         timed("minhash_cluster_sizes", q.q_minhash_cluster_sizes)

@@ -1702,6 +1702,183 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_forecast_revenue_q6(sf_dir: str):
+    """TPC-H-Q6-shaped what-if: revenue that would be recovered by
+    eliminating 1997 discounts in the 1-3% band on small quantities
+    (< 24) — a pure filter + scalar sum, the cheapest possible full
+    scan: predicate pushed map-side at the read, one-row partials,
+    8-bucket final sum.  Discount micro-integerized so the band test
+    and the product are exact int64 (revenue = floor(price·1e6) ·
+    disc_milli // 1000 micro units)."""
+    lo = int(np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64())
+        disc_milli = pc.cast(
+            pc.floor(pc.multiply(t.column("l_discount"), 1000.0)), pa.int64()
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(lo, pa.int64())),
+                pc.less(sd, pa.scalar(hi, pa.int64())),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_milli, pa.scalar(10, pa.int64())),
+                    pc.less_equal(disc_milli, pa.scalar(30, pa.int64())),
+                ),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        t2 = t.filter(keep)
+        dm = pc.cast(
+            pc.floor(pc.multiply(t2.column("l_discount"), 1000.0)), pa.int64()
+        )
+        rev = pc.divide(
+            pc.multiply(_micro(t2.column("l_extendedprice")), dm),
+            pa.scalar(1000, pa.int64()),
+        )
+        s = pc.sum(rev).as_py() or 0
+        n = t2.num_rows
+        return pa.table(
+            {
+                "s": pa.array([int(s)], pa.int64()),
+                "n": pa.array([int(n)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # one row per read task — task-bounded
+    )
+    return pd.DataFrame(
+        {
+            "revenue_micro": [np.int64(parts["s"].sum())],
+            "n_items": [np.int64(parts["n"].sum())],
+        }
+    )
+
+
+def q_orders_monthly_growth(sf_dir: str):
+    """Month-over-month order growth (C135): monthly order counts plus
+    the delta vs the previous OBSERVED month — the trend line every ops
+    dashboard opens with.  Distributed grouped count (months are a
+    calendar-bounded key set, 8 buckets); the lag-delta runs over the
+    aggregated ~O(100)-row series on the driver (time-bounded, stated
+    here), matching SQL ``lag OVER (ORDER BY ym)`` with first-month
+    delta coalesced to 0."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "ym": pc.add(
+                    pc.multiply(
+                        pc.year(t.column("o_orderdate")).cast(pa.int64()),
+                        pa.scalar(100, pa.int64()),
+                    ),
+                    pc.month(t.column("o_orderdate")).cast(pa.int64()),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    m = bucketed_group_agg(
+        ds, "ym", agg="count", out_col="n_orders", n_buckets=8
+    ).to_pandas()  # calendar-bounded: one row per observed month
+    m = m.sort_values("ym").reset_index(drop=True)
+    delta = m["n_orders"].diff().fillna(0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "ym": m["ym"].astype(np.int64),
+            "n_orders": m["n_orders"].astype(np.int64),
+            "delta": delta,
+        }
+    )
+
+
+def q_event_dwell_by_type(sf_dir: str):
+    """Dwell time by event type (C136): the gap from each event to the
+    same user's next event, attributed to the EARLIER event's type —
+    "time spent per screen".  ONE key-hash exchange + per-bucket
+    partials; stages/windows.py:dwell_by_attr."""
+    from gliner_cpp_ray.stages.windows import dwell_by_attr
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return dwell_by_attr(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        attr_col="event_type",
+    )
+
+
+def q_embedding_quantize_int8(sf_dir: str):
+    """Per-dimension int8 quantization codes (C137): min/max scale each
+    embedding dimension into [-127, 127] — the vector-compression prep
+    ANN serving runs (4× memory cut before PQ/serving).  Pass 1 is a
+    64-row bounded distributed min/max (per-batch partials, tiny
+    grouped reduce, broadcast back as plain task state); pass 2 is a
+    pure vectorized map emitting (vec_id, dim, code).  All arithmetic
+    int64-exact on micro-quantized components: code =
+    ((xq-mn)·254)//(mx-mn) − 127, constant dims code 0."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_q(t: pa.Table):
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        return vid, q
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        _, q = to_q(t)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(q.min(axis=0)),
+                "mx": pa.array(q.max(axis=0)),
+            }
+        )
+
+    b = bucketed_group_agg(
+        ds.map_batches(bounds_partial, batch_format="pyarrow"),
+        "dim", specs=[("min", "mn", "mn"), ("max", "mx", "mx")],
+        n_buckets=8,
+    ).to_pandas()  # dimensionality-bounded: one row per dim
+    mn = np.zeros(len(b), np.int64)
+    mx = np.zeros(len(b), np.int64)
+    mn[b["dim"].to_numpy()] = b["mn"].to_numpy()
+    mx[b["dim"].to_numpy()] = b["mx"].to_numpy()
+    span = mx - mn
+
+    def codes(t: pa.Table) -> pa.Table:
+        vid, q = to_q(t)
+        d = q.shape[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(
+                span == 0, 0,
+                (q - mn) * 254 // np.where(span == 0, 1, span) - 127,
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(vid))),
+                "code": pa.array(c.ravel()),
+            }
+        )
+
+    return ds.map_batches(codes, batch_format="pyarrow")
+
+
 def q_corpus_clean_survivors(sf_dir: str):
     """End-to-end corpus cleaning composition (C133): the doc_ids that
     survive the full dedup+quality gauntlet — (a) canonical of their
@@ -4325,6 +4502,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "forecast_revenue_q6": q_forecast_revenue_q6,
+        "orders_monthly_growth": q_orders_monthly_growth,
+        "event_dwell_by_type": q_event_dwell_by_type,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_clean_survivors": q_corpus_clean_survivors,
         "rrf_fusion": q_rrf_fusion,
         "minhash_cluster_sizes": q_minhash_cluster_sizes,
@@ -5443,6 +5624,46 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "forecast_revenue_q6": (
+            "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 1000000) "
+            "AS BIGINT) * CAST(floor(l_discount * 1000) AS BIGINT) // 1000), "
+            "0) AS BIGINT) AS revenue_micro, "
+            "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND CAST(floor(l_discount * 1000) AS BIGINT) BETWEEN 10 AND 30 "
+            "AND l_quantity < 24"
+        ),
+        "orders_monthly_growth": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) * 100 + "
+            "month(o_orderdate) AS BIGINT) AS ym, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
+            "SELECT ym, n_orders, CAST(coalesce(n_orders - "
+            "lag(n_orders) OVER (ORDER BY ym), 0) AS BIGINT) AS delta "
+            "FROM m"
+        ),
+        "event_dwell_by_type": (
+            "WITH o AS (SELECT event_type, epoch_us(ts) AS t, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nt FROM events), "
+            "d AS (SELECT event_type, nt - t AS g FROM o "
+            "WHERE nt IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_dwells, "
+            "CAST(sum(g) AS BIGINT) AS total_dwell_us, "
+            "CAST(sum(g) // count(*) AS BIGINT) AS mean_dwell_us "
+            "FROM d GROUP BY event_type"
+        ),
+        "embedding_quantize_int8": (
+            "WITH v AS (SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS xq FROM embeddings), "
+            "b AS (SELECT dim, min(xq) AS mn, max(xq) AS mx FROM v "
+            "GROUP BY dim) "
+            "SELECT v.vec_id, v.dim, CAST(CASE WHEN b.mx = b.mn THEN 0 "
+            "ELSE ((v.xq - b.mn) * 254) // (b.mx - b.mn) - 127 END "
+            "AS BIGINT) AS code FROM v JOIN b USING (dim)"
         ),
         "corpus_clean_survivors": (
             f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "

@@ -758,3 +758,63 @@ def interarrival_per_key(ds, key_col: str, ts_col: str, id_col: str,
             batch_format="pandas",
         )
     )
+
+
+def dwell_by_attr(ds, key_col: str, ts_col: str, id_col: str,
+                  attr_col: str, n_buckets: int | None = None):
+    """Dwell-time attribution: the gap from each event to its key's
+    NEXT event (ordered by ts, id) is attributed to the EARLIER event's
+    ``attr_col`` (screen/event type) — the "time spent on X" rollup
+    product analytics runs.  -> Dataset(attr, n_dwells, total_dwell_us,
+    mean_dwell_us), mean the truncated quotient.
+
+    ONE key-hash exchange; per-bucket vectorized sort + lead-diff with
+    key-run masking, then per-bucket PARTIAL (attr, n, total) rows so
+    the final grouped sum moves attrs × buckets rows, never events."""
+    from gliner_cpp_ray.stages.joins import add_bucket, bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {attr_col: np.zeros(0, object),
+                "n": np.zeros(0, np.int64), "s": np.zeros(0, np.int64)}
+        if not len(g):
+            return pd.DataFrame(cols)
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = ts[1:] - ts[:-1]
+        same = k[1:] == k[:-1]
+        attr = g[attr_col].to_numpy()[:-1][same]  # earlier event's attr
+        if not len(attr):
+            return pd.DataFrame(cols)
+        d = pd.DataFrame({attr_col: attr, "g": gap[same]})
+        grp = d.groupby(attr_col, sort=False)["g"]
+        return pd.DataFrame(
+            {"n": grp.size().astype(np.int64), "s": grp.sum().astype(np.int64)}
+        ).reset_index()
+
+    partials = (
+        ds.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: partial(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+    agg = bucketed_group_agg(
+        partials, attr_col,
+        specs=[("sum", "n", "n_dwells"), ("sum", "s", "total_dwell_us")],
+        n_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "mean_dwell_us",
+            pc.divide(t.column("total_dwell_us"), t.column("n_dwells")),
+        ),
+        batch_format="pyarrow",
+    )

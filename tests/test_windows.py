@@ -380,3 +380,42 @@ def test_interarrival_singletons_absent(ray_session):
     assert got["user_id"].tolist() == [2]
     assert got["n_gaps"].tolist() == [1]
     assert got["min_gap_us"].tolist() == [1_800_000_000]
+
+
+def test_dwell_by_attr_attribution(ray_session):
+    """Dwell attributed to the EARLIER event's attr; last event per key
+    contributes nothing; cross-key gaps masked."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import dwell_by_attr
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array(
+                    ["2024-01-01T00:00:00", "2024-01-01T00:00:10",
+                     "2024-01-01T00:01:10", "2024-01-01T09:00:00",
+                     "2024-01-01T09:00:05"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "event_id": np.arange(5, dtype=np.int64),
+            "event_type": ["a", "b", "a", "a", "b"],
+        }
+    )
+    got = (
+        dwell_by_attr(
+            rd.from_pandas(df).repartition(3), key_col="user_id",
+            ts_col="ts", id_col="event_id", attr_col="event_type",
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # 'a' owns gaps: u1 e0->e1 (10s), u2 e3->e4 (5s) = n2 total 15s
+    # 'b' owns gap:  u1 e1->e2 (60s)                 = n1 total 60s
+    assert got["event_type"].tolist() == ["a", "b"]
+    assert got["n_dwells"].tolist() == [2, 1]
+    assert got["total_dwell_us"].tolist() == [15_000_000, 60_000_000]
+    assert got["mean_dwell_us"].tolist() == [7_500_000, 60_000_000]

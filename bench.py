@@ -126,6 +126,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("host_fetch_gaps", q.q_host_fetch_gaps)
+        timed("user_value_gini", q.q_user_value_gini)
         timed("forecast_revenue_q6", q.q_forecast_revenue_q6)
         timed("orders_monthly_growth", q.q_orders_monthly_growth)
         timed("event_dwell_by_type", q.q_event_dwell_by_type)

@@ -1702,6 +1702,94 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_host_fetch_gaps(sf_dir: str):
+    """Crawl politeness audit (C139): per-host min / max / mean gap
+    between consecutive fetches (warc_ts order, url tie-break) over the
+    crawl corpus — the rate-limit compliance report a crawler ops team
+    reads.  Pure reuse of the interarrival machinery keyed by host
+    (ONE key-hash exchange); hosts fetched once are absent."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import interarrival_per_key
+
+    pages = rd.read_parquet(
+        os.path.join(_corpus(sf_dir), "pages"), columns=["url", "warc_ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.struct_field(
+                    pc.extract_regex(
+                        t.column("url"), r"^https://(?P<host>[^/]+)/"
+                    ),
+                    "host",
+                ),
+                "warc_ts": t.column("warc_ts"),
+                "url": t.column("url"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return interarrival_per_key(
+        pages, key_col="host", ts_col="warc_ts", id_col="url"
+    )
+
+
+def q_user_value_gini(sf_dir: str):
+    """Exact integer Gini concentration of per-user event value (C140):
+    numerator Σ(2·rank − n − 1)·v over ascending (v, user_id) rank —
+    the whale-dominance / inequality metric, bit-exact because every
+    term is int64 (no float Lorenz approximation).  Scale shape: ONE
+    key-hash grouped sum builds per-user totals; the rank comes from
+    the two-level value-range scan (``global_order_rank`` — one count
+    row per range bucket to the driver, never a global sort); partial
+    Σ terms reduce task-bounded.  The ppm ratio is computed driver-side
+    with arbitrary-precision Python ints and guarded: if the numerator
+    exceeds int64 (possible past ~n·total ≈ 2^63; here document-bounded)
+    Ray raises rather than wrap where the HUGEINT oracle would differ."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.packing import global_order_rank
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "v": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    totals = bucketed_group_agg(ev, "user_id", agg="sum", val_col="v",
+                                out_col="v")
+    ranked, n = global_order_rank(totals, val_col="v", id_col="user_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(object)
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(object)
+        # object-dtype Python ints: exact regardless of magnitude
+        g = int(((2 * r - n - 1) * v).sum()) if len(v) else 0
+        s = int(v.sum()) if len(v) else 0
+        return pa.table(
+            {
+                "g": pa.array([g], pa.int64()),  # raises on > int64
+                "s": pa.array([s], pa.int64()),
+                "c": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g, s = int(parts["g"].sum()), int(parts["s"].sum())
+    assert int(parts["c"].sum()) == n
+    ppm = (1_000_000 * g) // (n * s) if n and s else 0
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "total_micro": [np.int64(s)],
+            "gini_num_micro": [np.int64(g)],
+            "gini_ppm": [np.int64(ppm)],
+        }
+    )
+
+
 def q_forecast_revenue_q6(sf_dir: str):
     """TPC-H-Q6-shaped what-if: revenue that would be recovered by
     eliminating 1997 discounts in the 1-3% band on small quantities
@@ -4502,6 +4590,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "host_fetch_gaps": q_host_fetch_gaps,
+        "user_value_gini": q_user_value_gini,
         "forecast_revenue_q6": q_forecast_revenue_q6,
         "orders_monthly_growth": q_orders_monthly_growth,
         "event_dwell_by_type": q_event_dwell_by_type,
@@ -5624,6 +5714,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "host_fetch_gaps": (
+            "WITH p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) "
+            "AS host, epoch_us(warc_ts) AS t, url "
+            f"FROM read_parquet('{pages_glob}')), "
+            "o AS (SELECT host, t, lag(t) OVER (PARTITION BY host "
+            "ORDER BY t, url) AS pt FROM p), "
+            "g AS (SELECT host, t - pt AS gap FROM o WHERE pt IS NOT NULL) "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(min(gap) AS BIGINT) AS min_gap_us, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_us, "
+            "CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us "
+            "FROM g GROUP BY host"
+        ),
+        "user_value_gini": (
+            "WITH u AS (SELECT user_id, CAST(sum(CAST(floor(value * "
+            "1000000) AS BIGINT)) AS BIGINT) AS v FROM events "
+            "GROUP BY user_id), "
+            "r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, user_id) "
+            "AS BIGINT) AS rk, (SELECT count(*) FROM u) AS n FROM u) "
+            "SELECT CAST(max(n) AS BIGINT) AS n_users, "
+            "CAST(sum(v) AS BIGINT) AS total_micro, "
+            "CAST(sum((2 * rk - n - 1) * v) AS BIGINT) AS gini_num_micro, "
+            "CAST((1000000 * sum((2 * rk - n - 1) * v)) // "
+            "(max(n) * sum(v)) AS BIGINT) AS gini_ppm FROM r"
         ),
         "forecast_revenue_q6": (
             "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 1000000) "

@@ -1702,6 +1702,90 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_kg_entity_cards(sf_dir: str):
+    """KG entity cards (C141): the serving-side summary row per
+    canonical entity — document reach (distinct docs mentioning it) plus
+    its strongest co-mention partner — the "entity page" a KG product
+    renders.  Composition of verified parts: canon resolution identical
+    to the co-occurrence stage (batch-distinct (doc, canon) combiner),
+    exact distinct-doc counts via two key exchanges ((canon, doc) then
+    canon), the partner from the C48 pair table through the
+    shuffle-bounded grouped top-k (k=1), stitched with one
+    key-partitioned LEFT join; entities with no co-mention coalesce to
+    ('', 0) on both engines."""
+    import pickle
+
+    from gliner_cpp_ray.stages.cooccur import doc_canon_partial
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    _, out = _run_kg(sf_dir)
+    with open(os.path.join(out, "canon", "canon_map.pkl"), "rb") as f:
+        canon_map = pickle.load(f)
+    mentions = _read_out(out, "mentions").select_columns(
+        ["doc_id", "text", "label"]
+    )
+    pairs = mentions.map_batches(
+        lambda t: doc_canon_partial(t, canon_map), batch_format="pyarrow"
+    )
+    distinct = bucketed_group_agg(
+        pairs, ["canon_id", "doc_id"], agg="count", out_col="cnt"
+    )
+    base = bucketed_group_agg(
+        distinct, "canon_id", agg="count", out_col="n_docs"
+    ).map_batches(
+        lambda t: pa.table(
+            {"entity": t.column("canon_id"), "n_docs": t.column("n_docs")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    _SYM = ["entity", "partner", "n_docs"]
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        fwd = t.select(["canon_a", "canon_b", "n_docs"]).rename_columns(_SYM)
+        rev = t.select(["canon_b", "canon_a", "n_docs"]).rename_columns(_SYM)
+        return pa.concat_tables([fwd, rev])
+
+    co = q_kg_cooccurrence(sf_dir)
+    top1 = grouped_top_k(
+        co.map_batches(symmetrize, batch_format="pyarrow"),
+        "entity", "n_docs", "partner", k=1,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "entity": t.column("entity"),
+                "top_partner": t.column("partner"),
+                "top_n_docs": t.column("n_docs"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_hash_join(
+        base, top1, on="entity", how="left",
+        left_schema=pa.schema(
+            [("entity", pa.string()), ("n_docs", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("entity", pa.string()), ("top_partner", pa.string()),
+             ("top_n_docs", pa.int64())]
+        ),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "entity": t.column("entity"),
+                "n_docs": t.column("n_docs"),
+                "top_partner": pc.fill_null(t.column("top_partner"), ""),
+                "top_n_docs": pc.fill_null(
+                    t.column("top_n_docs"), 0
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_host_fetch_gaps(sf_dir: str):
     """Crawl politeness audit (C139): per-host min / max / mean gap
     between consecutive fetches (warc_ts order, url tie-break) over the
@@ -4590,6 +4674,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_entity_cards": q_kg_entity_cards,
         "host_fetch_gaps": q_host_fetch_gaps,
         "user_value_gini": q_user_value_gini,
         "forecast_revenue_q6": q_forecast_revenue_q6,
@@ -5714,6 +5799,23 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "kg_entity_cards": (
+            "WITH m AS (SELECT DISTINCT doc_id, canon_mention AS canon_id "
+            f"FROM read_parquet('{mentions_glob}')), "
+            "base AS (SELECT canon_id AS entity, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY canon_id), "
+            "p AS (SELECT a.canon_id AS ca, b.canon_id AS cb, "
+            "count(*) AS nd FROM m a JOIN m b ON a.doc_id = b.doc_id "
+            "AND a.canon_id < b.canon_id GROUP BY ca, cb), "
+            "s AS (SELECT ca AS entity, cb AS partner, nd FROM p "
+            "UNION ALL SELECT cb, ca, nd FROM p), "
+            "t AS (SELECT entity, partner, nd, row_number() OVER ("
+            "PARTITION BY entity ORDER BY nd DESC, partner) AS rn FROM s) "
+            "SELECT base.entity, base.n_docs, "
+            "coalesce(t.partner, '') AS top_partner, "
+            "CAST(coalesce(t.nd, 0) AS BIGINT) AS top_n_docs "
+            "FROM base LEFT JOIN t ON t.entity = base.entity AND t.rn = 1"
         ),
         "host_fetch_gaps": (
             "WITH p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) "

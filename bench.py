@@ -126,6 +126,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_stats", q.q_session_stats)
         timed("user_value_outliers", q.q_user_value_outliers)
         timed("events_running_total", q.q_events_running_total)
+        timed("events_burst_hours", q.q_events_burst_hours)
+        timed("label_centroid_distances", q.q_label_centroid_distances)
         timed("kg_entity_cards", q.q_kg_entity_cards)
         timed("host_fetch_gaps", q.q_host_fetch_gaps)
         timed("user_value_gini", q.q_user_value_gini)

@@ -1702,6 +1702,100 @@ def q_label_embedding_centroid(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_burst_hours(sf_dir: str):
+    """Burst detection over the tumbling hourly series (C142): hours
+    whose event count exceeds 2× the series' exact lower median — the
+    traffic-anomaly flag.  The grouped count is distributed (hour keys
+    are span-bounded); the median-of-buckets and threshold filter run
+    over the aggregated series on the driver (time-span-bounded, one
+    row per observed hour — stated bound, same rationale as
+    `orders_monthly_growth`).  Output (bucket, n) for burst hours."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pc.divide(
+                    t.column("ts").cast(pa.int64()), HOUR
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    m = bucketed_group_agg(
+        ds, "bucket", agg="count", out_col="n"
+    ).to_pandas()  # span-bounded: one row per observed hour
+    counts = np.sort(m["n"].to_numpy())
+    med = int(counts[(len(counts) - 1) // 2])  # exact lower median
+    out = m[m["n"] > 2 * med].sort_values("bucket").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "bucket": out["bucket"].astype(np.int64),
+            "n": out["n"].astype(np.int64),
+        }
+    )
+
+
+def q_label_centroid_distances(sf_dir: str):
+    """Label separation report (C143): exact squared L2 distance (in
+    micro² units) between every pair of per-label embedding centroids —
+    the class-separability diagnostic read before training a classifier
+    on the labels.  Builds on the C125 centroid shape (per-batch
+    labels×d partials, ONE (label, dim) grouped sum); the centroid
+    table is labels×64-bounded, so the pairwise expansion happens
+    driver-side on that bounded table with exact int64 arithmetic
+    (component deltas < 2·10⁶ micro ⇒ Σ of 64 squares < 2.6e14,
+    comfortable int64 headroom)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        labs = np.unique(lab)
+        d = q.shape[1]
+        rows_l, rows_d, rows_s, rows_n = [], [], [], []
+        for lv in labs:
+            mask = lab == lv
+            rows_l.append(np.full(d, lv, np.int64))
+            rows_d.append(np.arange(d, dtype=np.int64))
+            rows_s.append(q[mask].sum(axis=0))
+            rows_n.append(np.full(d, int(mask.sum()), np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(rows_l)),
+                "dim": pa.array(np.concatenate(rows_d)),
+                "s": pa.array(np.concatenate(rows_s)),
+                "n": pa.array(np.concatenate(rows_n)),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        specs=[("sum", "s", "s"), ("sum", "n", "n")],
+    ).to_pandas()  # labels×64-bounded
+    s_, n_ = agg["s"].to_numpy(), agg["n"].to_numpy()
+    # TRUNCATED quotient (toward zero), matching DuckDB `//` and Arrow
+    # pc.divide on negative component sums — numpy // floors instead
+    agg["c"] = np.where(s_ >= 0, s_ // n_, -((-s_) // n_))
+    piv = agg.pivot(index="label", columns="dim", values="c")
+    labs = piv.index.to_numpy().astype(np.int64)
+    mat = piv.to_numpy().astype(np.int64)
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            delta = mat[i] - mat[j]
+            rows.append((labs[i], labs[j], int((delta * delta).sum())))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "sq_dist_micro2"])
+    return out.astype(
+        {"label_a": np.int64, "label_b": np.int64, "sq_dist_micro2": np.int64}
+    )
+
+
 def q_kg_entity_cards(sf_dir: str):
     """KG entity cards (C141): the serving-side summary row per
     canonical entity — document reach (distinct docs mentioning it) plus
@@ -4674,6 +4768,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "events_burst_hours": q_events_burst_hours,
+        "label_centroid_distances": q_label_centroid_distances,
         "kg_entity_cards": q_kg_entity_cards,
         "host_fetch_gaps": q_host_fetch_gaps,
         "user_value_gini": q_user_value_gini,
@@ -5799,6 +5895,32 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT event_id, CAST(sum(ns) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM o"
+        ),
+        "events_burst_hours": (
+            "WITH b AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) "
+            "AS bucket, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY bucket), "
+            "med AS (SELECT n AS m FROM (SELECT n, row_number() OVER "
+            "(ORDER BY n) AS rn, count(*) OVER () AS c FROM b) "
+            "WHERE rn = (c + 1) // 2) "
+            "SELECT bucket, n FROM b, med WHERE n > 2 * med.m"
+        ),
+        "label_centroid_distances": (
+            "WITH q AS (SELECT label, generate_subscripts(embedding, 1) "
+            "AS idx, unnest(embedding) AS x FROM embeddings), "
+            "v AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(idx - 1 AS BIGINT) AS dim, "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq "
+            "FROM q), "
+            "a AS (SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY label, dim), "
+            "c AS (SELECT label, dim, CAST(s // n AS BIGINT) AS c "
+            "FROM a) "
+            "SELECT x.label AS label_a, y.label AS label_b, "
+            "CAST(sum((x.c - y.c) * (x.c - y.c)) AS BIGINT) "
+            "AS sq_dist_micro2 "
+            "FROM c x JOIN c y ON x.dim = y.dim AND x.label < y.label "
+            "GROUP BY x.label, y.label"
         ),
         "kg_entity_cards": (
             "WITH m AS (SELECT DISTINCT doc_id, canon_mention AS canon_id "

@@ -92,6 +92,22 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t, 3)
 
     if not os.environ.get("KGRAY_SKIP_SECONDARY"):
+        # incremental crawl ingestion: the base batch (~80% of pages) is
+        # built untimed; the metric is the DELTA merge alone — NER over
+        # the new pages plus the lineage-invalidated downstream stages.
+        # (q_kg_incremental_edges itself is not timed: its cost is the
+        # base pipeline again, already the headline metric.)
+        from gliner_cpp_ray.pipelines.kg import run_kg_delta
+
+        base_dir, delta_dir = q._incr_batches(corpus, n_pages)
+        incr_out = f"/tmp/kgray_bench/incr_{os.getpid()}"
+        shutil.rmtree(incr_out, ignore_errors=True)
+        run_kg_pipeline(base_dir, incr_out, cfg)
+        t0 = time.perf_counter()
+        run_kg_delta(delta_dir, incr_out, cfg)
+        timings["kg_delta_ingest"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(incr_out, ignore_errors=True)
+
         timed("page_links", q.q_page_links)
         timed("pagerank", q.q_pagerank)
         timed("hits", q.q_hits)

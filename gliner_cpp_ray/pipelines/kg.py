@@ -17,6 +17,7 @@ mid-stage.  Shuffles: pair-distinct, edge key, node key, subject sort.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 from concurrent.futures import ThreadPoolExecutor
@@ -170,13 +171,168 @@ def build_mentions(pages_ds, cfg: KGPipelineConfig):
     )
 
 
+def _inputs_fingerprint(files: list[str]) -> list[list]:
+    """Identity of a shard's input files for checkpoint staleness:
+    (basename, bytes) pairs.  A shard checkpointed over DIFFERENT input
+    files (e.g. the corpus grew and the file groups shifted) must not
+    be silently reused just because the pipeline config matched."""
+    return [[os.path.basename(f), os.path.getsize(f)] for f in files]
+
+
+def _mentions_lineage(out_root: str) -> list[list]:
+    """Fingerprint of every finished mentions shard under ``out_root``:
+    (shard dir name, total_rows, total_bytes), sorted.  Downstream stage
+    checkpoints embed this in their config, so ingesting a new shard
+    (run_kg_delta) or re-running a changed shard automatically marks
+    linked/canon/edges/nodes stale — no manual invalidation."""
+    root = os.path.join(out_root, "mentions")
+    lineage = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            mpath = os.path.join(root, name, "manifest.json")
+            if checkpoint.is_done(os.path.join(root, name)):
+                try:
+                    with open(mpath) as f:
+                        m = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                lineage.append(
+                    [name, m.get("total_rows", 0), m.get("total_bytes", 0)]
+                )
+    return lineage
+
+
+def _make_mentions_producer(group: list[str], cfg: KGPipelineConfig):
+    def produce(path):
+        import ray as _r
+
+        try:
+            _n = int(_r.cluster_resources().get("CPU", 8))
+        except Exception:
+            _n = 8
+        ds = read_pages(group, cfg.lang_allow, num_blocks=20 * _n)
+        out = build_mentions(ds, cfg)
+        # coalesce output files: hundreds of tiny parquet files slow
+        # the write and every downstream read
+        out.write_parquet(path, min_rows_per_file=200_000)
+        return {"input_files": group, "dataset_stats": _trim_stats(out)}
+
+    return produce
+
+
 def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None = None) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests."""
-    import ray.data as rd
-
     cfg = cfg or KGPipelineConfig()
     os.makedirs(out_root, exist_ok=True)
     summary: dict = {}
+
+    # --- stage 1: mentions (sharded + resumable) ----------------------
+    files = _pages_files(pages_path)
+    # data-aware shuffle parallelism: post-combiner volume tracks input
+    # volume, so size the reduce partitions from the pages bytes we can
+    # see (capped by cluster size in sizing.bytes_scaled_partitions)
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    reduce_parts = cfg.resolved_reduce_partitions(input_bytes)
+    n_shards = max(1, min(cfg.shards, len(files)))
+    groups = [files[i::n_shards] for i in range(n_shards)]
+    mentions_root = os.path.join(out_root, "mentions")
+    shard_manifests = []
+    for k, group in enumerate(groups):
+        shard_dir = os.path.join(mentions_root, f"shard-{k}")
+        shard_manifests.append(
+            checkpoint.run_stage(
+                shard_dir,
+                {
+                    "stage": "mentions",
+                    "config": {
+                        **cfg.fingerprint(),
+                        "inputs": _inputs_fingerprint(group),
+                    },
+                },
+                _make_mentions_producer(group, cfg),
+            )
+        )
+    summary["mentions"] = {
+        "shards": len(shard_manifests),
+        "rows": sum(m["total_rows"] for m in shard_manifests),
+        "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
+    }
+
+    summary.update(_run_downstream(out_root, cfg, reduce_parts))
+    return summary
+
+
+def run_kg_delta(delta_pages, out_root: str, cfg: KGPipelineConfig | None = None) -> dict:
+    """Ingest a NEW crawl batch into an existing KG ``out_root``.
+
+    The expensive NER stage runs over the delta pages ONLY (a fresh
+    mentions shard named from the delta's input-file identity, so the
+    same batch re-ingested is a checkpoint no-op); the downstream
+    stages (relations+linking, canonicalization, edges, nodes) then
+    recompute over the union of all mention shards — their checkpoints
+    embed the mentions lineage, so the new shard marks them stale
+    automatically.  The result is bit-identical to a full recompute
+    over base ∪ delta (canonicalization is global: a delta mention can
+    merge two previously-distinct surface clusters, so the cheap wide
+    stages must re-run; the NER cost — the dominant term at crawl
+    scale — stays delta-sized).
+
+    ``delta_pages``: a pages dir / parquet file, or an explicit list of
+    parquet files.  Returns per-stage manifests.
+    """
+    import hashlib
+
+    cfg = cfg or KGPipelineConfig()
+    files = (
+        list(delta_pages)
+        if isinstance(delta_pages, (list, tuple))
+        else _pages_files(delta_pages)
+    )
+    if not files:
+        raise ValueError("run_kg_delta: delta batch contains no parquet files")
+    if not os.path.isdir(os.path.join(out_root, "mentions")):
+        raise ValueError(
+            f"run_kg_delta: {out_root} has no mentions stage — run "
+            "run_kg_pipeline on the base corpus first"
+        )
+    inputs = _inputs_fingerprint(files)
+    tag = hashlib.md5(
+        ";".join(f"{b}:{s}" for b, s in inputs).encode()
+    ).hexdigest()[:12]
+    shard_dir = os.path.join(out_root, "mentions", f"shard-delta-{tag}")
+    manifest = checkpoint.run_stage(
+        shard_dir,
+        {"stage": "mentions", "config": {**cfg.fingerprint(), "inputs": inputs}},
+        _make_mentions_producer(files, cfg),
+    )
+    summary = {
+        "mentions": {
+            "shards": 1,
+            "rows": manifest["total_rows"],
+            "wall_sec": manifest.get("wall_sec", 0),
+        }
+    }
+    # downstream shuffle parallelism: size from the full corpus seen so
+    # far (all shards' recorded input files, falling back to mentions
+    # bytes when an input file has been removed since)
+    input_bytes = sum(s for _, s in inputs)
+    for name, _rows, nbytes in _mentions_lineage(out_root):
+        if name == os.path.basename(shard_dir):
+            continue
+        input_bytes += nbytes
+    reduce_parts = cfg.resolved_reduce_partitions(input_bytes)
+    summary.update(_run_downstream(out_root, cfg, reduce_parts))
+    return summary
+
+
+def _run_downstream(out_root: str, cfg: KGPipelineConfig, reduce_parts: int) -> dict:
+    """Stages 2-5 (linked, canon, edges, nodes) over whatever mention
+    shards exist under ``out_root``.  Checkpoint configs embed the
+    mentions lineage: any change to the mention set re-runs them."""
+    import ray.data as rd
+
+    summary: dict = {}
+    stage_cfg = {**cfg.fingerprint(), "mentions": _mentions_lineage(out_root)}
 
     concurrent = cfg.concurrent_stages
     if concurrent is None:
@@ -201,45 +357,6 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
         else:
             for key, d, m, prod in jobs:
                 summary[key] = checkpoint.run_stage(d, m, prod)
-
-    # --- stage 1: mentions (sharded + resumable) ----------------------
-    files = _pages_files(pages_path)
-    # data-aware shuffle parallelism: post-combiner volume tracks input
-    # volume, so size the reduce partitions from the pages bytes we can
-    # see (capped by cluster size in sizing.bytes_scaled_partitions)
-    input_bytes = sum(os.path.getsize(f) for f in files)
-    reduce_parts = cfg.resolved_reduce_partitions(input_bytes)
-    n_shards = max(1, min(cfg.shards, len(files)))
-    groups = [files[i::n_shards] for i in range(n_shards)]
-    mentions_root = os.path.join(out_root, "mentions")
-    shard_manifests = []
-    for k, group in enumerate(groups):
-        shard_dir = os.path.join(mentions_root, f"shard-{k}")
-
-        def produce(path, group=group):
-            import ray as _r
-
-            try:
-                _n = int(_r.cluster_resources().get("CPU", 8))
-            except Exception:
-                _n = 8
-            ds = read_pages(group, cfg.lang_allow, num_blocks=20 * _n)
-            out = build_mentions(ds, cfg)
-            # coalesce output files: hundreds of tiny parquet files slow
-            # the write and every downstream read
-            out.write_parquet(path, min_rows_per_file=200_000)
-            return {"input_files": group, "dataset_stats": _trim_stats(out)}
-
-        shard_manifests.append(
-            checkpoint.run_stage(
-                shard_dir, {"stage": "mentions", "config": cfg.fingerprint()}, produce
-            )
-        )
-    summary["mentions"] = {
-        "shards": len(shard_manifests),
-        "rows": sum(m["total_rows"] for m in shard_manifests),
-        "wall_sec": sum(m.get("wall_sec", 0) for m in shard_manifests),
-    }
 
     import ray as _ray
 
@@ -323,8 +440,8 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
     # linked and canon both depend only on mentions
     run_pair(
         [
-            ("linked", linked_dir, {"stage": "linked", "config": cfg.fingerprint()}, produce_linked),
-            ("canon", canon_dir, {"stage": "canon", "config": cfg.fingerprint()}, produce_canon),
+            ("linked", linked_dir, {"stage": "linked", "config": stage_cfg}, produce_linked),
+            ("canon", canon_dir, {"stage": "canon", "config": stage_cfg}, produce_canon),
         ]
     )
     with open(canon_pkl, "rb") as f:
@@ -409,8 +526,8 @@ def run_kg_pipeline(pages_path: str, out_root: str, cfg: KGPipelineConfig | None
 
     run_pair(
         [
-            ("edges", edges_dir, {"stage": "edges", "config": cfg.fingerprint()}, produce_edges),
-            ("nodes", nodes_dir, {"stage": "nodes", "config": cfg.fingerprint()}, produce_nodes),
+            ("edges", edges_dir, {"stage": "edges", "config": stage_cfg}, produce_edges),
+            ("nodes", nodes_dir, {"stage": "nodes", "config": stage_cfg}, produce_nodes),
         ]
     )
     return summary

@@ -32,7 +32,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
+from gliner_cpp_ray.pipelines.kg import (
+    KGPipelineConfig,
+    run_kg_delta,
+    run_kg_pipeline,
+)
 from gliner_cpp_ray.sources.pages import (
     N_HOSTS as _N_HOSTS,
     corpus_dir_for,
@@ -182,6 +186,66 @@ def q_kg_triples(sf_dir: str):
 
 def q_kg_edges(sf_dir: str):
     _, out = _run_kg(sf_dir)
+    return _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon", "weight"]
+    )
+
+
+def _incr_batches(corpus: str, n_pages: int) -> tuple[str, str]:
+    """Split the synthetic corpus into two deterministic crawl batches
+    (base = first ~80% of page ids, delta = the rest), written once
+    under /tmp and reused.  Streaming: each batch is a filtered Ray
+    read + write, never a driver-side table pull."""
+    import shutil
+
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.linkgraph import _src_ids
+
+    cutoff = max(1, int(n_pages * 0.8))
+    split_root = os.path.join(
+        "/tmp/kgray_incr", os.path.basename(os.path.normpath(corpus))
+    )
+    base_dir = os.path.join(split_root, "base")
+    delta_dir = os.path.join(split_root, "delta")
+    marker = os.path.join(split_root, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(split_root, ignore_errors=True)
+        for d, want_base in ((base_dir, True), (delta_dir, False)):
+
+            def keep(t: pa.Table, want_base=want_base) -> pa.Table:
+                ids = _src_ids(t.column("url"))
+                mask = (ids < cutoff) if want_base else (ids >= cutoff)
+                return t.filter(pa.array(mask))
+
+            rd.read_parquet(os.path.join(corpus, "pages")).map_batches(
+                keep, batch_format="pyarrow"
+            ).write_parquet(d)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return base_dir, delta_dir
+
+
+def q_kg_incremental_edges(sf_dir: str):
+    """Incremental crawl ingestion (north-rule resumability, active
+    form): the corpus arrives as two batches — the base is built with
+    ``run_kg_pipeline``, the delta merged with ``run_kg_delta`` (NER
+    runs over the delta pages ONLY; the downstream wide stages recompute
+    because their checkpoints embed the mentions lineage).  The merged
+    edge table must be bit-identical to a full recompute over
+    base ∪ delta, so the oracle is the same closed-form SQL as
+    ``kg_edges``."""
+
+    def build():
+        corpus = _corpus(sf_dir)
+        base_dir, delta_dir = _incr_batches(corpus, n_pages_for_sf(sf_dir))
+        out = _kg_out(corpus) + "_incr"
+        cfg = KGPipelineConfig()
+        run_kg_pipeline(base_dir, out, cfg)
+        run_kg_delta(delta_dir, out, cfg)
+        return out
+
+    out = _cached("kg_incr", sf_dir, build)
     return _read_out(out, "edges").select_columns(
         ["subj_canon", "pred", "obj_canon", "weight"]
     )
@@ -4768,6 +4832,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_incremental_edges": q_kg_incremental_edges,
         "events_burst_hours": q_events_burst_hours,
         "label_centroid_distances": q_label_centroid_distances,
         "kg_entity_cards": q_kg_entity_cards,
@@ -5578,6 +5643,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"SELECT doc_id, subj, pred, obj FROM read_parquet('{expected_glob}')"
         ),
         "kg_edges": (
+            "SELECT subj_canon, pred, obj_canon, count(*) AS weight "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon"
+        ),
+        # incremental base+delta ingest must equal the full recompute,
+        # so its oracle IS the kg_edges closed form
+        "kg_incremental_edges": (
             "SELECT subj_canon, pred, obj_canon, count(*) AS weight "
             f"FROM read_parquet('{expected_glob}') "
             "GROUP BY subj_canon, pred, obj_canon"

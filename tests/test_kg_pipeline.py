@@ -299,3 +299,60 @@ def test_token_level_ner_stage_matches_oracle(ray_session, corpus_dir):
         pd.DataFrame(rows, columns=key).sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(tok_df, oracle_df)
+
+
+def test_delta_ingest_matches_full_run(
+    ray_session, corpus_dir, pipeline_out, tmp_path_factory
+):
+    """run_kg_delta: base batch + delta batch == full recompute.
+
+    The expensive NER stage runs only over the delta file; the wide
+    downstream stages re-run because their checkpoints embed the
+    mentions lineage.  Re-ingesting the same batch is a no-op."""
+    from gliner_cpp_ray.pipelines.kg import _pages_files, run_kg_delta
+
+    out_full, _, _ = pipeline_out
+    files = _pages_files(os.path.join(corpus_dir, "pages"))
+    assert len(files) >= 2, "fixture corpus must span several files"
+
+    out = str(tmp_path_factory.mktemp("kg_incr"))
+    cfg = KGPipelineConfig(
+        ner_concurrency=(1, 2), link_concurrency=(1, 2), shards=1
+    )
+    run_kg_pipeline(files[0], out, cfg)
+    base_edges = _read(out, "edges")
+
+    summary = run_kg_delta(files[1:], out, cfg)
+    assert summary["mentions"]["rows"] > 0
+
+    key = ["subj_canon", "pred", "obj_canon"]
+    got = (
+        _read(out, "edges")[key + ["weight"]]
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        _read(out_full, "edges")[key + ["weight"]]
+        .sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the delta genuinely changed the graph (guards a vacuous pass)
+    assert got["weight"].sum() > base_edges["weight"].sum()
+
+    # nodes converge too (canonicalization is global, so a delta can
+    # merge clusters — the merged node table must equal the full run's)
+    nkey = ["canon_id"]
+    got_n = (
+        _read(out, "nodes")[["canon_id", "label", "mention_count"]]
+        .sort_values(nkey).reset_index(drop=True)
+    )
+    want_n = (
+        _read(out_full, "nodes")[["canon_id", "label", "mention_count"]]
+        .sort_values(nkey).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_n, want_n)
+
+    # idempotent re-ingest: same batch -> checkpointed manifests
+    # returned verbatim (identical wall_sec proves nothing re-ran)
+    again = run_kg_delta(files[1:], out, cfg)
+    assert again["mentions"]["wall_sec"] == summary["mentions"]["wall_sec"]
+    assert again["edges"]["wall_sec"] == summary["edges"]["wall_sec"]

@@ -3202,6 +3202,165 @@ def q_returned_revenue_topk(sf_dir: str):
     return global_top_k(full, "revenue_nano", "c_custkey", k=20)
 
 
+def q_cust_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped customer order-count distribution INCLUDING
+    zero-order customers, without materializing the customer ⟕ orders
+    outer join: each orders block emits per-custkey PARTIAL counts
+    (an Arrow value_counts combiner), the customer key column unions in
+    with count 0, one custkey-bucket group-sum yields every customer's
+    order count (zeros included), and the histogram is a second groupby
+    over the tiny bounded count domain.  Exchange volume: per-block
+    distinct custkeys + one int64 row per customer — never
+    |orders| × |customer| outer-join rows.  Exactness vs the LEFT JOIN
+    oracle relies on o_custkey ⊆ customer (the corpus invariant
+    fk_orphan_audit reports as 0 orphans)."""
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t.column("o_custkey").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "c_custkey": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def zero_counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "n": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    partials = orders.map_batches(partial_counts, batch_format="pyarrow")
+    zeros = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        zero_counts, batch_format="pyarrow"
+    )
+    per_cust = bucketed_group_agg(
+        partials.union(zeros), "c_custkey", "sum", val_col="n",
+        out_col="c_count",
+    )
+    return (
+        per_cust.map_batches(
+            lambda t: t.select(["c_count"]), batch_format="pyarrow"
+        )
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+    )
+
+
+def q_small_qty_part_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity revenue by brand: over the
+    'Brand#1x' part family, the lineitem revenue from rows whose
+    quantity is below 20% of that part's average quantity.  Scale
+    shape: the brand's part keys never ship as rows — bloom_semi_join
+    prunes lineitem map-side (broadcast key set while small, Bloom
+    bitmap + exact verify at scale) to ~1/5 of the corpus before any
+    exchange; the per-part (sum, count) threshold stats are ONE
+    bucketed group-agg over the survivors; the stats rejoin the
+    surviving rows with ONE more bucketed join — the 'self-join of
+    aggregates' plan for SQL's correlated AVG subquery.  Bloom false
+    positives drop at the inner part-dimension join, so the result is
+    exact.  Integer-exact threshold: qty < avg/5 ⇔
+    5·qty_micro·cnt < sum_qty_micro (qty ≤ 50 ⇒ safe in int64 while a
+    part's lineitem count stays < ~3.6·10^10; TPC-H holds it near 30
+    at every sf)."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import (
+        bloom_semi_join,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    brand_dim = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+            }
+        ).filter(pc.starts_with(t.column("p_brand"), "Brand#1")),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "q": _micro(t.column("l_quantity")),
+                "p": _micro(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li_f = bloom_semi_join(li, brand_dim, on="l_partkey")
+
+    stats = bucketed_group_agg(
+        li_f.map_batches(
+            lambda t: t.select(["l_partkey", "q"]), batch_format="pyarrow"
+        ),
+        "l_partkey",
+        specs=[("sum", "q", "s"), ("count", None, "c")],
+    )
+    # per-part stats ⋈ brand dimension: both sides are per-part tables;
+    # the inner join also discards any Bloom false-positive parts
+    dim = bucketed_hash_join(
+        stats, brand_dim, on="l_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("s", pa.int64()), ("c", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("p_brand", pa.string())]
+        ),
+    )
+    joined = bucketed_hash_join(
+        li_f, dim, on="l_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("q", pa.int64()), ("p", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("s", pa.int64()),
+             ("c", pa.int64()), ("p_brand", pa.string())]
+        ),
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(5 * q * c < s))
+        # per-block partial so the final 25-brand groupby moves one row
+        # per (block, brand), not one per qualifying lineitem
+        df = kept.select(["p_brand", "p"]).to_pandas()
+        g = df.groupby("p_brand", sort=False)["p"].agg(["size", "sum"])
+        return pa.table(
+            {
+                "p_brand": pa.array(g.index, pa.string()),
+                "n_small": pa.array(g["size"].to_numpy(np.int64)),
+                "revenue_micro": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(qualify, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_small", alias_name="n_small"),
+            Sum("revenue_micro", alias_name="revenue_micro"),
+        )
+    )
+
+
 def q_fk_orphan_audit(sf_dir: str):
     """Referential-integrity audit across every FK edge of the schema —
     the lake-hygiene report run before joins are trusted: per relation,
@@ -4832,6 +4991,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "cust_order_distribution": q_cust_order_distribution,
+        "small_qty_part_revenue": q_small_qty_part_revenue,
         "kg_incremental_edges": q_kg_incremental_edges,
         "events_burst_hours": q_events_burst_hours,
         "label_centroid_distances": q_label_centroid_distances,
@@ -6421,6 +6582,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM pc p JOIN customer c ON c.c_custkey = p.c_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "ORDER BY p.revenue_nano DESC, c.c_custkey LIMIT 20"
+        ),
+        "cust_order_distribution": (
+            # TPC-H Q13 shape: LEFT JOIN keeps zero-order customers
+            "WITH pc AS (SELECT c.c_custkey, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM pc GROUP BY c_count"
+        ),
+        "small_qty_part_revenue": (
+            # TPC-H Q17 shape, integer-exact threshold in micro units:
+            # qty < avg/5  ⇔  5*q*cnt < sum_q (matching the Ray stage)
+            "WITH li AS (SELECT l_partkey, "
+            "CAST(floor(l_quantity * 1000000) AS BIGINT) AS q, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS p "
+            "FROM lineitem), "
+            "agg AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS c FROM li GROUP BY l_partkey) "
+            "SELECT pt.p_brand, CAST(count(*) AS BIGINT) AS n_small, "
+            "CAST(sum(li.p) AS BIGINT) AS revenue_micro "
+            "FROM li JOIN agg USING (l_partkey) "
+            "JOIN part pt ON pt.p_partkey = li.l_partkey "
+            "WHERE pt.p_brand LIKE 'Brand#1%' AND 5 * li.q * agg.c < agg.s "
+            "GROUP BY pt.p_brand"
         ),
         "fk_orphan_audit": (
             " UNION ALL ".join(

@@ -191,6 +191,109 @@ def q_kg_edges(sf_dir: str):
     )
 
 
+def q_kg_edge_timespan(sf_dir: str):
+    """Temporal KG: every canonical edge annotated with the crawl
+    interval that supports it — weight plus the first/last ``warc_ts``
+    (epoch µs) of the pages its triples were extracted from.  Scale
+    shape: the per-triple `linked` table joins the pages (url → ts)
+    dimension with ONE bucketed hash join; each joined block then
+    canon-rewrites and pre-aggregates map-side (the same integer-coded
+    dictionary path as the edges stage, canon map broadcast once via
+    ``ray.put``), so the final exchange carries one (edge, count, min,
+    max) partial per distinct edge per block — never a per-occurrence
+    row.  Mergeable min/max make the timespan a single distributed
+    aggregate."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.canonicalize import _canon_codes, _dict_codes
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    corpus, out = _run_kg(sf_dir)
+    with open(os.path.join(out, "canon", "canon_map.pkl"), "rb") as f:
+        canon_map = pickle.load(f)
+    cm_ref = ray.put(canon_map)
+
+    pages_ts = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "warc_ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t.column("url"),
+                "ts_us": t.column("warc_ts").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cols = ["url", "subj", "pred", "obj", "subj_label", "obj_label",
+            "subj_qid", "obj_qid"]
+    linked = _read_out(out, "linked").select_columns(cols)
+    joined = bucketed_hash_join(
+        linked, pages_ts, on="url",
+        left_schema=pa.schema([(c, pa.string()) for c in cols]),
+        right_schema=pa.schema([("url", pa.string()), ("ts_us", pa.int64())]),
+    )
+
+    empty = pa.table(
+        {
+            "subj_canon": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj_canon": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "tmin": pa.array([], pa.int64()),
+            "tmax": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cm = ray.get(cm_ref)  # zero-copy plasma read, once per task
+        vocab: dict = {}
+        subj_c = _canon_codes(cm, t, "subj", "subj_label", "subj_qid", vocab)
+        obj_c = _canon_codes(cm, t, "obj", "obj_label", "obj_qid", vocab)
+        pred_i, pred_d = _dict_codes(t.column("pred"))
+        group = (subj_c * len(pred_d) + pred_i) * len(vocab) + obj_c
+        df = pd.DataFrame(
+            {"g": group, "ts": t.column("ts_us").to_numpy(zero_copy_only=False)}
+        )
+        agg = df.groupby("g", sort=False)["ts"].agg(["size", "min", "max"])
+        uniq = agg.index.to_numpy()
+        canon_arr = np.array(sorted(vocab, key=vocab.get), dtype=object)
+        obj_u = uniq % len(vocab)
+        rest = uniq // len(vocab)
+        pred_u = rest % len(pred_d)
+        subj_u = rest // len(pred_d)
+        return pa.table(
+            {
+                "subj_canon": pa.array(canon_arr[subj_u], pa.string()),
+                "pred": pa.array(
+                    np.array(pred_d, dtype=object)[pred_u], pa.string()
+                ),
+                "obj_canon": pa.array(canon_arr[obj_u], pa.string()),
+                "n": pa.array(agg["size"].to_numpy(np.int64)),
+                "tmin": pa.array(agg["min"].to_numpy(np.int64)),
+                "tmax": pa.array(agg["max"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(
+        partials,
+        ["subj_canon", "pred", "obj_canon"],
+        specs=[
+            ("sum", "n", "weight"),
+            ("min", "tmin", "first_seen_us"),
+            ("max", "tmax", "last_seen_us"),
+        ],
+    )
+
+
 def _incr_batches(corpus: str, n_pages: int) -> tuple[str, str]:
     """Split the synthetic corpus into two deterministic crawl batches
     (base = first ~80% of page ids, delta = the rest), written once
@@ -4991,6 +5094,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_edge_timespan": q_kg_edge_timespan,
         "cust_order_distribution": q_cust_order_distribution,
         "small_qty_part_revenue": q_small_qty_part_revenue,
         "kg_incremental_edges": q_kg_incremental_edges,
@@ -5807,6 +5911,17 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT subj_canon, pred, obj_canon, count(*) AS weight "
             f"FROM read_parquet('{expected_glob}') "
             "GROUP BY subj_canon, pred, obj_canon"
+        ),
+        # temporal edges: the generator records one expected triple per
+        # occurrence with its source url; pages carry the crawl time
+        "kg_edge_timespan": (
+            "SELECT t.subj_canon, t.pred, t.obj_canon, "
+            "CAST(count(*) AS BIGINT) AS weight, "
+            "CAST(min(epoch_us(p.warc_ts)) AS BIGINT) AS first_seen_us, "
+            "CAST(max(epoch_us(p.warc_ts)) AS BIGINT) AS last_seen_us "
+            f"FROM read_parquet('{expected_glob}') t "
+            f"JOIN read_parquet('{pages_glob}') p USING (url) "
+            "GROUP BY t.subj_canon, t.pred, t.obj_canon"
         ),
         # incremental base+delta ingest must equal the full recompute,
         # so its oracle IS the kg_edges closed form

@@ -616,6 +616,43 @@ def q_host_links(sf_dir: str):
     return host_link_edges(page_link_edges(ds), N_HOSTS)
 
 
+def q_host_route_costs(sf_dir: str):
+    """Crawl-cost map: cheapest multi-hop route cost from the seed
+    hosts (every 50th host id) to every host within 4 hops, where an
+    edge h1→h2 costs ``1_000_000 // (1 + n_links)`` — well-linked hosts
+    are cheap to discover.  Weighted SSSP via frontier-pruned
+    Bellman-Ford (stages/graph.py:weighted_sssp): per round one
+    bucketed join of edges against only the just-improved nodes + two
+    node-bounded group-mins; result identical to 4 synchronous
+    relaxations (the unrolled-CTE oracle)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.graph import weighted_sssp
+    from gliner_cpp_ray.stages.linkgraph import host_link_edges, page_link_edges
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "html"]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": t.column("src_host"),
+                "v": t.column("dst_host"),
+                "w": pa.array(1_000_000 // (1 + n)),
+            }
+        )
+
+    edges = host_link_edges(page_link_edges(pages), N_HOSTS).map_batches(
+        weigh, batch_format="pyarrow"
+    )
+    seeds = rd.from_items([{"host": h} for h in range(0, N_HOSTS, 50)])
+    return weighted_sssp(edges, seeds, rounds=4, node_col="host")
+
+
 def q_host_stats(sf_dir: str):
     """Per-host crawl rollup (host parsed from url; page count + total
     extracted-text chars) — trivially distributive groupby."""
@@ -5094,6 +5131,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "host_route_costs": q_host_route_costs,
         "kg_edge_timespan": q_kg_edge_timespan,
         "cust_order_distribution": q_cust_order_distribution,
         "small_qty_part_revenue": q_small_qty_part_revenue,
@@ -5892,6 +5930,38 @@ def oracle_sql():
     return oracle_sql_for_corpus(_ORACLE_CORPUS)
 
 
+def _sssp_sql(pages_glob: str, n_hosts: int, rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford over the host link graph: d_k(v) =
+    min(d_{k-1}(v), min over edges (u,v) of d_{k-1}(u) + w) — matches
+    weighted_sssp's frontier-pruned plan exactly (the pruning is a
+    physical optimization, not a semantic one)."""
+    seeds = ", ".join(str(h) for h in range(0, n_hosts, 50))
+    parts = [
+        "WITH h AS (SELECT url, decode(html) AS s FROM "
+        f"read_parquet('{pages_glob}')), "
+        "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        " AS src_id, CAST(u AS BIGINT) AS dst_id "
+        "FROM h, unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1))"
+        " AS t(u)), "
+        f"e AS (SELECT src_id % {n_hosts} AS u, dst_id % {n_hosts} AS v, "
+        "count(*) AS n FROM l GROUP BY u, v), "
+        "w AS (SELECT u, v, 1000000 // (1 + n) AS w FROM e), "
+        f"d0 AS (SELECT unnest([{seeds}]) AS host, 0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", d{k} AS (SELECT host, min(dist) AS dist FROM ("
+            f"SELECT host, dist FROM d{k - 1} UNION ALL "
+            f"SELECT w.v AS host, d{k - 1}.dist + w.w AS dist "
+            f"FROM d{k - 1} JOIN w ON w.u = d{k - 1}.host) GROUP BY host)"
+        )
+    parts.append(
+        f" SELECT CAST(host AS BIGINT) AS host, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
 def oracle_sql_for_corpus(corpus_dir: str):
     """Oracle SQL keyed to a specific synthetic corpus directory (the
     public ``oracle_sql()`` uses the sf0.01 corpus the driver compares
@@ -6137,6 +6207,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"dst_id % {_N_HOSTS} AS dst_host, count(*) AS n "
             "FROM l GROUP BY src_host, dst_host"
         ),
+        "host_route_costs": _sssp_sql(pages_glob, _N_HOSTS),
         "host_stats": (
             "SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
             "count(*) AS n_pages, "

@@ -205,3 +205,100 @@ def bfs_hop_distance(edges_ds, seeds_ds, max_hops: int = 4,
         visited = visited.union(new)
         frontier = new
     return visited
+
+
+def weighted_sssp(edges_ds, seeds_ds, rounds: int = 4,
+                  src_col: str = "u", dst_col: str = "v", w_col: str = "w",
+                  node_col: str = "node_id", n_buckets: int | None = None):
+    """Multi-source single-source-shortest-path over a weighted directed
+    edge table: minimum total edge cost from any seed using at most
+    ``rounds`` edges (integer weights; seeds at cost 0).
+
+    Returns ``(node_col, dist)`` — one row per node reachable within
+    ``rounds`` hops.  The result equals ``rounds`` synchronous
+    Bellman-Ford relaxations (the SQL unrolled-CTE transcription), but
+    the plan is FRONTIER-PRUNED: round k relaxes only edges out of
+    nodes whose distance improved in round k-1 — equivalent by the
+    standard SSSP frontier argument (a distance can only improve via a
+    neighbor that itself just improved), and it keeps per-round shuffle
+    volume proportional to frontier-incident edges instead of
+    re-shipping the whole label table every round the way textbook
+    whole-state Bellman-Ford does.  Distance state stays a distributed
+    (node, dist) Dataset; the driver sees O(1) per round (an
+    empty-frontier check)."""
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    def as_probe(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: t.column(src_col).cast(pa.int64()),
+             "__dst": t.column(dst_col).cast(pa.int64()),
+             "__w": t.column(w_col).cast(pa.int64())}
+        )
+
+    probe = edges_ds.map_batches(as_probe, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        # rows-scaled, cluster-capped (bfs_hop_distance rationale)
+        n_buckets = max(8, min(default_buckets(None), probe.count() // 250_000))
+
+    def seed0(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: t.column(node_col).cast(pa.int64()),
+             "dist": pa.array(np.zeros(t.num_rows, np.int64))}
+        )
+
+    dist = seeds_ds.map_batches(seed0, batch_format="pyarrow").materialize()
+    frontier = dist
+    dist_schema = pa.schema([(node_col, pa.int64()), ("dist", pa.int64())])
+    for _ in range(rounds):
+        if frontier.count() == 0:
+            break
+        relaxed = bucketed_hash_join(
+            probe, frontier, on=node_col, n_buckets=n_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    node_col: t.column("__dst"),
+                    "dist": pa.compute.add(t.column("dist"), t.column("__w")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # best candidate per destination this round
+        cand = bucketed_group_agg(
+            relaxed, node_col, "min", val_col="dist", out_col="dist",
+            n_buckets=n_buckets,
+        )
+        # keep only strict improvements vs the current distance table
+        # (LEFT join: unreached nodes surface as NaN = +inf)
+        merged = bucketed_hash_join(
+            cand, dist, on=node_col, n_buckets=n_buckets, how="left",
+            left_schema=dist_schema, right_schema=dist_schema,
+        )
+
+        def improvements(t: pa.Table) -> pa.Table:
+            new = t.column("dist").to_numpy(zero_copy_only=False)
+            old = t.column("dist_r").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            keep = np.isnan(old) | (new < old)
+            kept = t.filter(pa.array(keep))
+            return pa.table(
+                {node_col: kept.column(node_col), "dist": kept.column("dist")}
+            )
+
+        frontier = merged.map_batches(
+            improvements, batch_format="pyarrow"
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        # fold improvements in: union + per-node min (improved rows are
+        # strictly smaller, so group-min IS the update)
+        dist = bucketed_group_agg(
+            dist.union(frontier), node_col, "min", val_col="dist",
+            out_col="dist", n_buckets=n_buckets,
+        ).materialize()
+    return dist

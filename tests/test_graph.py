@@ -130,3 +130,67 @@ def test_bfs_random_graph_matches_reference(ray_session):
     rng = np.random.default_rng(7)
     edges = [tuple(p) for p in rng.integers(0, 80, size=(200, 2))]
     _check_bfs(edges, [0, 13, 26], 3, ray_session)
+
+
+# --------------------------------------------------------------- SSSP
+
+
+def _sssp_reference(edges, seeds, rounds):
+    """Driver-side reference: ``rounds`` synchronous Bellman-Ford
+    relaxations (the oracle semantics weighted_sssp must match)."""
+    dist = {int(s): 0 for s in seeds}
+    for _ in range(rounds):
+        cur = dict(dist)
+        for u, v, w in edges:
+            du = cur.get(int(u))
+            if du is not None and du + int(w) < dist.get(int(v), float("inf")):
+                dist[int(v)] = du + int(w)
+    return dist
+
+
+def _check_sssp(edges, seeds, rounds, ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import weighted_sssp
+
+    edf = pd.DataFrame(edges, columns=["u", "v", "w"]).astype("int64")
+    sdf = pd.DataFrame({"node_id": list(seeds)}).astype("int64")
+    got = (
+        weighted_sssp(
+            rd.from_pandas(edf).repartition(3),
+            rd.from_pandas(sdf),
+            rounds=rounds,
+        )
+        .to_pandas()
+        .set_index("node_id")["dist"]
+        .to_dict()
+    )
+    assert got == _sssp_reference(edges, seeds, rounds)
+
+
+def test_sssp_cheap_detour_beats_direct_edge(ray_session):
+    # direct 0->2 costs 10; detour 0->1->2 costs 3 but needs 2 hops
+    edges = [(0, 2, 10), (0, 1, 1), (1, 2, 2)]
+    assert _sssp_reference(edges, [0], 1)[2] == 10  # 1 round: direct only
+    _check_sssp(edges, [0], 1, ray_session)
+    _check_sssp(edges, [0], 2, ray_session)  # 2 rounds: detour wins (3)
+
+
+def test_sssp_multi_seed_cycle_and_unreached(ray_session):
+    edges = [(0, 1, 5), (1, 2, 5), (2, 0, 1), (3, 4, 2), (9, 0, 1)]
+    _check_sssp(edges, [0, 3], 4, ray_session)  # 9 stays unreached
+
+
+def test_sssp_round_cap_is_exact(ray_session):
+    # chain of 6 unit edges: round cap k labels exactly k+1 nodes
+    edges = [(i, i + 1, 1) for i in range(6)]
+    for k in (1, 3, 6):
+        _check_sssp(edges, [0], k, ray_session)
+
+
+def test_sssp_random_graph_matches_reference(ray_session):
+    rng = np.random.default_rng(11)
+    uv = rng.integers(0, 60, size=(150, 2))
+    w = rng.integers(1, 9, size=(150, 1))
+    edges = [tuple(r) for r in np.hstack([uv, w])]
+    _check_sssp(edges, [0, 17], 3, ray_session)

@@ -294,6 +294,146 @@ def q_kg_edge_timespan(sf_dir: str):
     )
 
 
+def q_kg_negative_edges(sf_dir: str):
+    """Deterministic negative sampling for KG link-prediction training
+    (TransE-style corrupted triples): every canonical edge draws one
+    pseudo-random REPLACEMENT OBJECT of the same label — uniformly over
+    that label's node set, reproducibly, engine-independently.
+
+    Scheme (the md5-u60 idiom shared with C117 doc negatives, made
+    PER-GROUP): nodes get dense 1-based positions within their label
+    (``seq_numbers_per_key`` — one composite-key bucket shuffle);
+    edge (s,p,o) targets position ``md5_u60(s|p|o) mod n_label``
+    (0-based), a self-hit shifts to the next position mod n_label; the
+    target resolves to a node id with ONE bucketed join on the
+    (label, position) composite key.  Per-label counts are a
+    label-bounded driver dict (labels are a fixed ontology, never
+    corpus-scaled).  A single-node label degenerates to a self
+    negative — kept, so the closed form stays total (documented, absent
+    in this corpus).  Output: (subj_canon, pred, obj_canon,
+    neg_obj_canon)."""
+    import hashlib
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+    from gliner_cpp_ray.stages.windows import seq_numbers_per_key
+
+    _, out = _run_kg(sf_dir)
+    nodes = _read_out(out, "nodes").select_columns(["canon_id", "label"])
+    pos = seq_numbers_per_key(
+        nodes, ["label"], ts_col="canon_id", id_col="canon_id",
+        out_col="pos",
+    )
+    ranked = bucketed_hash_join(
+        nodes, pos, on="canon_id",
+        left_schema=pa.schema(
+            [("canon_id", pa.string()), ("label", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("canon_id", pa.string()), ("pos", pa.int64())]
+        ),
+    ).materialize()  # consumed twice: object-side join + target resolve
+
+    # label → node count: fixed-ontology bounded, rides as a plain dict
+    from ray.data.aggregate import Count
+
+    n_of = {
+        r["label"]: int(r["n"])
+        for r in nodes.groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon"]
+    )
+    obj_ranked = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "obj_canon": t.column("canon_id"),
+                "label": t.column("label"),
+                "obj_pos": t.column("pos"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_pos = bucketed_hash_join(
+        edges, obj_ranked, on="obj_canon",
+        left_schema=pa.schema(
+            [("subj_canon", pa.string()), ("pred", pa.string()),
+             ("obj_canon", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("obj_canon", pa.string()), ("label", pa.string()),
+             ("obj_pos", pa.int64())]
+        ),
+    )
+
+    def probes(t: pa.Table) -> pa.Table:
+        s = t.column("subj_canon").to_pylist()
+        p = t.column("pred").to_pylist()
+        o = t.column("obj_canon").to_pylist()
+        lab = t.column("label").to_pylist()
+        opos = t.column("obj_pos").to_numpy(zero_copy_only=False)
+        # per-edge md5 — bounded by batch rows, like every md5 partial
+        tgt = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{a}|{b}|{c}".encode()).hexdigest()[:15],
+                    16,
+                ) % n_of[l]
+                for a, b, c, l in zip(s, p, o, lab)
+            ),
+            np.int64,
+            len(s),
+        )
+        n_arr = np.fromiter((n_of[l] for l in lab), np.int64, len(lab))
+        tgt = np.where(tgt == opos - 1, (tgt + 1) % n_arr, tgt)
+        key = pa.array([f"{l}#{x + 1}" for l, x in zip(lab, tgt)])
+        return pa.table(
+            {
+                "subj_canon": t.column("subj_canon"),
+                "pred": t.column("pred"),
+                "obj_canon": t.column("obj_canon"),
+                "lp": key,
+            }
+        )
+
+    probe_ds = with_pos.map_batches(probes, batch_format="pyarrow")
+    target = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "lp": pa.array(
+                    [
+                        f"{l}#{x}"
+                        for l, x in zip(
+                            t.column("label").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        )
+                    ]
+                ),
+                "neg_obj_canon": t.column("canon_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        probe_ds, target, on="lp",
+        left_schema=pa.schema(
+            [("subj_canon", pa.string()), ("pred", pa.string()),
+             ("obj_canon", pa.string()), ("lp", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("lp", pa.string()), ("neg_obj_canon", pa.string())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.select(
+            ["subj_canon", "pred", "obj_canon", "neg_obj_canon"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _incr_batches(corpus: str, n_pages: int) -> tuple[str, str]:
     """Split the synthetic corpus into two deterministic crawl batches
     (base = first ~80% of page ids, delta = the rest), written once
@@ -5131,6 +5271,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_negative_edges": q_kg_negative_edges,
         "host_route_costs": q_host_route_costs,
         "kg_edge_timespan": q_kg_edge_timespan,
         "cust_order_distribution": q_cust_order_distribution,
@@ -5981,6 +6122,35 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT subj_canon, pred, obj_canon, count(*) AS weight "
             f"FROM read_parquet('{expected_glob}') "
             "GROUP BY subj_canon, pred, obj_canon"
+        ),
+        # deterministic per-label corrupted objects: positions are
+        # row_number() within label ORDER BY canon_id; the probe is the
+        # repo-wide md5-u60 idiom; a self-hit shifts +1 mod n_label
+        "kg_negative_edges": (
+            "WITH m AS (SELECT canon_mention AS canon_id, label "
+            f"FROM read_parquet('{mentions_glob}')), "
+            f"e0 AS (SELECT canon_id, label FROM read_parquet('{endpoints_glob}')), "
+            "nodes AS (SELECT canon_id, label FROM "
+            "(SELECT * FROM m UNION ALL SELECT * FROM e0) "
+            "GROUP BY canon_id, label), "
+            "pos AS (SELECT canon_id, label, "
+            "row_number() OVER (PARTITION BY label ORDER BY canon_id) AS pos, "
+            "count(*) OVER (PARTITION BY label) AS n_label FROM nodes), "
+            "edges AS (SELECT subj_canon, pred, obj_canon "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon), "
+            "pr AS (SELECT e.subj_canon, e.pred, e.obj_canon, p.label, "
+            "p.pos AS obj_pos, p.n_label, "
+            "CAST(concat('0x', substr(md5(concat(e.subj_canon, '|', "
+            "e.pred, '|', e.obj_canon)), 1, 15)) AS BIGINT) % p.n_label "
+            "AS tgt0 FROM edges e JOIN pos p ON p.canon_id = e.obj_canon), "
+            "pr2 AS (SELECT subj_canon, pred, obj_canon, label, "
+            "(CASE WHEN tgt0 = obj_pos - 1 THEN (tgt0 + 1) % n_label "
+            "ELSE tgt0 END) + 1 AS tgt FROM pr) "
+            "SELECT pr2.subj_canon, pr2.pred, pr2.obj_canon, "
+            "p2.canon_id AS neg_obj_canon "
+            "FROM pr2 JOIN pos p2 ON p2.label = pr2.label "
+            "AND p2.pos = pr2.tgt"
         ),
         # temporal edges: the generator records one expected triple per
         # occurrence with its source url; pages carry the crawl time

@@ -244,6 +244,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("priority_revenue_share", q.q_priority_revenue_share)
         timed("degree_distribution", q.q_degree_distribution)
         timed("source_dup_rates", q.q_source_dup_rates)
+        timed("kg_edge_timespan", q.q_kg_edge_timespan)
+        timed("kg_negative_edges", q.q_kg_negative_edges)
+        timed("host_route_costs", q.q_host_route_costs)
+        timed("cust_order_distribution", q.q_cust_order_distribution)
+        timed("small_qty_part_revenue", q.q_small_qty_part_revenue)
 
     result = {
         "metric": "kg_pipeline_e2e",

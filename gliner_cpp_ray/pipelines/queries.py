@@ -230,11 +230,18 @@ def q_kg_edge_timespan(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
     cols = ["url", "subj", "pred", "obj", "subj_label", "obj_label",
             "subj_qid", "obj_qid"]
     linked = _read_out(out, "linked").select_columns(cols)
     joined = bucketed_hash_join(
         linked, pages_ts, on="url",
+        # triple-volume-scaled exchange (tiny at bench scale, 2×CPU at
+        # corpus scale)
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(os.path.join(out, "linked"))
+        ),
         left_schema=pa.schema([(c, pa.string()) for c in cols]),
         right_schema=pa.schema([("url", pa.string()), ("ts_us", pa.int64())]),
     )
@@ -317,14 +324,21 @@ def q_kg_negative_edges(sf_dir: str):
     from gliner_cpp_ray.stages.joins import bucketed_hash_join
     from gliner_cpp_ray.stages.windows import seq_numbers_per_key
 
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
     _, out = _run_kg(sf_dir)
+    # node/edge-volume-scaled exchanges: at bench scale these tables are
+    # tiny and fixed per-bucket costs would dominate; at 100 TB the
+    # bytes-derived count restores 2×CPU buckets
+    nb_nodes = bytes_scaled_partitions(_path_bytes(os.path.join(out, "nodes")))
+    nb_edges = bytes_scaled_partitions(_path_bytes(os.path.join(out, "edges")))
     nodes = _read_out(out, "nodes").select_columns(["canon_id", "label"])
     pos = seq_numbers_per_key(
         nodes, ["label"], ts_col="canon_id", id_col="canon_id",
-        out_col="pos",
+        out_col="pos", n_buckets=nb_nodes,
     )
     ranked = bucketed_hash_join(
-        nodes, pos, on="canon_id",
+        nodes, pos, on="canon_id", n_buckets=nb_nodes,
         left_schema=pa.schema(
             [("canon_id", pa.string()), ("label", pa.string())]
         ),
@@ -357,7 +371,7 @@ def q_kg_negative_edges(sf_dir: str):
         batch_format="pyarrow",
     )
     with_pos = bucketed_hash_join(
-        edges, obj_ranked, on="obj_canon",
+        edges, obj_ranked, on="obj_canon", n_buckets=nb_edges,
         left_schema=pa.schema(
             [("subj_canon", pa.string()), ("pred", pa.string()),
              ("obj_canon", pa.string())]
@@ -417,7 +431,7 @@ def q_kg_negative_edges(sf_dir: str):
         batch_format="pyarrow",
     )
     joined = bucketed_hash_join(
-        probe_ds, target, on="lp",
+        probe_ds, target, on="lp", n_buckets=nb_edges,
         left_schema=pa.schema(
             [("subj_canon", pa.string()), ("pred", pa.string()),
              ("obj_canon", pa.string()), ("lp", pa.string())]
@@ -3497,6 +3511,7 @@ def q_cust_order_distribution(sf_dir: str):
     from ray.data.aggregate import Count
 
     from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
 
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
@@ -3524,6 +3539,10 @@ def q_cust_order_distribution(sf_dir: str):
     per_cust = bucketed_group_agg(
         partials.union(zeros), "c_custkey", "sum", val_col="n",
         out_col="c_count",
+        # key volume tracks the customer table: bytes-scaled buckets
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(_sf_path(sf_dir, "customer"))
+        ),
     )
     return (
         per_cust.map_batches(
@@ -3557,6 +3576,10 @@ def q_small_qty_part_revenue(sf_dir: str):
         bucketed_group_agg,
         bucketed_hash_join,
     )
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    # the brand filter keeps ~1/5 of lineitem: bytes-scaled buckets
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "lineitem")) // 5)
 
     brand_dim = _read(
         sf_dir, "part", columns=["p_partkey", "p_brand"]
@@ -3583,7 +3606,7 @@ def q_small_qty_part_revenue(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    li_f = bloom_semi_join(li, brand_dim, on="l_partkey")
+    li_f = bloom_semi_join(li, brand_dim, on="l_partkey", n_buckets=nb)
 
     stats = bucketed_group_agg(
         li_f.map_batches(
@@ -3591,11 +3614,12 @@ def q_small_qty_part_revenue(sf_dir: str):
         ),
         "l_partkey",
         specs=[("sum", "q", "s"), ("count", None, "c")],
+        n_buckets=nb,
     )
     # per-part stats ⋈ brand dimension: both sides are per-part tables;
     # the inner join also discards any Bloom false-positive parts
     dim = bucketed_hash_join(
-        stats, brand_dim, on="l_partkey",
+        stats, brand_dim, on="l_partkey", n_buckets=nb,
         left_schema=pa.schema(
             [("l_partkey", pa.int64()), ("s", pa.int64()), ("c", pa.int64())]
         ),
@@ -3604,7 +3628,7 @@ def q_small_qty_part_revenue(sf_dir: str):
         ),
     )
     joined = bucketed_hash_join(
-        li_f, dim, on="l_partkey",
+        li_f, dim, on="l_partkey", n_buckets=nb,
         left_schema=pa.schema(
             [("l_partkey", pa.int64()), ("q", pa.int64()), ("p", pa.int64())]
         ),

@@ -60,10 +60,22 @@ def cmd_inference(args) -> int:
 
 def cmd_kg(args) -> int:
     owns = _ray_session(args.num_cpus)
-    from gliner_cpp_ray.pipelines.kg import KGPipelineConfig, run_kg_pipeline
+    from gliner_cpp_ray.pipelines.kg import (
+        KGPipelineConfig,
+        run_kg_delta,
+        run_kg_pipeline,
+    )
 
+    if not args.pages and not args.delta:
+        print("kg: one of --pages (full run) or --delta (ingest) is required")
+        return 2
     cfg = KGPipelineConfig(shards=args.shards)
-    summary = run_kg_pipeline(args.pages, args.out, cfg)
+    if args.delta:
+        # incremental ingest: NER over the new batch only; the wide
+        # downstream stages recompute via their lineage-keyed checkpoints
+        summary = run_kg_delta(args.delta, args.out, cfg)
+    else:
+        summary = run_kg_pipeline(args.pages, args.out, cfg)
     print(json.dumps(summary, indent=1, default=str))
     if owns:
         import ray
@@ -117,8 +129,16 @@ def main(argv=None) -> int:
     )
     pi.set_defaults(fn=cmd_inference)
 
-    pk = sub.add_parser("kg", help="run the full KG pipeline")
-    pk.add_argument("--pages", required=True)
+    pk = sub.add_parser(
+        "kg", help="run the full KG pipeline (or ingest a delta batch)"
+    )
+    pk.add_argument("--pages", required=False, default=None)
+    pk.add_argument(
+        "--delta",
+        default=None,
+        help="pages dir/file of a NEW crawl batch to merge into an "
+        "existing --out (runs NER over the batch only)",
+    )
     pk.add_argument("--out", required=True)
     pk.add_argument("--shards", type=int, default=2)
     pk.add_argument("--num-cpus", type=int, default=None)

@@ -249,6 +249,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("host_route_costs", q.q_host_route_costs)
         timed("cust_order_distribution", q.q_cust_order_distribution)
         timed("small_qty_part_revenue", q.q_small_qty_part_revenue)
+        timed("late_order_priority", q.q_late_order_priority)
+        timed("top_supplier_revenue", q.q_top_supplier_revenue)
+        timed("disjunctive_brand_revenue", q.q_disjunctive_brand_revenue)
+        timed("waiting_suppliers", q.q_waiting_suppliers)
 
     result = {
         "metric": "kg_pipeline_e2e",

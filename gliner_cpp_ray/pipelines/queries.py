@@ -5284,6 +5284,360 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
 
+def q_late_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped order-priority report: 1997 orders with at least
+    one lineitem shipped more than 90 days after the order date,
+    counted per priority.  Scale shape: the correlated EXISTS
+    (ship > orderdate + 90d) folds into ``max(l_shipdate) per order``
+    — a per-block partial-max combiner, so the ONE corpus-sized
+    exchange carries (orderkey, max) rows; the order side is
+    date-filtered MAP-SIDE before the bucketed join; the final
+    per-priority count is a tiny grouped rollup."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    lo = int(np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64))
+    d90 = 90 * 86_400_000_000
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: (lambda d: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(
+                    pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+                ),
+                "o_date_us": d.filter(
+                    pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+                ),
+                "o_orderpriority": t.column("o_orderpriority").filter(
+                    pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+                ),
+            }
+        ))(t.column("o_orderdate").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+    max_ship = bucketed_group_agg(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "ship_us": t.column("l_shipdate").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "o_orderkey", agg="max", val_col="ship_us", out_col="max_ship_us",
+        n_buckets=_join_buckets(sf_dir, "lineitem"),
+    )
+    joined = bucketed_hash_join(
+        orders, max_ship, on="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "orders"),
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_date_us", pa.int64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("max_ship_us", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                t.column("max_ship_us"),
+                pc.add(t.column("o_date_us"), pa.scalar(d90, pa.int64())),
+            )
+        ).select(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        joined, "o_orderpriority", agg="count", out_col="n_late", n_buckets=8
+    )
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-shaped top-supplier report: the supplier(s) with the
+    maximum lineitem revenue over 1996-H1, with ties kept (Q15 keeps
+    every supplier at the max).  Scale shape: per-supplier revenue is
+    ONE key-hash grouped sum (supplier keys scale with the corpus →
+    bucketed_group_agg, not Dataset.groupby); the global max is a
+    scalar distributed aggregate (per-batch partial max, k-row driver
+    reduce) broadcast back into a filter — never a sort; the name join
+    runs AFTER the max filter so it moves only the winner rows.
+    Revenue integer-exact in nano units:
+    floor(price·1e6) × (1000 − floor(discount·1e3))."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    lo = int(np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1996-07-01").astype("datetime64[us]").astype(np.int64))
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column("l_shipdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(s, lo), pc.less(s, hi))
+        t = t.filter(keep)
+        price = _micro(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+            }
+        )
+
+    rev = bucketed_group_agg(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(prep, batch_format="pyarrow"),
+        "s_suppkey", agg="sum", val_col="rev_nano", out_col="total_rev_nano",
+        n_buckets=_join_buckets(sf_dir, "lineitem"),
+    ).materialize()  # consumed twice: scalar max + winner filter
+
+    # scalar max: one int64 per batch to the driver (bounded by task count)
+    parts = rev.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.max(t.column("total_rev_nano")).as_py() or 0],
+                           pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    best = int(parts["m"].max())
+
+    winners = rev.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("total_rev_nano"), pa.scalar(best, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return bucketed_hash_join(
+        winners, supp, on="s_suppkey", n_buckets=8,
+        left_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("total_rev_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string())]
+        ),
+    ).map_batches(
+        lambda t: t.select(["s_suppkey", "s_name", "total_rev_nano"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_disjunctive_brand_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: total discounted
+    revenue from three (brand, size-range, quantity-range) arms OR-ed
+    together.  Scale shape: the part side is filtered MAP-SIDE to the
+    three arms' union (brand ∈ 3 of ~25 × small sizes) carrying only
+    (partkey, brand, size); the corpus-sized lineitem stream is
+    Bloom-pruned on those partkeys BEFORE the bucketed join, so the
+    join moves only plausible rows; the OR evaluates vectorized on the
+    joined batch; ONE scalar sum ends the plan.  Revenue integer-exact
+    in nano units."""
+    from gliner_cpp_ray.stages.joins import bloom_semi_join, bucketed_hash_join
+
+    arms = [  # (brand, size_max, qty_lo, qty_hi) — sizes 1..N, qty inclusive
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#34", 15, 20, 30),
+    ]
+    brands = pa.array([a[0] for a in arms])
+    size_cap = max(a[1] for a in arms)
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: (lambda keep: pa.table(
+            {
+                "l_partkey": t.column("p_partkey").filter(keep),
+                "p_brand": t.column("p_brand").filter(keep),
+                "p_size": t.column("p_size").cast(pa.int64()).filter(keep),
+            }
+        ))(pc.and_(
+            pc.is_in(t.column("p_brand"), value_set=brands),
+            pc.and_(
+                pc.greater_equal(t.column("p_size").cast(pa.int64()), 1),
+                pc.less_equal(t.column("p_size").cast(pa.int64()), size_cap),
+            ),
+        )),
+        batch_format="pyarrow",
+    ).materialize()  # tiny: 3 brands × small sizes; reused bloom + join side
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = _micro(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty_micro": _micro(t.column("l_quantity")),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+            }
+        )
+
+    li = bloom_semi_join(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        part, on="l_partkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "part"),
+    )
+    joined = bucketed_hash_join(
+        li, part, on="l_partkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "part"),
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("qty_micro", pa.int64()),
+             ("rev_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("p_brand", pa.string()),
+             ("p_size", pa.int64())]
+        ),
+    )
+
+    def arm_sum(t: pa.Table) -> pa.Table:
+        qty = t.column("qty_micro")
+        size = t.column("p_size")
+        brand = t.column("p_brand")
+        keep = None
+        for b, smax, qlo, qhi in arms:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(brand, b),
+                    pc.less_equal(size, pa.scalar(smax, pa.int64())),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(qlo * 1_000_000, pa.int64())),
+                    pc.less_equal(qty, pa.scalar(qhi * 1_000_000, pa.int64())),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        s = pc.sum(t.column("rev_nano").filter(keep)).as_py() or 0
+        return pa.table({"revenue_nano": pa.array([s], pa.int64())})
+
+    parts = joined.map_batches(arm_sum, batch_format="pyarrow").to_pandas()
+    total = int(parts["revenue_nano"].sum())
+    return pd.DataFrame({"revenue_nano": pd.array([total], dtype="int64")})
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped waiting-supplier report: for finished ('F')
+    orders with lineitems from ≥2 distinct suppliers where EXACTLY ONE
+    supplier shipped late (>60 days after the order date), charge that
+    supplier one wait; return every charged supplier with its count.
+    Scale shape: the order date/status joins the lineitem stream once
+    (status filter MAP-SIDE); the multi-supplier / sole-late-supplier
+    logic folds into SUMS — per (order, supplier) max(late), then per
+    order (count, sum(late), sum(suppkey·late)) so the single late
+    supplier's identity comes out of arithmetic, not a re-join; the
+    final per-supplier count and name join are supplier-sized."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    d60 = 60 * 86_400_000_000
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda t: (lambda keep: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(keep),
+                "o_date_us": t.column("o_orderdate").cast(pa.int64()).filter(keep),
+            }
+        ))(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "ship_us": t.column("l_shipdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nb = _join_buckets(sf_dir, "lineitem", "orders")
+    flagged = bucketed_hash_join(
+        li, orders, on="o_orderkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("ship_us", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_date_us", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "late": pc.cast(
+                    pc.greater(
+                        t.column("ship_us"),
+                        pc.add(t.column("o_date_us"),
+                               pa.scalar(d60, pa.int64())),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_supp = bucketed_group_agg(
+        flagged, ["o_orderkey", "l_suppkey"],
+        agg="max", val_col="late", out_col="late", n_buckets=nb,
+    ).map_batches(
+        lambda t: t.append_column(
+            "key_late", pc.multiply(t.column("l_suppkey"), t.column("late"))
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = bucketed_group_agg(
+        per_supp, "o_orderkey",
+        specs=[("count", None, "n_supp"), ("sum", "late", "n_late"),
+               ("sum", "key_late", "late_key")],
+        n_buckets=nb,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("late_key").filter(
+                    pc.and_(
+                        pc.greater_equal(t.column("n_supp"),
+                                         pa.scalar(2, pa.int64())),
+                        pc.equal(t.column("n_late"), pa.scalar(1, pa.int64())),
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    numwait = bucketed_group_agg(
+        per_order, "s_suppkey", agg="count", out_col="numwait",
+        n_buckets=_join_buckets(sf_dir, "supplier"),
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return bucketed_hash_join(
+        numwait, supp, on="s_suppkey",
+        n_buckets=_join_buckets(sf_dir, "supplier"),
+        left_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("numwait", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string())]
+        ),
+    ).map_batches(
+        lambda t: t.select(["s_suppkey", "s_name", "numwait"]),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -5295,6 +5649,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "late_order_priority": q_late_order_priority,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
         "kg_negative_edges": q_kg_negative_edges,
         "host_route_costs": q_host_route_costs,
         "kg_edge_timespan": q_kg_edge_timespan,
@@ -7198,6 +7556,60 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
         ),
+        "late_order_priority": (
+            # Q4 shape: EXISTS(ship > orderdate + 90d) == max(ship) over
+            # the order beats the cutoff — identical fold to the Ray plan
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late "
+            "FROM orders o WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "top_supplier_revenue": (
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice * 1000000) AS BIGINT) * "
+            "(1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT) "
+            "AS total_rev_nano FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-07-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.total_rev_nano "
+            "FROM supplier s JOIN rev r ON s.s_suppkey = r.s_suppkey "
+            "WHERE r.total_rev_nano = (SELECT max(total_rev_nano) FROM rev)"
+        ),
+        "disjunctive_brand_revenue": (
+            "SELECT CAST(coalesce(SUM("
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) * "
+            "(1000 - CAST(floor(l_discount * 1000) AS BIGINT))), 0) AS BIGINT)"
+            " AS revenue_nano FROM lineitem l JOIN part p "
+            "ON p.p_partkey = l.l_partkey WHERE "
+            "(p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+            " AND l.l_quantity BETWEEN 1 AND 11) OR "
+            "(p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+            " AND l.l_quantity BETWEEN 10 AND 20) OR "
+            "(p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 "
+            " AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "waiting_suppliers": (
+            # Q21 shape: >=2 distinct suppliers per 'F' order, exactly one
+            # of them late (>60d after orderdate); arithmetic identity
+            # sum(suppkey*late) recovers the sole late supplier
+            "WITH f AS (SELECT l.l_orderkey, l.l_suppkey, "
+            "CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END AS late FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE o.o_orderstatus = 'F'), "
+            "g AS (SELECT l_orderkey, l_suppkey, max(late) AS late "
+            "FROM f GROUP BY l_orderkey, l_suppkey), "
+            "po AS (SELECT l_orderkey, count(*) AS n_supp, "
+            "sum(late) AS n_late, sum(l_suppkey * late) AS late_key "
+            "FROM g GROUP BY l_orderkey) "
+            "SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM po JOIN supplier s ON s.s_suppkey = po.late_key "
+            "WHERE po.n_supp >= 2 AND po.n_late = 1 "
+            "GROUP BY s.s_suppkey, s.s_name"
+        ),
         "lineitem_pareto": (
             # 2-D skyline via the O(n log n) window formulation: keep p
             # iff p.price is the max at p.qty and beats the best price
@@ -7211,7 +7623,8 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "GROUP BY qty_micro), "
             "r AS (SELECT qty_micro, my, max(my) OVER (ORDER BY qty_micro DESC "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bh FROM agg) "
-            "SELECT p.l_orderkey, p.l_linenumber, p.qty_micro, p.price_micro "
+            "SELECT p.l_orderkey, CAST(p.l_linenumber AS BIGINT) AS "
+            "l_linenumber, p.qty_micro, p.price_micro "
             "FROM pts p JOIN r ON p.qty_micro = r.qty_micro "
             "WHERE p.price_micro = r.my AND (r.bh IS NULL OR r.my > r.bh)"
         ),

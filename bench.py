@@ -253,6 +253,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("top_supplier_revenue", q.q_top_supplier_revenue)
         timed("disjunctive_brand_revenue", q.q_disjunctive_brand_revenue)
         timed("waiting_suppliers", q.q_waiting_suppliers)
+        timed("host_lang_mix", q.q_host_lang_mix)
+        timed("charset_audit", q.q_charset_audit)
+        timed("events_ipc_roundtrip", q.q_events_ipc_roundtrip)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -5638,6 +5638,178 @@ def q_waiting_suppliers(sf_dir: str):
     )
 
 
+def q_host_lang_mix(sf_dir: str):
+    """Per-host dominant language: for every crawl host, the language
+    with the most pages (ties → lexicographically smallest lang), its
+    page count, the host's total pages, and the dominant share in ppm.
+    The CommonCrawl-style "is this host monolingual?" audit.  Scale
+    shape: hosts scale with the corpus, so the (host, lang) counts are
+    ONE key-hash bucketed group-count (never Dataset.groupby's
+    per-key Python reduce); the per-host winner is the bounded
+    grouped-top-k combiner (k=1); host totals come from a second
+    host-keyed group-sum and ONE bucketed join — all exchanges carry
+    (host × lang)-bounded rows, not pages."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "lang"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.struct_field(
+                    pc.extract_regex(t.column("url"),
+                                     r"^https://(?P<host>[^/]+)/"),
+                    "host",
+                ),
+                "lang": t.column("lang"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    counts = bucketed_group_agg(
+        pages, ["host", "lang"], agg="count", out_col="n_top",
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(os.path.join(corpus, "pages"))
+        ),
+    ).materialize()  # (host × lang)-bounded; consumed twice
+    top1 = grouped_top_k(counts, "host", "n_top", "lang", k=1).map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host"),
+                "top_lang": t.column("lang"),
+                "n_top": t.column("n_top"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    totals = bucketed_group_agg(
+        counts, "host", agg="sum", val_col="n_top", out_col="n_pages",
+        n_buckets=8,
+    )
+    return bucketed_hash_join(
+        top1, totals, on="host", n_buckets=8,
+        left_schema=pa.schema(
+            [("host", pa.string()), ("top_lang", pa.string()),
+             ("n_top", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("host", pa.string()), ("n_pages", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.append_column(
+            "top_ppm",
+            pc.divide(
+                pc.multiply(t.column("n_top"),
+                            pa.scalar(1_000_000, pa.int64())),
+                t.column("n_pages"),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_charset_audit(sf_dir: str):
+    """Per-language charset audit over extracted page text: page count,
+    total chars, chars outside printable ASCII (``[ -~]``), and the
+    non-ASCII share in ppm — the mojibake / transliteration health
+    check a multilingual crawl pipeline runs before tokenizer training.
+    Scale shape: the regex strip + length runs vectorized map-side
+    (Arrow RE2 kernel, zero-copy batches); only (lang, partial sums)
+    leave each task into a bounded-key grouped sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    corpus = _corpus(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"),
+                         columns=["lang", "text"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        total = pc.utf8_length(text).cast(pa.int64())
+        stripped = pc.replace_substring_regex(text, "[ -~]", "")
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "chars": total,
+                "non_ascii": pc.utf8_length(stripped).cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(audit, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Sum("chars", alias_name="total_chars"),
+            Sum("non_ascii", alias_name="non_ascii_chars"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "non_ascii_ppm",
+            pc.divide(
+                pc.multiply(t.column("non_ascii_chars"),
+                            pa.scalar(1_000_000, pa.int64())),
+                t.column("total_chars"),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) sink + source roundtrip: write the
+    int-coded events through ``sources/ipc.py`` (one IPC file per
+    block, streamed manifest), read them back with the IPC source,
+    aggregate.  The oracle aggregates the original Parquet, so any
+    loss in the IPC roundtrip (dtype drift, truncation, row loss)
+    fails the hash — including the timestamp column, which CSV would
+    have to re-parse but IPC carries as native Arrow."""
+    import shutil
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from gliner_cpp_ray.sources.ipc import read_ipc, write_ipc
+
+    out = os.path.join(
+        "/tmp/kgray_out/ipc_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "ts"])
+    manifest = write_ipc(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "value_micro": _micro(t.column("value")),
+                    "ts_us": t.column("ts").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        out,
+    )
+    n_files = len(manifest.to_pandas())  # consume → force the writes
+    assert n_files > 0
+
+    return (
+        read_ipc(out)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_micro", alias_name="sum_value_micro"),
+            Max("ts_us", alias_name="max_ts_us"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -5649,6 +5821,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "host_lang_mix": q_host_lang_mix,
+        "charset_audit": q_charset_audit,
+        "events_ipc_roundtrip": q_events_ipc_roundtrip,
         "late_order_priority": q_late_order_priority,
         "top_supplier_revenue": q_top_supplier_revenue,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
@@ -7555,6 +7730,36 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "host_lang_mix": (
+            "WITH p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1)"
+            " AS host, lang "
+            f"FROM read_parquet('{pages_glob}')), "
+            "c AS (SELECT host, lang, CAST(count(*) AS BIGINT) AS n_top "
+            "FROM p GROUP BY host, lang), "
+            "t AS (SELECT host, CAST(sum(n_top) AS BIGINT) AS n_pages "
+            "FROM c GROUP BY host), "
+            "r AS (SELECT host, lang, n_top, row_number() OVER ("
+            "PARTITION BY host ORDER BY n_top DESC, lang) AS rn FROM c) "
+            "SELECT r.host, r.lang AS top_lang, r.n_top, t.n_pages, "
+            "CAST(r.n_top * 1000000 // t.n_pages AS BIGINT) AS top_ppm "
+            "FROM r JOIN t ON r.host = t.host WHERE r.rn = 1"
+        ),
+        "charset_audit": (
+            "SELECT lang, count(*) AS n_pages, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "CAST(sum(length(regexp_replace(text, '[ -~]', '', 'g'))) "
+            "AS BIGINT) AS non_ascii_chars, "
+            "CAST(sum(length(regexp_replace(text, '[ -~]', '', 'g'))) "
+            "* 1000000 // sum(length(text)) AS BIGINT) AS non_ascii_ppm "
+            f"FROM read_parquet('{pages_glob}') GROUP BY lang"
+        ),
+        "events_ipc_roundtrip": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us "
+            "FROM events GROUP BY event_type"
         ),
         "late_order_priority": (
             # Q4 shape: EXISTS(ship > orderdate + 90d) == max(ship) over

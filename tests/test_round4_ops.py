@@ -462,3 +462,29 @@ def test_term_postings_bounded_heads(ray_session):
     assert got.loc["apple", "posting_head"] == "1,3"  # first 2 ascending
     assert got.loc["pear", "df"] == 3  # doc 9 counts once (lowercased)
     assert got.loc["pear", "posting_head"] == "3,5"
+
+
+def test_ipc_roundtrip_exact(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.ipc import read_ipc, write_ipc
+
+    t = pa.table(
+        {
+            "i": pa.array([1, 2, None, 4], pa.int64()),
+            "s": pa.array(["a", None, "c", "d"], pa.string()),
+            "ts": pa.array([10, 20, 30, None], pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "ipc")
+    manifest = write_ipc(rd.from_arrow(t), out).to_pandas()
+    assert manifest["rows"].sum() == 4
+    back = read_ipc(out).to_pandas().sort_values("i", na_position="last")
+    orig = t.to_pandas().sort_values("i", na_position="last")
+    pdt = __import__("pandas").testing
+    pdt.assert_frame_equal(
+        back.reset_index(drop=True), orig.reset_index(drop=True)
+    )
+    # schema survives bit-exact (dtypes incl. timestamp unit)
+    assert read_ipc(out).schema().base_schema == t.schema

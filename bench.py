@@ -256,6 +256,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("host_lang_mix", q.q_host_lang_mix)
         timed("charset_audit", q.q_charset_audit)
         timed("events_ipc_roundtrip", q.q_events_ipc_roundtrip)
+        timed("events_trailing_1h", q.q_events_trailing_1h)
+        timed("nation_part_margin", q.q_nation_part_margin)
+        timed("regional_market_share", q.q_regional_market_share)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -5702,6 +5702,8 @@ def q_host_lang_mix(sf_dir: str):
             [("host", pa.string()), ("n_pages", pa.int64())]
         ),
     ).map_batches(
+        # int64 headroom: n_top·10^6 overflows only past 9.2·10^12
+        # pages on ONE host — ~10× the size of the entire indexed web
         lambda t: t.append_column(
             "top_ppm",
             pc.divide(
@@ -5750,17 +5752,19 @@ def q_charset_audit(sf_dir: str):
             Sum("non_ascii", alias_name="non_ascii_chars"),
         )
     )
-    return agg.map_batches(
-        lambda t: t.append_column(
+    def finish(t: pa.Table) -> pa.Table:
+        # lang-bounded rows; Python ints keep the ppm exact past the
+        # int64 ceiling (non_ascii·10^6 overflows once a language holds
+        # >9.2 TB of non-ASCII text — realistic at 100 TB corpus scale)
+        na = t.column("non_ascii_chars").to_pylist()
+        tc = t.column("total_chars").to_pylist()
+        return t.append_column(
             "non_ascii_ppm",
-            pc.divide(
-                pc.multiply(t.column("non_ascii_chars"),
-                            pa.scalar(1_000_000, pa.int64())),
-                t.column("total_chars"),
-            ),
-        ),
-        batch_format="pyarrow",
-    )
+            pa.array([x * 1_000_000 // y for x, y in zip(na, tc)],
+                     pa.int64()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_ipc_roundtrip(sf_dir: str):
@@ -5810,6 +5814,325 @@ def q_events_ipc_roundtrip(sf_dir: str):
     )
 
 
+def q_events_trailing_1h(sf_dir: str):
+    """Per-user trailing one-hour value sum for EVERY event — the
+    time-RANGE window frame (includes timestamp peers) that the ROWS
+    frame of `events_rolling_value` cannot express.  One key-hash
+    exchange; the reduce is sort + two vectorized searchsorted passes
+    + an int64 cumsum difference (stages/windows.py:trailing_range_sum)."""
+    from gliner_cpp_ray.stages.windows import trailing_range_sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = trailing_range_sum(
+        ds, "user_id", "ts_us", "value_micro", "event_id",
+        range_us=3_600_000_000,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "range_sum_micro": t.column("range_sum"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_nation_part_margin(sf_dir: str):
+    """TPC-H-Q9-shaped profit report: per (supplier nation, ship year),
+    the margin on 'widget' parts — revenue minus retail cost of the
+    shipped quantity.  Scale shape: the part side filters MAP-SIDE on
+    the name predicate carrying only (partkey, retail_micro); the fact
+    stream is Bloom-pruned before the partkey bucketed join; the
+    supplier join buckets on suppkey; the 25-row nation name map
+    broadcasts; ONE (nation × year)-bounded grouped sum ends the plan.
+    Margin integer-exact in nano units: price_micro·(1000−disc_milli)
+    − retail_micro·qty·1000."""
+    from gliner_cpp_ray.stages.joins import (
+        bloom_semi_join,
+        broadcast_lookup_join,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        lambda t: (lambda keep: pa.table(
+            {
+                "l_partkey": t.column("p_partkey").filter(keep),
+                "retail_micro": _micro(t.column("p_retailprice")).filter(keep),
+            }
+        ))(pc.match_substring(t.column("p_name"), "widget")),
+        batch_format="pyarrow",
+    ).materialize()  # name-filtered slice; bloom build + join side
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = _micro(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+                "qty": pc.cast(pc.floor(t.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    nb = _join_buckets(sf_dir, "lineitem", "part")
+    li = bloom_semi_join(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        part, on="l_partkey", n_buckets=nb,
+    )
+    with_part = bucketed_hash_join(
+        li, part, on="l_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_year", pa.int64()), ("rev_nano", pa.int64()),
+             ("qty", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("retail_micro", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "l_year": t.column("l_year"),
+                "margin_nano": pc.subtract(
+                    t.column("rev_nano"),
+                    pc.multiply(
+                        pc.multiply(t.column("retail_micro"), t.column("qty")),
+                        pa.scalar(1000, pa.int64()),
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        with_part, supp, on="s_suppkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "supplier"),
+        left_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("l_year", pa.int64()),
+             ("margin_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+    )
+    agg = bucketed_group_agg(
+        joined, ["s_nationkey", "l_year"],
+        agg="sum", val_col="margin_nano", out_col="margin_nano", n_buckets=8,
+    )
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    names = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    return broadcast_lookup_join(
+        agg, names, key="s_nationkey", out_col="nation"
+    ).map_batches(
+        lambda t: t.select(["nation", "l_year", "margin_nano"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_regional_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market-share report: among ECONOMY-type parts
+    sold to EUROPE-region customers with 1996-1997 orders, NATION_7
+    suppliers' share of revenue per order year (exact ppm).  Scale
+    shape: region→nation resolves to a broadcast key set filtering
+    customers MAP-SIDE; those custkeys Bloom-semi-filter orders; the
+    part type slice Bloom-prunes lineitem before its bucketed join;
+    the supplier join carries only the one-bit 'target nation' flag;
+    the order join buckets on orderkey; TWO sums per year (total,
+    flagged) come out of ONE bounded grouped aggregate."""
+    from gliner_cpp_ray.stages.joins import (
+        bloom_semi_join,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    region = pq.read_table(_sf_path(sf_dir, "region"))
+    europe = region.filter(pc.equal(region.column("r_name"), "EUROPE"))
+    rkey = europe.column("r_regionkey")[0].as_py()
+    eu_nations = pa.array(
+        nation.filter(pc.equal(nation.column("n_regionkey"), rkey))
+        .column("n_nationkey").cast(pa.int64()).to_pylist(),
+        pa.int64(),
+    )
+    target = nation.filter(pc.equal(nation.column("n_name"), "NATION_7"))
+    target_key = target.column("n_nationkey")[0].as_py()
+
+    lo = int(np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64))
+
+    cust_keys = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey").filter(
+                    pc.is_in(t.column("c_nationkey").cast(pa.int64()),
+                             value_set=eu_nations)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: (lambda d: (lambda keep: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(keep),
+                "o_custkey": t.column("o_custkey").filter(keep),
+                "o_year": pc.year(t.column("o_orderdate")).cast(
+                    pa.int64()).filter(keep),
+            }
+        ))(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))))(
+            t.column("o_orderdate").cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    eu_orders = bloom_semi_join(
+        orders, cust_keys, on="o_custkey",
+        n_buckets=_join_buckets(sf_dir, "orders", "customer"),
+    ).drop_columns(["o_custkey"])
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("p_partkey").filter(
+                    pc.equal(t.column("p_type"), "ECONOMY")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = _micro(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "o_orderkey": t.column("l_orderkey"),
+                "s_suppkey": t.column("l_suppkey"),
+                "rev_nano": pa.array(price * (1000 - disc), pa.int64()),
+            }
+        )
+
+    li = bloom_semi_join(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_orderkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        part, on="l_partkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "part"),
+    ).drop_columns(["l_partkey"])
+
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "is_target": pc.cast(
+                    pc.equal(t.column("s_nationkey").cast(pa.int64()),
+                             pa.scalar(int(target_key), pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li_s = bucketed_hash_join(
+        li, supp, on="s_suppkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "supplier"),
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("s_suppkey", pa.int64()),
+             ("rev_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("is_target", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "rev_nano": t.column("rev_nano"),
+                "target_nano": pc.multiply(t.column("rev_nano"),
+                                           t.column("is_target")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        li_s, eu_orders, on="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "orders"),
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("rev_nano", pa.int64()),
+             ("target_nano", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_year", pa.int64())]
+        ),
+    )
+    agg = bucketed_group_agg(
+        joined, "o_year",
+        specs=[("sum", "rev_nano", "total_nano"),
+               ("sum", "target_nano", "target_nano")],
+        n_buckets=8,
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        # year-bounded rows; Python ints avoid the int64 overflow of
+        # target_nano·10^6 (~10^20) that DuckDB's HUGEINT absorbs
+        tot = t.column("total_nano").to_pylist()
+        tgt = t.column("target_nano").to_pylist()
+        return t.append_column(
+            "share_ppm",
+            pa.array([x * 1_000_000 // y for x, y in zip(tgt, tot)],
+                     pa.int64()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -5821,6 +6144,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "events_trailing_1h": q_events_trailing_1h,
+        "nation_part_margin": q_nation_part_margin,
+        "regional_market_share": q_regional_market_share,
         "host_lang_mix": q_host_lang_mix,
         "charset_audit": q_charset_audit,
         "events_ipc_roundtrip": q_events_ipc_roundtrip,
@@ -7730,6 +8056,53 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "events_trailing_1h": (
+            # RANGE frame: peers (equal timestamps) are IN the frame —
+            # the semantics trailing_range_sum replicates
+            "SELECT event_id, CAST(sum(CAST(floor(value * 1000000) AS "
+            "BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS range_sum_micro FROM events"
+        ),
+        "nation_part_margin": (
+            "SELECT n.n_name AS nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(floor(l.l_extendedprice * 1000000) AS BIGINT) * "
+            "(1000 - CAST(floor(l.l_discount * 1000) AS BIGINT)) - "
+            "CAST(floor(p.p_retailprice * 1000000) AS BIGINT) * "
+            "CAST(floor(l.l_quantity) AS BIGINT) * 1000) AS BIGINT) "
+            "AS margin_nano "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "WHERE p.p_name LIKE '%widget%' "
+            "GROUP BY n.n_name, year(l.l_shipdate)"
+        ),
+        "regional_market_share": (
+            "WITH eu AS (SELECT n_nationkey FROM nation JOIN region "
+            "ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'), "
+            "tgt AS (SELECT n_nationkey FROM nation "
+            "WHERE n_name = 'NATION_7'), "
+            "o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) "
+            "AS o_year FROM orders JOIN customer ON c_custkey = o_custkey "
+            "WHERE c_nationkey IN (SELECT n_nationkey FROM eu) "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01'), "
+            "li AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) * "
+            "(1000 - CAST(floor(l_discount * 1000) AS BIGINT)) AS rev_nano, "
+            "CASE WHEN s.s_nationkey IN (SELECT n_nationkey FROM tgt) "
+            "THEN 1 ELSE 0 END AS is_target "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l_suppkey "
+            "WHERE p_type = 'ECONOMY') "
+            "SELECT o.o_year, CAST(sum(li.rev_nano) AS BIGINT) AS total_nano, "
+            "CAST(sum(li.rev_nano * li.is_target) AS BIGINT) AS target_nano, "
+            "CAST(sum(li.rev_nano * li.is_target) * 1000000 // "
+            "sum(li.rev_nano) AS BIGINT) AS share_ppm "
+            "FROM li JOIN o ON o.o_orderkey = li.l_orderkey "
+            "GROUP BY o.o_year"
         ),
         "host_lang_mix": (
             "WITH p AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1)"

@@ -818,3 +818,71 @@ def dwell_by_attr(ds, key_col: str, ts_col: str, id_col: str,
         ),
         batch_format="pyarrow",
     )
+
+
+def trailing_range_sum(ds, key_col: str, ts_col: str, val_col: str,
+                       id_col: str, range_us: int,
+                       n_buckets: int | None = None):
+    """Per-key time-RANGE window: for every row, the sum of ``val_col``
+    over its key's rows whose timestamp lies in
+    ``[ts - range_us, ts]`` — SQL's ``RANGE BETWEEN range_us PRECEDING
+    AND CURRENT ROW`` frame, INCLUDING peers (rows sharing the current
+    timestamp), which a ROWS frame (``rolling_per_key``) cannot
+    express.
+
+    -> Dataset(id, range_sum) — per-ROW output, hash-checkable against
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts_us RANGE BETWEEN
+    range_us PRECEDING AND CURRENT ROW)``.
+
+    Scale shape: ONE key-hash bucket shuffle; the per-bucket reduce is
+    a single sort + TWO vectorized searchsorted passes over a
+    per-key-rebased composite axis (key_idx·BIG + Δts, BIG sized so a
+    ``-range_us`` probe can never cross into the previous key's block)
+    + an int64 cumsum difference — no per-key Python loop, exact for
+    the full int64 range."""
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    range_us = int(range_us)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: np.zeros(0, np.int64),
+                 "range_sum": np.zeros(0, np.int64)}
+            )
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy(dtype=np.int64)
+        grp = g.groupby(key_col, sort=False)
+        dt = ts - grp[ts_col].transform("min").to_numpy(dtype=np.int64)
+        key_idx = grp.ngroup().to_numpy(dtype=np.int64)
+        big = int(dt.max()) + range_us + 1
+        # headroom check: key blocks must not overflow the composite axis
+        assert big > 0 and key_idx.max() < (2**62) // big, \
+            "trailing_range_sum: composite axis overflow (widen buckets)"
+        axis = key_idx * big + dt
+        lo = np.searchsorted(axis, axis - range_us, side="left")
+        hi = np.searchsorted(axis, axis, side="right")
+        cs = np.concatenate(
+            [np.zeros(1, np.int64),
+             np.cumsum(g[val_col].to_numpy(dtype=np.int64))]
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "range_sum": (cs[hi] - cs[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(t, key_col, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

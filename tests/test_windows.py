@@ -419,3 +419,47 @@ def test_dwell_by_attr_attribution(ray_session):
     assert got["n_dwells"].tolist() == [2, 1]
     assert got["total_dwell_us"].tolist() == [15_000_000, 60_000_000]
     assert got["mean_dwell_us"].tolist() == [7_500_000, 60_000_000]
+
+
+def test_trailing_range_sum_peers_and_boundaries(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import trailing_range_sum
+
+    # key 1: ties at t=100 (peers must both see BOTH peer values),
+    # t=200 exactly range away from t=100 (boundary INCLUDED),
+    # t=301 just past range from t=201. key 2: isolation check.
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "t": [100, 100, 200, 301, 100, 150],
+            "v": [1, 2, 4, 8, 16, 32],
+            "id": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = {r["id"]: r["range_sum"] for r in
+           trailing_range_sum(ds, "k", "t", "v", "id",
+                              range_us=100).take_all()}
+    # id0/id1 are peers at t=100: frame = both → 3
+    assert got[0] == 3 and got[1] == 3
+    # id2 at t=200: [100,200] includes the peers → 1+2+4
+    assert got[2] == 7
+    # id3 at t=301: [201,301] → only itself
+    assert got[3] == 8
+    # key 2 never sees key 1
+    assert got[4] == 16 and got[5] == 48
+
+    # exactness past 2^53 (float64 would lose it)
+    big = 2**60
+    df2 = pd.DataFrame(
+        {"k": [7, 7], "t": [0, 1], "v": [big, big + 3], "id": [0, 1]}
+    )
+    got2 = {r["id"]: r["range_sum"] for r in
+            trailing_range_sum(
+                rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False)),
+                "k", "t", "v", "id", range_us=10).take_all()}
+    assert got2[1] == 2 * big + 3

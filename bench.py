@@ -259,6 +259,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_trailing_1h", q.q_events_trailing_1h)
         timed("nation_part_margin", q.q_nation_part_margin)
         timed("regional_market_share", q.q_regional_market_share)
+        timed("orders_zonemap_scan", q.q_orders_zonemap_scan)
+        timed("docs_schema_union", q.q_docs_schema_union)
 
     result = {
         "metric": "kg_pipeline_e2e",

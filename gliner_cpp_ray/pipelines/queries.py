@@ -6133,6 +6133,135 @@ def q_regional_market_share(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_orders_zonemap_scan(sf_dir: str):
+    """Zone-map pruned scan: orders land in price-band-partitioned
+    Parquet; a high-price aggregate then reads FOOTER STATS for every
+    file (metadata only, distributed), prunes the files whose
+    [min,max] cannot match, and scans ONLY the survivors with the
+    residual filter — the Iceberg/Delta data-skipping read path.  The
+    oracle aggregates the raw table, so a wrong prune (dropped
+    matching file) or a missing residual filter fails the hash.
+    Driver holds one (file, min, max) row per file — file-count
+    bounded, never rows."""
+    import shutil
+
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.layout import parquet_zonemaps, zonemap_prune
+
+    out = os.path.join(
+        "/tmp/kgray_out/zonemap",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    band = 50_000 * 1_000_000  # 50k-price bands → ~10 partitions
+    _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: (lambda m: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_micro": m,
+                "band": pc.divide(m, pa.scalar(band, pa.int64())),
+            }
+        ))(_micro(t.column("o_totalprice"))),
+        batch_format="pyarrow",
+    ).write_parquet(out, partition_cols=["band"])
+
+    files = [
+        os.path.join(root, n)
+        for root, _d, names in sorted(os.walk(out))
+        for n in sorted(names) if n.endswith(".parquet")
+    ]
+    zones = parquet_zonemaps(files, "total_micro").to_pandas()
+    cut = 400_000 * 1_000_000
+    survivors = zonemap_prune(zones, lo=cut)
+    assert len(survivors) < len(files), "zone maps pruned nothing"
+
+    from ray.data.aggregate import Count, Sum
+
+    scanned = rd.read_parquet(survivors, columns=["total_micro"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("total_micro"), pa.scalar(cut, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    res = scanned.aggregate(
+        Count(alias_name="n_orders"),
+        Sum("total_micro", alias_name="total_micro"),
+    )  # Dataset.aggregate returns a scalar dict
+    return pd.DataFrame(
+        {
+            "n_orders": pd.array([int(res["n_orders"])], dtype="int64"),
+            "total_micro": pd.array([int(res["total_micro"])], dtype="int64"),
+        }
+    )
+
+
+def q_docs_schema_union(sf_dir: str):
+    """Schema-evolution read: documents split into a v1 directory
+    (doc_id, lang, n_chars) and a v2 directory that added a ``quality``
+    column; ``sources/union.py:read_parquet_union`` reads both under
+    the union-by-name schema (v1 rows null-filled) and ONE grouped
+    aggregate proves no row, column, or null was lost.  The oracle
+    recomputes the split from the source table, checking the whole
+    write→union-read path end-to-end."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.sources.union import read_parquet_union
+
+    root = os.path.join(
+        "/tmp/kgray_out/schema_union",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(v1)
+    ds.map_batches(
+        lambda t: (lambda f: f.append_column(
+            "quality",
+            pc.subtract(
+                f.column("n_chars"),
+                pc.multiply(
+                    pc.divide(f.column("n_chars"), pa.scalar(7, pa.int64())),
+                    pa.scalar(7, pa.int64()),
+                ),
+            ),  # n_chars % 7 (Arrow has no mod kernel; int divide truncates)
+        ))(t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))),
+        batch_format="pyarrow",
+    ).write_parquet(v2)
+
+    back = read_parquet_union([v1, v2])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t.column("quality")
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_chars": t.column("n_chars"),
+                "q_filled": pc.coalesce(q, pa.scalar(0, pa.int64())),
+                "has_q": pc.cast(pc.is_valid(q), pa.int64()),
+            }
+        )
+
+    return (
+        back.map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("q_filled", alias_name="sum_quality"),
+            Sum("has_q", alias_name="n_with_quality"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6144,6 +6273,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "orders_zonemap_scan": q_orders_zonemap_scan,
+        "docs_schema_union": q_docs_schema_union,
         "events_trailing_1h": q_events_trailing_1h,
         "nation_part_margin": q_nation_part_margin,
         "regional_market_share": q_regional_market_share,
@@ -8056,6 +8187,28 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "orders_zonemap_scan": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS total_micro FROM orders "
+            "WHERE CAST(floor(o_totalprice * 1000000) AS BIGINT) "
+            "> 400000000000"
+        ),
+        "docs_schema_union": (
+            # recompute the v1/v2 split from the source table: checks the
+            # write -> union-by-name read path end-to-end
+            "WITH u AS ("
+            "SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality "
+            "FROM documents WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, n_chars, n_chars % 7 AS quality "
+            "FROM documents WHERE doc_id % 2 = 1) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(coalesce(quality, 0)) AS BIGINT) AS sum_quality, "
+            "CAST(count(quality) AS BIGINT) AS n_with_quality "
+            "FROM u GROUP BY lang"
         ),
         "events_trailing_1h": (
             # RANGE frame: peers (equal timestamps) are IN the frame —

@@ -76,3 +76,53 @@ def zorder_file_assignment(ds, x_col: str, y_col: str, id_col: str,
         )
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def parquet_zonemaps(files: list[str], col: str):
+    """Zone maps for a Parquet file set: per-file min/max of ``col``
+    read from FOOTER METADATA ONLY — no data pages move.  Returns a
+    Dataset(file, zmin, zmax); the stat read distributes over the file
+    list (one task per batch of paths), so a million-file lake scans
+    its footers in parallel, and only the (file-count-bounded) zone
+    table ever reaches the planner."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    def stats(t: pa.Table) -> pa.Table:
+        paths, mins, maxs = [], [], []
+        for path in t.column("item").to_pylist():
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            zmin, zmax = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    zmin, zmax = None, None
+                    break
+                zmin = st.min if zmin is None else min(zmin, st.min)
+                zmax = st.max if zmax is None else max(zmax, st.max)
+            paths.append(path)
+            mins.append(zmin)
+            maxs.append(zmax)
+        return pa.table(
+            {
+                "file": pa.array(paths, pa.string()),
+                "zmin": pa.array(mins, pa.int64()),
+                "zmax": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return rd.from_items(files).map_batches(stats, batch_format="pyarrow")
+
+
+def zonemap_prune(zonemaps: "pd.DataFrame", lo: int | None = None,
+                  hi: int | None = None) -> list[str]:
+    """Files whose [zmin, zmax] MAY intersect (lo, hi) — missing stats
+    (NaN) are conservatively kept.  Runs on the file-count-bounded zone
+    table at the driver; the pruned-out files are never opened again."""
+    keep = np.ones(len(zonemaps), bool)
+    if lo is not None:
+        keep &= ~(zonemaps["zmax"].to_numpy() <= lo)  # NaN-safe: ~False
+    if hi is not None:
+        keep &= ~(zonemaps["zmin"].to_numpy() >= hi)
+    return zonemaps["file"][keep].tolist()

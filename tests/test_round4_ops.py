@@ -488,3 +488,52 @@ def test_ipc_roundtrip_exact(ray_session, tmp_path):
     )
     # schema survives bit-exact (dtypes incl. timestamp unit)
     assert read_ipc(out).schema().base_schema == t.schema
+
+
+def test_zonemap_prune_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gliner_cpp_ray.stages.layout import parquet_zonemaps, zonemap_prune
+
+    f1 = str(tmp_path / "a.parquet")  # [0, 10]
+    f2 = str(tmp_path / "b.parquet")  # [20, 30]
+    pq.write_table(pa.table({"v": pa.array([0, 10], pa.int64())}), f1)
+    pq.write_table(pa.table({"v": pa.array([20, 30], pa.int64())}), f2)
+    zones = parquet_zonemaps([f1, f2], "v").to_pandas()
+    assert sorted(zip(zones["zmin"], zones["zmax"])) == [(0, 10), (20, 30)]
+    # strict > 10 drops the [0,10] file (zmax <= lo is prunable)
+    assert zonemap_prune(zones, lo=10) == [f2]
+    # < 20 drops the [20,30] file
+    assert zonemap_prune(zones, hi=20) == [f1]
+    # overlap keeps both
+    assert sorted(zonemap_prune(zones, lo=5, hi=25)) == sorted([f1, f2])
+
+
+def test_read_parquet_union_null_fill(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gliner_cpp_ray.sources.union import read_parquet_union, union_schema
+
+    d1, d2 = tmp_path / "v1", tmp_path / "v2"
+    d1.mkdir(); d2.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "x": pa.array(["a", "b"])}),
+        str(d1 / "p.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "y": pa.array([9.5], pa.float64())}),
+        str(d2 / "p.parquet"),
+    )
+    sch = union_schema([str(d1), str(d2)])
+    assert sch.names == ["id", "x", "y"]
+    df = read_parquet_union([str(d1), str(d2)]).to_pandas().sort_values("id")
+    assert df["x"].tolist()[:2] == ["a", "b"] and df["x"].isna().tolist()[2]
+    assert df["y"].isna().tolist()[:2] == [True, True]
+    assert df["y"].tolist()[2] == 9.5
+    # column pruning keeps only requested fields
+    pruned = read_parquet_union([str(d1), str(d2)], columns=["id", "y"])
+    assert pruned.schema().names == ["id", "y"]

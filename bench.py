@@ -261,6 +261,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("regional_market_share", q.q_regional_market_share)
         timed("orders_zonemap_scan", q.q_orders_zonemap_scan)
         timed("docs_schema_union", q.q_docs_schema_union)
+        timed("kg_entity_salience", q.q_kg_entity_salience)
+        timed("events_contract_audit", q.q_events_contract_audit)
 
     result = {
         "metric": "kg_pipeline_e2e",

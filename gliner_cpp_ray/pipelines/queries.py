@@ -6262,6 +6262,92 @@ def q_docs_schema_union(sf_dir: str):
     )
 
 
+def q_kg_entity_salience(sf_dir: str):
+    """Per-document MOST SALIENT entity: the canonical entity with the
+    most mentions in the doc (ties → lexicographically smallest) plus
+    its count — the doc-level KG feature serving doc→entity linking.
+    Scale shape: canon resolution runs once per batch-distinct
+    (surface, label) inside ``doc_canon_counts`` (never per row); the
+    per-batch (doc, canon, n) partials group-sum through ONE key-hash
+    exchange; the winner comes from the shuffle-bounded grouped top-k
+    combiner (k=1)."""
+    import pickle
+
+    from gliner_cpp_ray.stages.cooccur import doc_canon_counts
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    _, out = _run_kg(sf_dir)
+    with open(os.path.join(out, "canon", "canon_map.pkl"), "rb") as f:
+        canon_map = pickle.load(f)
+    counts = bucketed_group_agg(
+        _read_out(out, "mentions")
+        .select_columns(["doc_id", "text", "label"])
+        .map_batches(
+            lambda t: doc_canon_counts(t, canon_map), batch_format="pyarrow"
+        ),
+        ["doc_id", "canon_id"], agg="sum", val_col="n", out_col="n",
+    )
+    return grouped_top_k(counts, "doc_id", "n", "canon_id", k=1).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "top_entity": t.column("canon_id"),
+                "n_mentions": t.column("n"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_contract_audit(sf_dir: str):
+    """Data-contract gate over the event log: per-rule violation counts
+    (null/zero user, non-positive value, timestamp outside the corpus
+    era, unknown event type, malformed props JSON) — the validation
+    report a training pipeline emits before ingestion.  Scale shape:
+    every rule evaluates vectorized map-side; one (rules × tasks)-row
+    exchange, tiny grouped sum (stages/contract.py)."""
+    from gliner_cpp_ray.stages.contract import contract_audit
+
+    known = pa.array(["click", "view", "purchase", "signup", "error"])
+    lo = int(np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("2030-01-01").astype("datetime64[us]").astype(np.int64))
+
+    rules = [
+        ("user_id_positive",
+         lambda t: pc.or_kleene(
+             pc.is_null(t.column("user_id")),
+             pc.less_equal(t.column("user_id"), pa.scalar(0, pa.int64())),
+         )),
+        ("value_positive",
+         lambda t: pc.or_kleene(
+             pc.is_null(t.column("value")),
+             pc.less_equal(t.column("value"), pa.scalar(0.0)),
+         )),
+        ("ts_in_era",
+         lambda t: pc.invert(
+             pc.and_(
+                 pc.greater_equal(t.column("ts").cast(pa.int64()), lo),
+                 pc.less(t.column("ts").cast(pa.int64()), hi),
+             )
+         )),
+        ("event_type_known",
+         lambda t: pc.invert(
+             pc.is_in(t.column("event_type"), value_set=known)
+         )),
+        ("props_json_object",
+         lambda t: pc.invert(
+             pc.and_(
+                 pc.starts_with(t.column("props"), "{"),
+                 pc.ends_with(t.column("props"), "}"),
+             )
+         )),
+    ]
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "value", "ts", "event_type", "props"])
+    return contract_audit(ds, rules)
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6273,6 +6359,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_entity_salience": q_kg_entity_salience,
+        "events_contract_audit": q_events_contract_audit,
         "orders_zonemap_scan": q_orders_zonemap_scan,
         "docs_schema_union": q_docs_schema_union,
         "events_trailing_1h": q_events_trailing_1h,
@@ -8187,6 +8275,35 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "kg_entity_salience": (
+            "WITH c AS (SELECT doc_id, canon_mention AS canon_id, "
+            "CAST(count(*) AS BIGINT) AS n "
+            f"FROM read_parquet('{mentions_glob}') GROUP BY doc_id, "
+            "canon_mention), "
+            "r AS (SELECT doc_id, canon_id, n, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY n DESC, canon_id) AS rn FROM c) "
+            "SELECT doc_id, canon_id AS top_entity, n AS n_mentions "
+            "FROM r WHERE rn = 1"
+        ),
+        "events_contract_audit": (
+            "WITH v AS (SELECT 'user_id_positive' AS rule, "
+            "CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0 END "
+            "AS bad FROM events "
+            "UNION ALL SELECT 'value_positive', "
+            "CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END "
+            "FROM events "
+            "UNION ALL SELECT 'ts_in_era', "
+            "CASE WHEN ts >= TIMESTAMP '1995-01-01' "
+            "AND ts < TIMESTAMP '2030-01-01' THEN 0 ELSE 1 END FROM events "
+            "UNION ALL SELECT 'event_type_known', "
+            "CASE WHEN event_type IN ('click','view','purchase','signup',"
+            "'error') THEN 0 ELSE 1 END FROM events "
+            "UNION ALL SELECT 'props_json_object', "
+            "CASE WHEN props LIKE '{%' AND props LIKE '%}' THEN 0 ELSE 1 END "
+            "FROM events) "
+            "SELECT rule, CAST(count(*) AS BIGINT) AS n_checked, "
+            "CAST(sum(bad) AS BIGINT) AS n_violations FROM v GROUP BY rule"
         ),
         "orders_zonemap_scan": (
             "SELECT CAST(count(*) AS BIGINT) AS n_orders, "

@@ -54,12 +54,27 @@ def doc_canon_partial(batch: pa.Table, canon_map: dict) -> pa.Table:
     """
     if batch.num_rows == 0:
         return _EMPTY_PARTIAL
+    di, dd, row_canon, canon_strs = _canon_codes(batch, canon_map)
+
+    # within-batch (doc, canon) dedup on packed integer codes
+    packed = di * np.int64(len(canon_strs)) + row_canon
+    u = np.unique(packed)
+    doc_idx = u // len(canon_strs)
+    can_idx = u % len(canon_strs)
+    docs = pa.array(dd, pa.string()).take(pa.array(doc_idx, pa.int64()))
+    canons = pa.array(canon_strs, pa.string()).take(pa.array(can_idx, pa.int64()))
+    return pa.table({"doc_id": docs, "canon_id": canons})
+
+
+def _canon_codes(batch: pa.Table, canon_map: dict):
+    """Shared context-free canon resolution: -> (doc codes, doc
+    dictionary, per-ROW canon code, canon strings).  Resolution runs
+    once per batch-distinct (surface, label), never per row."""
     linker = default_linker()
     di, dd = _dict_codes(batch.column("doc_id"))
     si, sd = _dict_codes(batch.column("text"))
     li, ld = _dict_codes(batch.column("label"))
 
-    # resolve canon once per batch-distinct (surface, label)
     combined = si * len(ld) + li
     uniq, inverse = np.unique(combined, return_inverse=True)
     canon_vocab: dict[str, int] = {}
@@ -76,15 +91,31 @@ def doc_canon_partial(batch: pa.Table, canon_map: dict) -> pa.Table:
             cid = canon_vocab[canon] = len(canon_vocab)
             canon_strs.append(canon)
         canon_code_of[k] = cid
+    return di, dd, canon_code_of[inverse], canon_strs
 
-    # within-batch (doc, canon) dedup on packed integer codes
-    packed = di * np.int64(len(canon_vocab)) + canon_code_of[inverse]
-    u = np.unique(packed)
-    doc_idx = u // len(canon_vocab)
-    can_idx = u % len(canon_vocab)
-    docs = pa.array(dd, pa.string()).take(pa.array(doc_idx, pa.int64()))
-    canons = pa.array(canon_strs, pa.string()).take(pa.array(can_idx, pa.int64()))
-    return pa.table({"doc_id": docs, "canon_id": canons})
+
+def doc_canon_counts(batch: pa.Table, canon_map: dict) -> pa.Table:
+    """mentions batch -> (doc_id, canon_id, n) per-batch mention COUNTS
+    (the non-distinct sibling of ``doc_canon_partial``): partials for a
+    downstream group-sum, feeding salience/frequency rollups."""
+    if batch.num_rows == 0:
+        return _EMPTY_PARTIAL.append_column("n", pa.array([], pa.int64()))
+    di, dd, row_canon, canon_strs = _canon_codes(batch, canon_map)
+    packed = di * np.int64(len(canon_strs)) + row_canon
+    u, counts = np.unique(packed, return_counts=True)
+    doc_idx = u // len(canon_strs)
+    can_idx = u % len(canon_strs)
+    return pa.table(
+        {
+            "doc_id": pa.array(dd, pa.string()).take(
+                pa.array(doc_idx, pa.int64())
+            ),
+            "canon_id": pa.array(canon_strs, pa.string()).take(
+                pa.array(can_idx, pa.int64())
+            ),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def pair_bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:

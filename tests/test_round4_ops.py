@@ -537,3 +537,28 @@ def test_read_parquet_union_null_fill(ray_session, tmp_path):
     # column pruning keeps only requested fields
     pruned = read_parquet_union([str(d1), str(d2)], columns=["id", "y"])
     assert pruned.schema().names == ["id", "y"]
+
+
+def test_contract_audit_counts(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.contract import contract_audit
+
+    t = pa.table(
+        {
+            "x": pa.array([1, None, -3, 4], pa.int64()),
+            "s": pa.array(["ok", "bad", "ok", None], pa.string()),
+        }
+    )
+    rules = [
+        ("x_positive", lambda b: pc.or_kleene(
+            pc.is_null(b.column("x")),
+            pc.less_equal(b.column("x"), pa.scalar(0, pa.int64())))),
+        ("s_known", lambda b: pc.invert(
+            pc.coalesce(pc.equal(b.column("s"), "ok"), pa.scalar(False)))),
+    ]
+    got = {r["rule"]: (r["n_checked"], r["n_violations"])
+           for r in contract_audit(rd.from_arrow(t), rules).take_all()}
+    assert got == {"x_positive": (4, 2), "s_known": (4, 2)}

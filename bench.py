@@ -263,6 +263,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("docs_schema_union", q.q_docs_schema_union)
         timed("kg_entity_salience", q.q_kg_entity_salience)
         timed("events_contract_audit", q.q_events_contract_audit)
+        timed("events_late_arrivals", q.q_events_late_arrivals)
+        timed("join_size_stats", q.q_join_size_stats)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -6348,6 +6348,132 @@ def q_events_contract_audit(sf_dir: str):
     return contract_audit(ds, rules)
 
 
+def q_events_late_arrivals(sf_dir: str):
+    """Out-of-order-arrival audit: treating event_id as INGESTION order,
+    per user — total events, events that arrived with an event-time
+    EARLIER than the running event-time maximum (the rows a streaming
+    engine's watermark would count late), and the worst lateness in µs.
+    The stream-health report that sizes watermark delay.  Scale shape:
+    ONE key-hash exchange; the per-bucket reduce is a sort + C-level
+    grouped cummax + vectorized compare, aggregated per user inside the
+    bucket (each user fully co-located)."""
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(None)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": np.zeros(0, np.int64),
+                    "n_events": np.zeros(0, np.int64),
+                    "n_out_of_order": np.zeros(0, np.int64),
+                    "max_lateness_us": np.zeros(0, np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        grp = g.groupby("user_id", sort=False)
+        cm = grp["ts_us"].cummax().to_numpy(dtype=np.int64)
+        pos = grp.cumcount().to_numpy()
+        idx = np.arange(len(g))
+        prev_cm = np.where(pos > 0, cm[np.maximum(idx - 1, 0)], np.int64(0))
+        late = (pos > 0) & (ts < prev_cm)
+        lateness = np.where(late, prev_cm - ts, 0).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "one": np.ones(len(g), np.int64),
+                "late": late.astype(np.int64),
+                "lateness": lateness,
+            }
+        ).groupby("user_id", sort=False).agg(
+            n_events=("one", "sum"),
+            n_out_of_order=("late", "sum"),
+            max_lateness_us=("lateness", "max"),
+        ).reset_index()
+        return out.astype({"n_events": np.int64,
+                           "n_out_of_order": np.int64,
+                           "max_lateness_us": np.int64})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return (
+        ds.map_batches(
+            lambda t: add_bucket(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "event_id": t.column("event_id"),
+                        "ts_us": t.column("ts").cast(pa.int64()),
+                    }
+                ),
+                "user_id", n_buckets,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+def q_join_size_stats(sf_dir: str):
+    """Join-size statistic — the planner input that decides broadcast
+    vs shuffle vs salt: the EXACT row count |events ⋈ orders ON
+    user_id = o_custkey| plus the matching-key count, computed WITHOUT
+    running the join.  Scale shape: per-key counts on each side are
+    corpus-sized grouped sums; the dot product moves only the two
+    (key, n) tables through one bucketed join; the scalar sum uses
+    unbounded ints at the driver (a hot key's n_a·n_b product can pass
+    int64 long before the join itself would be runnable)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    ev = bucketed_group_agg(
+        _read(sf_dir, "events", columns=["user_id"]).map_batches(
+            lambda t: pa.table({"k": t.column("user_id")}),
+            batch_format="pyarrow",
+        ),
+        "k", agg="count", out_col="n_a",
+        n_buckets=_join_buckets(sf_dir, "events"),
+    )
+    orders = bucketed_group_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            lambda t: pa.table({"k": t.column("o_custkey")}),
+            batch_format="pyarrow",
+        ),
+        "k", agg="count", out_col="n_b",
+        n_buckets=_join_buckets(sf_dir, "orders"),
+    )
+    joined = bucketed_hash_join(
+        ev, orders, on="k",
+        n_buckets=_join_buckets(sf_dir, "events", "orders"),
+        left_schema=pa.schema([("k", pa.int64()), ("n_a", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("n_b", pa.int64())]),
+    )
+    parts = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "rows": pa.array(
+                    [int(pc.sum(pc.multiply(t.column("n_a"),
+                                            t.column("n_b"))).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "keys": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # task-count-bounded partials
+    return pd.DataFrame(
+        {
+            "join_rows": pd.array([int(parts["rows"].sum())], dtype="int64"),
+            "n_keys": pd.array([int(parts["keys"].sum())], dtype="int64"),
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6359,6 +6485,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "events_late_arrivals": q_events_late_arrivals,
+        "join_size_stats": q_join_size_stats,
         "kg_entity_salience": q_kg_entity_salience,
         "events_contract_audit": q_events_contract_audit,
         "orders_zonemap_scan": q_orders_zonemap_scan,
@@ -8275,6 +8403,29 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "events_late_arrivals": (
+            # event_id = ingestion order; late = event-time below the
+            # running per-user event-time max over PRIOR arrivals
+            "WITH w AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, "
+            "max(CAST(epoch_us(ts) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN pm > t THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_out_of_order, "
+            "CAST(max(CASE WHEN pm > t THEN pm - t ELSE 0 END) AS BIGINT) "
+            "AS max_lateness_us FROM w GROUP BY user_id"
+        ),
+        "join_size_stats": (
+            "WITH a AS (SELECT user_id AS k, count(*) AS n FROM events "
+            "GROUP BY user_id), "
+            "b AS (SELECT o_custkey AS k, count(*) AS n FROM orders "
+            "GROUP BY o_custkey) "
+            "SELECT CAST(sum(a.n * b.n) AS BIGINT) AS join_rows, "
+            "CAST(count(*) AS BIGINT) AS n_keys "
+            "FROM a JOIN b ON a.k = b.k"
         ),
         "kg_entity_salience": (
             "WITH c AS (SELECT doc_id, canon_mention AS canon_id, "

@@ -265,6 +265,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_contract_audit", q.q_events_contract_audit)
         timed("events_late_arrivals", q.q_events_late_arrivals)
         timed("join_size_stats", q.q_join_size_stats)
+        timed("kg_edge_confidence", q.q_kg_edge_confidence)
+        timed("near_dup_recall_report", q.q_near_dup_recall_report)
 
     result = {
         "metric": "kg_pipeline_e2e",

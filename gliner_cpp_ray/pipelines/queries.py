@@ -6474,6 +6474,100 @@ def q_join_size_stats(sf_dir: str):
     )
 
 
+def q_kg_edge_confidence(sf_dir: str):
+    """Edge confidence enrichment: every canonical edge annotated with
+    its share of the SUBJECT's total support (exact ppm) — the
+    normalized score a KG consumer thresholds on instead of raw counts.
+    Scale shape: subject totals are one key-hash grouped sum over the
+    (already edge-granular) edges table; one subj-keyed bucketed join;
+    ppm vectorized (weight·10^6 needs >9.2·10^12 supporting pages per
+    edge to overflow int64 — orders beyond any real crawl)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon", "weight"]
+    )
+    totals = bucketed_group_agg(
+        edges, "subj_canon", agg="sum", val_col="weight",
+        out_col="subj_weight",
+    )
+    return bucketed_hash_join(
+        edges, totals, on="subj_canon",
+        left_schema=pa.schema(
+            [("subj_canon", pa.string()), ("pred", pa.string()),
+             ("obj_canon", pa.string()), ("weight", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("subj_canon", pa.string()), ("subj_weight", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "subj_canon": t.column("subj_canon"),
+                "pred": t.column("pred"),
+                "obj_canon": t.column("obj_canon"),
+                "weight": t.column("weight"),
+                "conf_ppm": pc.divide(
+                    pc.multiply(t.column("weight"),
+                                pa.scalar(1_000_000, pa.int64())),
+                    t.column("subj_weight"),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_near_dup_recall_report(sf_dir: str):
+    """LSH quality evaluation: exact all-pairs near-dup count vs the
+    banded-LSH path's count and their overlap, with recall in ppm —
+    the tuning report that decides band/bit parameters before a 100 TB
+    run (where only the LSH path is runnable, so its recall must be
+    measured at sample scale first).  The intersection joins the two
+    pair tables on a width-safe string pair key; every input is
+    dup-density bounded."""
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": pc.binary_join_element_wise(
+                    pc.cast(t.column("a"), pa.string()),
+                    pc.cast(t.column("b"), pa.string()),
+                    ":",
+                )
+            }
+        )
+
+    exact = q_embedding_near_dup(sf_dir)
+    import ray.data as rd
+
+    exact_ds = rd.from_arrow(
+        pa.Table.from_pandas(exact, preserve_index=False)
+    ) if isinstance(exact, pd.DataFrame) else exact
+    lsh_ds = q_embedding_near_dup_lsh(sf_dir)
+
+    ek = exact_ds.map_batches(pair_key, batch_format="pyarrow").materialize()
+    lk = lsh_ds.map_batches(pair_key, batch_format="pyarrow").materialize()
+    n_exact, n_lsh = ek.count(), lk.count()
+    n_common = bucketed_hash_join(
+        ek, lk, on="pk", n_buckets=8,
+        left_schema=pa.schema([("pk", pa.string())]),
+        right_schema=pa.schema([("pk", pa.string())]),
+    ).count()
+    return pd.DataFrame(
+        {
+            "n_exact": pd.array([n_exact], dtype="int64"),
+            "n_lsh": pd.array([n_lsh], dtype="int64"),
+            "n_common": pd.array([n_common], dtype="int64"),
+            "recall_ppm": pd.array(
+                [n_common * 1_000_000 // max(n_exact, 1)], dtype="int64"
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6485,6 +6579,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_edge_confidence": q_kg_edge_confidence,
+        "near_dup_recall_report": q_near_dup_recall_report,
         "events_late_arrivals": q_events_late_arrivals,
         "join_size_stats": q_join_size_stats,
         "kg_entity_salience": q_kg_entity_salience,
@@ -8403,6 +8499,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "kg_edge_confidence": (
+            "WITH e AS (SELECT subj_canon, pred, obj_canon, "
+            "CAST(count(*) AS BIGINT) AS weight "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon), "
+            "t AS (SELECT subj_canon, CAST(sum(weight) AS BIGINT) AS st "
+            "FROM e GROUP BY subj_canon) "
+            "SELECT e.subj_canon, e.pred, e.obj_canon, e.weight, "
+            "CAST(e.weight * 1000000 // t.st AS BIGINT) AS conf_ppm "
+            "FROM e JOIN t ON e.subj_canon = t.subj_canon"
+        ),
+        "near_dup_recall_report": (
+            "WITH ex AS (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4), "
+            f"ls AS ({_near_dup_lsh_sql()}), "
+            "c AS (SELECT count(*) AS n FROM ex JOIN ls "
+            "ON ex.a = ls.a AND ex.b = ls.b) "
+            "SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact, "
+            "CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh, "
+            "CAST(c.n AS BIGINT) AS n_common, "
+            "CAST(c.n * 1000000 // "
+            "GREATEST((SELECT count(*) FROM ex), 1) AS BIGINT) "
+            "AS recall_ppm FROM c"
         ),
         "events_late_arrivals": (
             # event_id = ingestion order; late = event-time below the

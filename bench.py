@@ -267,6 +267,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("join_size_stats", q.q_join_size_stats)
         timed("kg_edge_confidence", q.q_kg_edge_confidence)
         timed("near_dup_recall_report", q.q_near_dup_recall_report)
+        timed("kg_pred_signatures", q.q_kg_pred_signatures)
+        timed("user_first_touch", q.q_user_first_touch)
+        timed("kg_ambiguous_surfaces", q.q_kg_ambiguous_surfaces)
+        timed("kg_entity_components", q.q_kg_entity_components)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -6568,6 +6568,307 @@ def q_near_dup_recall_report(sf_dir: str):
     )
 
 
+def q_kg_pred_signatures(sf_dir: str):
+    """Ontology profile of the graph: per predicate, the observed
+    (subject label, object label) signatures with edge counts and total
+    support — the audit that catches schema drift (a 'born_in' edge
+    whose object suddenly labels as 'person').  Scale shape: the node
+    label map joins the edge table TWICE on canon strings (bucketed;
+    edges and nodes are both already canonical/bounded by the graph,
+    not the corpus); one (pred × label²)-bounded grouped rollup ends
+    the plan."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    _, out = _run_kg(sf_dir)
+    nodes = _read_out(out, "nodes").select_columns(["canon_id", "label"])
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon", "weight"]
+    )
+    subj_labeled = bucketed_hash_join(
+        edges.map_batches(
+            lambda t: t.rename_columns(
+                ["canon_id", "pred", "obj_canon", "weight"]
+            ),
+            batch_format="pyarrow",
+        ),
+        nodes, on="canon_id",
+        left_schema=pa.schema(
+            [("canon_id", pa.string()), ("pred", pa.string()),
+             ("obj_canon", pa.string()), ("weight", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("canon_id", pa.string()), ("label", pa.string())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "canon_id": t.column("obj_canon"),
+                "pred": t.column("pred"),
+                "subj_label": t.column("label"),
+                "weight": t.column("weight"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = bucketed_hash_join(
+        subj_labeled, nodes, on="canon_id",
+        left_schema=pa.schema(
+            [("canon_id", pa.string()), ("pred", pa.string()),
+             ("subj_label", pa.string()), ("weight", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("canon_id", pa.string()), ("label", pa.string())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t.column("pred"),
+                "subj_label": t.column("subj_label"),
+                "obj_label": t.column("label"),
+                "weight": t.column("weight"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        both, ["pred", "subj_label", "obj_label"],
+        specs=[("count", None, "n_edges"), ("sum", "weight", "total_weight")],
+        n_buckets=8,
+    )
+
+
+def q_user_first_touch(sf_dir: str):
+    """First-touch attribution: per FIRST event type (each user's
+    earliest event by (ts, event_id)), how many users start there and
+    how many of them ever purchase — acquisition-channel conversion in
+    exact ppm.  Scale shape: the first touch is the grouped-top-1
+    combiner ASCENDING (shuffle bounded at tasks × users × 1); the
+    converted flag is a per-user grouped max of a one-bit column; one
+    user-keyed bucketed join + a type-bounded rollup finish."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "is_purchase": pc.cast(
+                    pc.equal(t.column("event_type"), "purchase"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: first-touch scan + converted flag
+
+    # first event per user: grouped_top_k ASCENDING orders by
+    # (ts_us, event_id) — the id column is its built-in tie-break, so
+    # this equals row_number() OVER (... ORDER BY ts, event_id) = 1
+    first = grouped_top_k(
+        ds.map_batches(
+            lambda t: t.select(["user_id", "ts_us", "event_id", "event_type"]),
+            batch_format="pyarrow",
+        ),
+        "user_id", "ts_us", "event_id", k=1, descending=False,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "first_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    converted = bucketed_group_agg(
+        ds, "user_id", agg="max", val_col="is_purchase", out_col="converted",
+    )
+    joined = bucketed_hash_join(
+        first, converted, on="user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("first_type", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("converted", pa.int64())]
+        ),
+    )
+    agg = bucketed_group_agg(
+        joined, "first_type",
+        specs=[("count", None, "n_users"), ("sum", "converted", "n_converted")],
+        n_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "conv_ppm",
+            pc.divide(
+                pc.multiply(t.column("n_converted"),
+                            pa.scalar(1_000_000, pa.int64())),
+                t.column("n_users"),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_ambiguous_surfaces(sf_dir: str):
+    """Linker ambiguity report: for every surface the alias dictionary
+    maps to MORE THAN ONE candidate entity (the NIL clusters entity
+    disambiguation would have to crack), its observed mention and
+    document counts — the report that prioritizes which ambiguities a
+    context-sensitive linker should learn first.  Scale shape: the
+    ambiguous-surface map is ontology-bounded task state; tagging runs
+    once per batch-distinct (surface, label); counts flow through one
+    (surface, label, doc) group-sum then a surface-bounded rollup."""
+    from gliner_cpp_ray.sources import world
+    from gliner_cpp_ray.sources.pages import is_ambiguous_surface
+    from gliner_cpp_ray.stages.canonicalize import _dict_codes
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    amb: dict[tuple[str, str], str] = {}
+    for lbl, entries in world.all_surfaces().items():
+        for surface, _canon, _qid in entries:
+            if is_ambiguous_surface(surface, lbl):
+                amb[(surface, lbl)] = world.normalize_surface(surface)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "surface": pa.array([], pa.string()),
+                    "label": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.string()),
+                }
+            )
+        si, sd = _dict_codes(t.column("text"))
+        li, ld = _dict_codes(t.column("label"))
+        combined = si * np.int64(len(ld)) + li
+        uniq, inverse = np.unique(combined, return_inverse=True)
+        norm_of = np.array(
+            [amb.get((sd[int(c) // len(ld)], ld[int(c) % len(ld)]), "")
+             for c in uniq],
+            dtype=object,
+        )
+        keep_u = norm_of != ""
+        keep = keep_u[inverse]
+        return pa.table(
+            {
+                "surface": pa.array(
+                    norm_of[inverse][keep].tolist(), pa.string()
+                ),
+                "label": t.column("label").filter(pa.array(keep)),
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            }
+        )
+
+    _, out = _run_kg(sf_dir)
+    tagged = _read_out(out, "mentions").select_columns(
+        ["doc_id", "text", "label"]
+    ).map_batches(tag, batch_format="pyarrow")
+    per_doc = bucketed_group_agg(
+        tagged, ["surface", "label", "doc_id"], agg="count", out_col="n",
+    )
+    return bucketed_group_agg(
+        per_doc, ["surface", "label"],
+        specs=[("count", None, "n_docs"), ("sum", "n", "n_mentions")],
+        n_buckets=8,
+    )
+
+
+def q_kg_entity_components(sf_dir: str):
+    """Connected components of the canonical ENTITY graph (edges
+    undirected): per component its label — the lexicographically
+    smallest member canon — and size.  The graph-health rollup that
+    surfaces whether the KG is one giant hairball or many islands.
+    Scale shape: entities hash to md5-u60 int keys so the distributed
+    min-label propagation (`graph.cc_label_propagation`) runs on
+    int64s; the string label comes back from ONE per-component min over
+    the (hash → canon) map — matching SQL's min-string semantics
+    exactly."""
+    import hashlib
+
+    from gliner_cpp_ray.stages.graph import cc_label_propagation
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    def h60(s: str) -> int:  # md5-u60: int64-safe, repo-wide convention
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(["subj_canon", "obj_canon"])
+
+    def hash_pair(t: pa.Table) -> pa.Table:
+        sa = [h60(s) for s in t.column("subj_canon").to_pylist()]
+        ob = [h60(s) for s in t.column("obj_canon").to_pylist()]
+        return pa.table(
+            {
+                "a": pa.array(sa, pa.int64()),
+                "b": pa.array(ob, pa.int64()),
+                "subj_canon": t.column("subj_canon"),
+                "obj_canon": t.column("obj_canon"),
+            }
+        )
+
+    hashed = edges.map_batches(hash_pair, batch_format="pyarrow").materialize()
+    labels = cc_label_propagation(hashed, a_col="a", b_col="b")
+
+    # (hash -> canon) map is 1:1 by construction (node id = hash of the
+    # canon); a keyed count dedupes the pairs without touching strings
+    names = bucketed_group_agg(
+        hashed.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t.column("a").combine_chunks(),
+                         t.column("b").combine_chunks()]
+                    ),
+                    "canon": pa.concat_arrays(
+                        [t.column("subj_canon").combine_chunks().cast(pa.string()),
+                         t.column("obj_canon").combine_chunks().cast(pa.string())]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node", "canon"], agg="count", out_col="n",
+    ).drop_columns(["n"])
+    joined = bucketed_hash_join(
+        labels, names, on="node",
+        left_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("canon", pa.string())]),
+    )
+
+    # final rollup keeps the STRING min (the lexicographically smallest
+    # member canon), so it reduces via pandas per label-hash bucket
+    from gliner_cpp_ray.stages.joins import add_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"component": pd.array([], dtype="string"),
+                 "n_nodes": np.zeros(0, np.int64)}
+            )
+        out = g.groupby("label", sort=False).agg(
+            component=("canon", "min"), n_nodes=("canon", "size")
+        ).reset_index(drop=True)
+        out["n_nodes"] = out["n_nodes"].astype(np.int64)
+        return out[["component", "n_nodes"]]
+
+    return (
+        joined.map_batches(
+            lambda t: add_bucket(t, "label", default_buckets(8)),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6579,6 +6880,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_ambiguous_surfaces": q_kg_ambiguous_surfaces,
+        "kg_entity_components": q_kg_entity_components,
+        "kg_pred_signatures": q_kg_pred_signatures,
+        "user_first_touch": q_user_first_touch,
         "kg_edge_confidence": q_kg_edge_confidence,
         "near_dup_recall_report": q_near_dup_recall_report,
         "events_late_arrivals": q_events_late_arrivals,
@@ -7427,6 +7732,36 @@ def _sssp_sql(pages_glob: str, n_hosts: int, rounds: int = 4) -> str:
         f" FROM d{rounds}"
     )
     return "".join(parts)
+
+
+def _ambiguous_sql(mentions_glob: str) -> str:
+    """Oracle for kg_ambiguous_surfaces: the ambiguous (surface, label)
+    set is ontology-bounded and derives deterministically from the SAME
+    alias dictionary the pipeline's linker uses, so it inlines as
+    VALUES literals — the SQL needs no access to the linker."""
+    from gliner_cpp_ray.sources import world
+    from gliner_cpp_ray.sources.pages import is_ambiguous_surface
+
+    rows, seen = [], set()
+    for lbl, entries in sorted(world.all_surfaces().items()):
+        for surface, _canon, _qid in entries:
+            if (surface, lbl) in seen or not is_ambiguous_surface(surface, lbl):
+                continue
+            seen.add((surface, lbl))
+            esc = surface.replace("'", "''")
+            norm = world.normalize_surface(surface).replace("'", "''")
+            rows.append(f"('{esc}', '{lbl}', '{norm}')")
+    vals = ", ".join(sorted(rows))
+    return (
+        f"WITH amb(text, label, surface) AS (VALUES {vals}), "
+        "m AS (SELECT mm.doc_id, a.surface, a.label "
+        f"FROM read_parquet('{mentions_glob}') mm "
+        "JOIN amb a ON mm.text = a.text AND mm.label = a.label) "
+        "SELECT surface, label, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_mentions "
+        "FROM m GROUP BY surface, label"
+    )
 
 
 def oracle_sql_for_corpus(corpus_dir: str):
@@ -8499,6 +8834,55 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= DATE '2000-01-01')"
+        ),
+        "kg_ambiguous_surfaces": _ambiguous_sql(mentions_glob),
+        "kg_entity_components": (
+            # undirected reachability closure + min-member label: the
+            # closed form of the distributed min-label propagation
+            "WITH RECURSIVE ed AS (SELECT DISTINCT subj_canon AS a, "
+            f"obj_canon AS b FROM read_parquet('{expected_glob}') "
+            "UNION SELECT obj_canon, subj_canon "
+            f"FROM read_parquet('{expected_glob}')), "
+            "nd AS (SELECT DISTINCT a AS v FROM ed), "
+            "reach(v, r) AS (SELECT v, v FROM nd "
+            "UNION SELECT ed.b, reach.r FROM reach "
+            "JOIN ed ON ed.a = reach.v), "
+            "comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v) "
+            "SELECT component, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM comp GROUP BY component"
+        ),
+        "kg_pred_signatures": (
+            # node labels: context-free mention attributions plus
+            # ambiguous-endpoint registrations (same universe as
+            # kg_nodes); every canon carries one label in this world
+            "WITH e AS (SELECT subj_canon, pred, obj_canon, "
+            "CAST(count(*) AS BIGINT) AS w "
+            f"FROM read_parquet('{expected_glob}') "
+            "GROUP BY subj_canon, pred, obj_canon), "
+            "n AS (SELECT DISTINCT canon_id, label FROM ("
+            "SELECT canon_mention AS canon_id, label "
+            f"FROM read_parquet('{mentions_glob}') "
+            "UNION ALL SELECT canon_id, label "
+            f"FROM read_parquet('{endpoints_glob}'))) "
+            "SELECT e.pred, ns.label AS subj_label, no.label AS obj_label, "
+            "CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(e.w) AS BIGINT) AS total_weight "
+            "FROM e JOIN n ns ON ns.canon_id = e.subj_canon "
+            "JOIN n no ON no.canon_id = e.obj_canon "
+            "GROUP BY e.pred, ns.label, no.label"
+        ),
+        "user_first_touch": (
+            "WITH f AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+            "c AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END) AS converted FROM events GROUP BY user_id) "
+            "SELECT f.event_type AS first_type, "
+            "CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(c.converted) AS BIGINT) AS n_converted, "
+            "CAST(sum(c.converted) * 1000000 // count(*) AS BIGINT) "
+            "AS conv_ppm "
+            "FROM f JOIN c ON c.user_id = f.user_id WHERE f.rn = 1 "
+            "GROUP BY f.event_type"
         ),
         "kg_edge_confidence": (
             "WITH e AS (SELECT subj_canon, pred, obj_canon, "

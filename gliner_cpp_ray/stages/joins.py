@@ -119,6 +119,22 @@ def bucketed_group_agg(ds, keys, agg: str | None = None,
     )
 
 
+def _structural_pad(n: int, typ: pa.DataType) -> pa.Array:
+    """Padding for a column the OTHER side of a bucketed union doesn't
+    carry.  The per-bucket merges are built to never READ padded cells
+    (each side is re-projected to its own columns first), so the pad is
+    purely structural — but it must not poison the block conversion:
+    ``pa.nulls`` in an int64 column makes Ray's Arrow→pandas block
+    conversion upcast the WHOLE column to float64, silently rounding
+    the REAL side's values past 2^53 (md5-u60 keys corrupted; caught by
+    kg_entity_components).  Integer and timestamp-as-int columns pad
+    with zeros instead; types pandas represents losslessly keep
+    nulls."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, np.int64), typ)
+    return pa.nulls(n, typ)
+
+
 def _as_arrow_type(t) -> pa.DataType:
     """Normalize a ``ray.data.Schema`` type entry to Arrow: for
     arrow-block datasets it already IS a ``pa.DataType``, but for
@@ -214,7 +230,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
                 if name in t.schema.names:
                     arrays.append(t.column(name))
                 else:
-                    arrays.append(pa.nulls(n, typ))
+                    arrays.append(_structural_pad(n, typ))
             names += ["__bucket", "__side"]
             arrays += [pa.array(bucket), pa.array(np.full(n, side, np.int8))]
             return pa.table(dict(zip(names, arrays)))
@@ -285,7 +301,7 @@ def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None):
             if name in t.schema.names:
                 arrays.append(t.column(name))
             else:
-                arrays.append(pa.nulls(n, typ))
+                arrays.append(_structural_pad(n, typ))
         names += ["__bucket", "__side"]
         arrays += [t.column("__bucket"), pa.array(np.full(n, side, np.int8))]
         return pa.table(dict(zip(names, arrays)))
@@ -670,7 +686,7 @@ def bucketed_anti_join(left, right_keys, on: str,
                 if name in t.schema.names:
                     arrays.append(t.column(name))
                 else:
-                    arrays.append(pa.nulls(n, ltypes[name]))
+                    arrays.append(_structural_pad(n, ltypes[name]))
             names += ["__bucket", "__side"]
             arrays += [
                 t.column("__bucket"),

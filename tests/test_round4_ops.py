@@ -562,3 +562,26 @@ def test_contract_audit_counts(ray_session):
     got = {r["rule"]: (r["n_checked"], r["n_violations"])
            for r in contract_audit(rd.from_arrow(t), rules).take_all()}
     assert got == {"x_positive": (4, 2), "s_known": (4, 2)}
+
+
+def test_bucketed_join_preserves_60bit_payloads(ray_session):
+    """Regression: null-padding one side's int64 columns made Ray's
+    Arrow->pandas block conversion upcast the WHOLE unioned column to
+    float64, silently rounding the REAL side's values past 2^53
+    (md5-u60 ids corrupted; surfaced as a collapsed kg_entity_components)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    big = [2**60 + 1, 2**60 + 3, 2**59 + 7]  # not float64-representable
+    l = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "payload_l": pa.array(big, pa.int64())}))
+    r = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "payload_r": pa.array([v + 1 for v in big], pa.int64())}))
+    out = bucketed_hash_join(l, r, on="k", n_buckets=4).to_pandas()
+    got = out.sort_values("k")
+    assert got["payload_l"].tolist() == big
+    assert got["payload_r"].tolist() == [v + 1 for v in big]

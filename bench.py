@@ -271,6 +271,12 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("user_first_touch", q.q_user_first_touch)
         timed("kg_ambiguous_surfaces", q.q_kg_ambiguous_surfaces)
         timed("kg_entity_components", q.q_kg_entity_components)
+        timed("ship_priority_mix", q.q_ship_priority_mix)
+        timed("doc_run_length_stats", q.q_doc_run_length_stats)
+        timed("ann_topk_filtered", q.q_ann_topk_filtered)
+        timed("events_windowed_admitted", q.q_events_windowed_admitted)
+        timed("host_pagerank_mass", q.q_host_pagerank_mass)
+        timed("doc_length_percentile", q.q_doc_length_percentile)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -6869,6 +6869,176 @@ def q_kg_entity_components(sf_dir: str):
     )
 
 
+def q_ship_priority_mix(sf_dir: str):
+    """TPC-H-Q12-shaped shipment/priority mix: lineitems shipped in
+    1997, classified by whether their order is high-priority
+    ('1-URGENT'/'2-HIGH'), counted per line status.  Scale shape: the
+    date band is pruned AT THE READ (row-group predicate pushdown —
+    filtered row groups never leave storage), the priority
+    classification rides the ONE orderkey-partitioned bucketed join as
+    two 0/1 flag columns, and the rollup is a tiny grouped sum over
+    |linestatus| keys."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    from datetime import datetime
+
+    li = rd.read_parquet(
+        _sf_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1997, 1, 1))
+            & (pads.field("l_shipdate") < datetime(1998, 1, 1))
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "l_linestatus": t.column("l_linestatus"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(
+        li, orders, on="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "lineitem", "orders"),
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_linestatus", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "hi": hi,
+                "lo": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+
+    return bucketed_group_agg(
+        joined.map_batches(flags, batch_format="pyarrow"),
+        "l_linestatus",
+        specs=[("sum", "hi", "n_high"), ("sum", "lo", "n_low")],
+        n_buckets=8,
+    )
+
+
+def q_doc_run_length_stats(sf_dir: str):
+    """Character-run compression stats per document (see
+    ``stages/text_analysis.char_run_stats``): the sub-token low-entropy
+    spam signal.  Zero shuffle — one vectorized codepoint-diff pass per
+    batch."""
+    from gliner_cpp_ray.stages.text_analysis import char_run_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        char_run_stats, batch_format="pyarrow"
+    )
+
+
+def q_ann_topk_filtered(sf_dir: str):
+    """Metadata-FILTERED vector retrieval: brute-force cosine top-10
+    restricted to embeddings whose ``label`` is in {0, 1, 2} — the
+    serving-side shape behind 'nearest neighbors among docs matching a
+    filter'.  The filter is pushed to the READ (row-group predicate on
+    a non-projected column), so pruned vectors never enter the object
+    store — the right plan when the filter is selective; a
+    post-scoring filter would waste ~70% of the matmul here."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    qids, qm = _query_vectors(sf_dir)
+    ds = rd.read_parquet(
+        _sf_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label").isin([0, 1, 2]),
+    )
+    return brute_force_topk(ds, qm, qids, k=10)
+
+
+def q_events_windowed_admitted(sf_dir: str):
+    """Watermark-admission replay (see
+    ``stages/windows.watermark_admitted_counts``): per hourly window,
+    how many events a streaming engine with a 10-minute allowed
+    lateness would have admitted vs dropped, replayed deterministically
+    over the batch log in ingestion (event_id) order.  The prefix-max
+    over arrival order distributes as a two-level range scan — one
+    (bucket, max_ts) row per range bucket to the driver, never rows."""
+    from gliner_cpp_ray.stages.windows import watermark_admitted_counts
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return watermark_admitted_counts(
+        ev, ts_col="ts", id_col="event_id",
+        bucket_us=3_600_000_000, lateness_us=600_000_000,
+    )
+
+
+def q_host_pagerank_mass(sf_dir: str):
+    """Host-level centrality rollup: total PageRank mass + page count
+    per host — the 'which SITES hold the authority' dashboard over the
+    page-level C39 ranks.  Reuses the session-cached link graph and the
+    exact-integer pagerank; the rollup is a map-side ``% N_HOSTS`` plus
+    one host-keyed grouped sum (host table is N_HOSTS-bounded)."""
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.linkgraph import pagerank
+
+    edges, nodes = _link_graph(sf_dir)
+    pr = pagerank(edges, nodes, n_iters=3)
+
+    def to_host(t: pa.Table) -> pa.Table:
+        nid = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": pa.array((nid % N_HOSTS).astype(np.int64)),
+                "rank_micro": t.column("rank_micro"),
+            }
+        )
+
+    return bucketed_group_agg(
+        pr.map_batches(to_host, batch_format="pyarrow"),
+        "host",
+        specs=[("sum", "rank_micro", "rank_mass"), ("count", None, "n_pages")],
+        n_buckets=8,
+    )
+
+
+def q_doc_length_percentile(sf_dir: str):
+    """Per-document GLOBAL percentile rank of length (rank under ORDER
+    BY (n_chars, doc_id) plus an exact-ppm percentile) — the
+    length-curriculum / outlier-trim feature.  Fourth reuse of the
+    packing-module two-level value-range scan: no global sort, one
+    count row per range bucket to the driver."""
+    from gliner_cpp_ray.stages.packing import global_order_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ranked, n_total = global_order_rank(ds, "n_chars", "doc_id")
+    denom = max(n_total, 1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "rank": t.column("rank").cast(pa.int64()),
+                "pct_ppm": pa.array((r * 1_000_000 // denom).astype(np.int64)),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -6880,6 +7050,12 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "ship_priority_mix": q_ship_priority_mix,
+        "doc_run_length_stats": q_doc_run_length_stats,
+        "ann_topk_filtered": q_ann_topk_filtered,
+        "events_windowed_admitted": q_events_windowed_admitted,
+        "host_pagerank_mass": q_host_pagerank_mass,
+        "doc_length_percentile": q_doc_length_percentile,
         "kg_ambiguous_surfaces": q_kg_ambiguous_surfaces,
         "kg_entity_components": q_kg_entity_components,
         "kg_pred_signatures": q_kg_pred_signatures,
@@ -7773,6 +7949,83 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "ship_priority_mix": (
+            # Q12 shape: priority classification rides the join as 0/1
+            # flags; the rollup is |linestatus|-bounded
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_high, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_low "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "doc_run_length_stats": (
+            # char runs without regex backreferences (RE2 lacks them):
+            # run starts are positions whose char differs from the
+            # previous; run length = next start - start.  length()/
+            # substring() are codepoint-based, matching the Python side.
+            "WITH st AS (SELECT d.doc_id, t.i AS s, "
+            "lead(t.i) OVER (PARTITION BY d.doc_id ORDER BY t.i) AS nxt, "
+            "length(d.text) AS len "
+            "FROM documents d, unnest(generate_series(1, length(d.text))) "
+            "AS t(i) WHERE t.i = 1 "
+            "OR substring(d.text, t.i, 1) <> substring(d.text, t.i - 1, 1)), "
+            "r AS (SELECT doc_id, count(*) AS n_runs, "
+            "max(coalesce(nxt, len + 1) - s) AS max_run, any_value(len) AS len "
+            "FROM st GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+            "CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs, "
+            "CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run, "
+            "CAST(CASE WHEN length(d.text) > 0 THEN "
+            "coalesce(r.n_runs, 0) * 1000000 // length(d.text) "
+            "ELSE 0 END AS BIGINT) AS run_ppm "
+            "FROM documents d LEFT JOIN r USING (doc_id)"
+        ),
+        "ann_topk_filtered": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS score "
+            "FROM embeddings e CROSS JOIN q "
+            "WHERE e.label IN (0, 1, 2) AND e.vec_id <> q.query_id) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 10"
+        ),
+        "events_windowed_admitted": (
+            # watermark = running event-time max over PRIOR arrivals
+            # (ingestion order = event_id); admitted iff the hour's
+            # close + 10 min lateness still beats it
+            "WITH w AS (SELECT epoch_us(ts) AS ts_us, "
+            "max(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events), "
+            "c AS (SELECT ts_us // 3600000000 AS bucket, "
+            "CASE WHEN wm IS NULL OR (ts_us // 3600000000 + 1) * 3600000000 "
+            "+ 600000000 > wm THEN 1 ELSE 0 END AS adm FROM w) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(sum(adm) AS BIGINT) AS n_admitted, "
+            "CAST(count(*) - sum(adm) AS BIGINT) AS n_dropped "
+            "FROM c GROUP BY bucket"
+        ),
+        "host_pagerank_mass": (
+            f"SELECT CAST(node_id % {_N_HOSTS} AS BIGINT) AS host, "
+            "CAST(sum(rank_micro) AS BIGINT) AS rank_mass, "
+            "CAST(count(*) AS BIGINT) AS n_pages "
+            f"FROM ({_pagerank_sql(pages_glob)}) GROUP BY host"
+        ),
+        "doc_length_percentile": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars, doc_id) AS rank, "
+            "count(*) OVER () AS n FROM documents) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(rank AS BIGINT) AS rank, "
+            "CAST(rank * 1000000 // n AS BIGINT) AS pct_ppm FROM r"
+        ),
         "kg_extracted_text": (
             f"SELECT url, text FROM read_parquet('{pages_glob}')"
         ),

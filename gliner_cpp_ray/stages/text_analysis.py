@@ -101,6 +101,57 @@ def quality_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def char_run_stats(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text") -> pa.Table:
+    """Character-run compression stats per document: number of
+    single-character runs, longest run, and runs-per-char in exact ppm
+    — the low-entropy / keyboard-mash spam signal BELOW the token level
+    (``repetition_stats`` covers token/bigram repeats; "aaaaaaaa" is one
+    token and invisible to it).  A clean page has run_ppm near 10^6
+    (every char differs from its neighbor); padded/sledged spam
+    collapses toward 0.
+
+    Scale shape: pure zero-shuffle ``map_batches``.  Vectorized across
+    the WHOLE batch: one codepoint array for the concatenated batch
+    text (doc starts force run boundaries), one diff pass, and
+    searchsorted/``maximum.at`` segment reductions — no Python loop
+    over rows or characters.  Counts are codepoint-based, matching SQL
+    ``length()``/``substring()`` semantics exactly."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=n)
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    is_run_start = np.ones(len(cp), bool)
+    if len(cp) > 1:
+        is_run_start[1:] = cp[1:] != cp[:-1]
+    is_run_start[starts[lens > 0]] = True  # a run never crosses a doc
+    run_pos = np.nonzero(is_run_start)[0]
+    n_runs = (
+        np.searchsorted(run_pos, ends) - np.searchsorted(run_pos, starts)
+    ).astype(np.int64)
+    max_run = np.zeros(n, np.int64)
+    if len(run_pos):
+        doc_of_run = np.searchsorted(ends, run_pos, side="right")
+        nxt = np.empty(len(run_pos), np.int64)
+        nxt[:-1] = run_pos[1:]
+        nxt[-1] = len(cp)
+        run_len = np.minimum(nxt, ends[doc_of_run]) - run_pos
+        np.maximum.at(max_run, doc_of_run, run_len)
+    run_ppm = np.where(lens > 0, n_runs * 1_000_000 // np.maximum(lens, 1), 0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(lens),
+            "n_runs": pa.array(n_runs),
+            "max_run": pa.array(max_run),
+            "run_ppm": pa.array(run_ppm.astype(np.int64)),
+        }
+    )
+
+
 def fingerprints(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5 hex (exact, SQL-matchable) and a 64-bit
     rolling (Rabin-Karp style) hash over the token stream."""

@@ -886,3 +886,109 @@ def trailing_range_sum(ds, key_col: str, ts_col: str, val_col: str,
             batch_format="pandas",
         )
     )
+
+
+def watermark_admitted_counts(ds, ts_col: str = "ts", id_col: str = "event_id",
+                              bucket_us: int = 3_600 * US,
+                              lateness_us: int = 600 * US,
+                              n_buckets: int | None = None):
+    """Streaming watermark-admission replay over the batch log: an
+    event is ADMITTED iff, at the moment it arrives (ingestion order =
+    ``id_col``), the watermark — the running event-time max over all
+    PRIOR arrivals — has not yet passed its tumbling window's close plus
+    the allowed lateness (``window_end + lateness > watermark``; the
+    first arrival is always admitted).  Output: one row per window
+    bucket with admitted and dropped counts — exactly what a streaming
+    engine with ``allowed_lateness`` would have emitted, computed
+    deterministically over the log.  The companion to the
+    ``events_late_arrivals`` audit: that one SIZES the watermark delay,
+    this one REPLAYS a chosen delay's effect.
+
+    Scale shape (the prefix-max analog of ``packing.global_order_rank``'s
+    two-level scan): ingestion ids range-partition into order-preserving
+    buckets, each bucket reduces to ONE (bucket, max_ts) row, the driver
+    turns those into per-bucket incoming watermarks via an exclusive
+    running max (O(buckets), never row data), and a second vectorized
+    pass finishes each bucket with a local ``maximum.accumulate``.  The
+    final per-window rollup moves (windows × tasks) count rows."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(8, 10 * cluster_cpus())
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "__ts_us": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_admitted": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+        }
+    )
+    # materialize: consumed three times (id bounds, per-bucket maxes,
+    # finish); the projection is two int64 columns, spillable
+    data = ds.map_batches(proj, batch_format="pyarrow").materialize()
+    lo, hi = data.min(id_col), data.max(id_col)
+    if lo is None:
+        return rd.from_arrow(empty)
+    span = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+
+    def add_rb(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__rb", pa.array((ids - int(lo)) // span, pa.int64())
+        )
+
+    bucketed = data.map_batches(add_rb, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    maxes = (
+        bucketed.groupby("__rb")
+        .aggregate(Max("__ts_us", alias_name="mx"))
+        .to_pandas()  # ONE row per ingestion-range bucket
+        .sort_values("__rb")
+    )
+    mx = maxes["mx"].to_numpy(np.int64)
+    # exclusive running max = the watermark ENTERING each range bucket
+    incoming = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1]]
+    )
+    wm_in = dict(zip(maxes["__rb"].astype(np.int64), incoming))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        ts = g["__ts_us"].to_numpy(np.int64)
+        wm = np.empty(len(ts), np.int64)
+        wm[0] = wm_in[int(g["__rb"].iloc[0])]
+        if len(ts) > 1:
+            wm[1:] = np.maximum.accumulate(ts)[:-1]
+            np.maximum(wm[1:], wm[0], out=wm[1:])
+        bucket = ts // bucket_us
+        adm = (bucket + 1) * bucket_us + lateness_us > wm
+        out = pd.DataFrame({"bucket": bucket, "adm": adm.astype(np.int64)})
+        grp = out.groupby("bucket", sort=False)["adm"]
+        sums = grp.sum()
+        part = pd.DataFrame(
+            {"n_admitted": sums, "n_dropped": grp.size() - sums}
+        ).reset_index()
+        return part.astype(np.int64)
+
+    partials = bucketed.groupby("__rb").map_groups(
+        finish, batch_format="pandas"
+    )
+    return bucketed_group_agg(
+        partials, "bucket",
+        specs=[("sum", "n_admitted", "n_admitted"),
+               ("sum", "n_dropped", "n_dropped")],
+        n_buckets=8,
+    )

@@ -1,0 +1,110 @@
+"""Unit tests for the round-4k operators: char-run stats and the
+watermark-admission replay."""
+
+import numpy as np
+import pyarrow as pa
+
+from gliner_cpp_ray.stages.text_analysis import char_run_stats
+from gliner_cpp_ray.stages.windows import watermark_admitted_counts
+
+
+def _runs(texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = char_run_stats(t)
+    return {
+        int(d): (int(nc), int(nr), int(mx), int(ppm))
+        for d, nc, nr, mx, ppm in zip(
+            out.column("doc_id").to_pylist(),
+            out.column("n_chars").to_pylist(),
+            out.column("n_runs").to_pylist(),
+            out.column("max_run").to_pylist(),
+            out.column("run_ppm").to_pylist(),
+        )
+    }
+
+
+def test_char_run_stats_basics():
+    got = _runs(["abc", "aaab", "", "x", "aabbaa"])
+    assert got[0] == (3, 3, 1, 1_000_000)
+    assert got[1] == (4, 2, 3, 500_000)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (1, 1, 1, 1_000_000)
+    # aabbaa: runs aa|bb|aa -> 3 runs, max 2
+    assert got[4] == (6, 3, 2, 500_000)
+
+
+def test_char_run_stats_runs_never_cross_doc_boundaries():
+    # adjacent docs ending/starting with the same char must not merge
+    got = _runs(["aaa", "aaa"])
+    assert got[0] == (3, 1, 3, 333_333)
+    assert got[1] == (3, 1, 3, 333_333)
+
+
+def test_char_run_stats_counts_codepoints():
+    # astral-plane codepoints count as ONE char (matching SQL length())
+    got = _runs(["\U0001F600\U0001F600b", "你你好"])
+    assert got[0] == (3, 2, 2, 666_666)
+    assert got[1] == (3, 2, 2, 666_666)
+
+
+def test_watermark_admission_drops_late_event(ray_session):
+    import ray.data as rd
+
+    B = 100  # bucket_us
+    L = 10  # lateness_us
+    # ingestion order (event_id) vs event time (ts):
+    #  id 0: ts 50  (bucket 0)  wm=-inf        -> admitted
+    #  id 1: ts 250 (bucket 2)  wm=50          -> admitted (wm jumps to 250)
+    #  id 2: ts 90  (bucket 0)  wm=250 >= 110  -> DROPPED (window 0 closed)
+    #  id 3: ts 205 (bucket 2)  wm=250 < 310   -> admitted
+    #  id 4: ts 115 (bucket 1)  wm=250 >= 210  -> DROPPED
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([50, 250, 90, 205, 115], pa.int64()),
+        }
+    )
+    out = (
+        watermark_admitted_counts(
+            rd.from_arrow(t), ts_col="ts", id_col="event_id",
+            bucket_us=B, lateness_us=L,
+        )
+        .to_pandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert out.loc[0].tolist() == [1, 1]
+    assert out.loc[1].tolist() == [0, 1]
+    assert out.loc[2].tolist() == [2, 0]
+
+
+def test_watermark_crosses_range_buckets(ray_session):
+    """The watermark must propagate ACROSS ingestion-range buckets:
+    with n_buckets large, each id lands in its own range bucket and the
+    incoming-watermark scan does the work."""
+    import ray.data as rd
+
+    n = 64
+    ids = np.arange(n, dtype=np.int64)
+    # one early spike at id 0 pushes the watermark to 10_000; every
+    # later event has ts ~ [0, 100) (bucket 0, closes at 100 + 10) so
+    # all are late-dropped; the spike itself is admitted (bucket 100)
+    ts = np.full(n, 50, np.int64)
+    ts[0] = 10_000
+    t = pa.table({"event_id": pa.array(ids), "ts": pa.array(ts)})
+    out = (
+        watermark_admitted_counts(
+            rd.from_arrow(t), ts_col="ts", id_col="event_id",
+            bucket_us=100, lateness_us=10, n_buckets=32,
+        )
+        .to_pandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert out.loc[100].tolist() == [1, 0]
+    assert out.loc[0].tolist() == [0, n - 1]

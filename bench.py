@@ -277,6 +277,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_windowed_admitted", q.q_events_windowed_admitted)
         timed("host_pagerank_mass", q.q_host_pagerank_mass)
         timed("doc_length_percentile", q.q_doc_length_percentile)
+        timed("kg_two_hop_paths", q.q_kg_two_hop_paths)
+        timed("event_value_quartile_by_type", q.q_event_value_quartile_by_type)
+        timed("doc_sentence_stats", q.q_doc_sentence_stats)
+        timed("event_type_trigrams", q.q_event_type_trigrams)
 
     result = {
         "metric": "kg_pipeline_e2e",

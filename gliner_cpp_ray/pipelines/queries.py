@@ -7039,6 +7039,117 @@ def q_doc_length_percentile(sf_dir: str):
     return ranked.map_batches(finish, batch_format="pyarrow")
 
 
+def q_kg_two_hop_paths(sf_dir: str):
+    """2-hop path counts over the canonical KG: for every (subj, obj)
+    reachable through an intermediate entity, how many distinct mids
+    connect them — the generic relation-composition statistic above the
+    specific ``kg_inferred_country`` rule (link prediction / inference
+    candidates).  Scale shape: the edge table is graph-bounded; pred
+    dropped to distinct (subj, obj) pairs via one grouped count, then
+    ONE mid-keyed bucketed self-join + a pair-keyed grouped count.
+    Self-pairs (subj == obj) excluded."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(["subj_canon", "obj_canon"])
+    # distinct canonical pairs (edges are (subj, pred, obj)-granular)
+    dist = bucketed_group_agg(
+        edges, ["subj_canon", "obj_canon"], agg="count", out_col="n",
+        n_buckets=8,
+    )
+    e1 = dist.map_batches(
+        lambda t: pa.table(
+            {"mid": t.column("obj_canon"), "subj_canon": t.column("subj_canon")}
+        ),
+        batch_format="pyarrow",
+    )
+    e2 = dist.map_batches(
+        lambda t: pa.table(
+            {"mid": t.column("subj_canon"), "obj2": t.column("obj_canon")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        e1, e2, on="mid", n_buckets=8,
+        left_schema=pa.schema(
+            [("mid", pa.string()), ("subj_canon", pa.string())]
+        ),
+        right_schema=pa.schema([("mid", pa.string()), ("obj2", pa.string())]),
+    ).map_batches(
+        lambda t: (
+            lambda keep: pa.table(
+                {
+                    "subj_canon": t.column("subj_canon").filter(keep),
+                    "obj_canon": t.column("obj2").filter(keep),
+                }
+            )
+        )(pc.invert(pc.equal(t.column("subj_canon"), t.column("obj2")))),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        joined, ["subj_canon", "obj_canon"], agg="count", out_col="n_paths",
+        n_buckets=8,
+    )
+
+
+def q_event_value_quartile_by_type(sf_dir: str):
+    """Per-GROUP exact NTILE: each event's value quartile WITHIN its
+    event type (``NTILE(4) OVER (PARTITION BY event_type ORDER BY
+    value_micro, event_id)``) — per-segment score normalization.  Uses
+    ``packing.ntile_per_group``: the grouped two-level value-range scan,
+    so a hot type's rank work spreads across its value range instead of
+    one per-type sort task."""
+    from gliner_cpp_ray.stages.packing import ntile_per_group
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "value_micro": _micro(t.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ntile_per_group(
+        ds, "event_type", "value_micro", "event_id", tiles=4
+    )
+
+
+def q_doc_sentence_stats(sf_dir: str):
+    """Readability stats (see ``stages/text_analysis.sentence_stats``):
+    sentence count, token count, exact-ppm words-per-sentence.  Zero
+    shuffle."""
+    from gliner_cpp_ray.stages.text_analysis import sentence_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sentence_stats, batch_format="pyarrow"
+    )
+
+
+def q_event_type_trigrams(sf_dir: str):
+    """Top-20 behavioral 3-step sequences: counts of consecutive
+    event-type trigrams per user timeline (``lead()`` ×2 in SQL), ranked
+    by count with a lexicographic tie-break.  The n-gram table is
+    |event_types|³-bounded, so the final top-k finishes on the driver;
+    the corpus-sized work is ``windows.sequence_ngram_counts``'s single
+    key-hash exchange."""
+    from gliner_cpp_ray.stages.windows import sequence_ngram_counts
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    counts = sequence_ngram_counts(
+        ev, key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        state_col="event_type", n=3,
+    )
+    df = counts.to_pandas()  # |event_types|^3-bounded (125 rows here)
+    df = df.sort_values(
+        ["n", "s0", "s1", "s2"], ascending=[False, True, True, True]
+    ).head(20).reset_index(drop=True)
+    df["n"] = df["n"].astype(np.int64)
+    return df[["s0", "s1", "s2", "n"]]
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -7050,6 +7161,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_two_hop_paths": q_kg_two_hop_paths,
+        "event_value_quartile_by_type": q_event_value_quartile_by_type,
+        "doc_sentence_stats": q_doc_sentence_stats,
+        "event_type_trigrams": q_event_type_trigrams,
         "ship_priority_mix": q_ship_priority_mix,
         "doc_run_length_stats": q_doc_run_length_stats,
         "ann_topk_filtered": q_ann_topk_filtered,
@@ -7949,6 +8064,44 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "kg_two_hop_paths": (
+            "WITH e AS (SELECT DISTINCT subj_canon AS s, obj_canon AS o "
+            f"FROM read_parquet('{expected_glob}')) "
+            "SELECT e1.s AS subj_canon, e2.o AS obj_canon, "
+            "CAST(count(*) AS BIGINT) AS n_paths "
+            "FROM e e1 JOIN e e2 ON e2.s = e1.o AND e1.s <> e2.o "
+            "GROUP BY e1.s, e2.o"
+        ),
+        "event_value_quartile_by_type": (
+            "SELECT event_type, event_id, "
+            "CAST(ntile(4) OVER (PARTITION BY event_type "
+            "ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id) "
+            "AS BIGINT) AS tile FROM events"
+        ),
+        "doc_sentence_stats": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t, "
+            "len(list_filter(regexp_split_to_array(text, '[.!?]+'), "
+            "x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g') <> '')) AS ns, "
+            "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS nt "
+            "FROM documents) "
+            "SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences, "
+            "CAST(nt AS BIGINT) AS n_tokens, "
+            "CAST(CASE WHEN ns > 0 THEN nt * 1000000 // ns ELSE 0 END "
+            "AS BIGINT) AS wps_ppm FROM tt"
+        ),
+        "event_type_trigrams": (
+            "WITH o AS (SELECT event_type AS s0, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS s1, "
+            "lead(event_type, 2) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS s2 FROM events), "
+            "c AS (SELECT s0, s1, s2, CAST(count(*) AS BIGINT) AS n "
+            "FROM o WHERE s2 IS NOT NULL GROUP BY s0, s1, s2) "
+            "SELECT s0, s1, s2, n FROM c "
+            "QUALIFY row_number() OVER (ORDER BY n DESC, s0, s1, s2) <= 20"
+        ),
         "ship_priority_mix": (
             # Q12 shape: priority classification rides the join as 0/1
             # flags; the rollup is |linestatus|-bounded

@@ -407,3 +407,131 @@ def assemble_key_histories(ds, key_cols: list[str], ts_col: str,
             batch_format="pandas",
         )
     )
+
+
+def grouped_order_rank(ds, group_col: str, val_col: str, id_col: str,
+                       n_buckets: int | None = None):
+    """PER-GROUP exact 1-based rank under ``row_number() OVER
+    (PARTITION BY group ORDER BY (val, id))`` — the grouped
+    generalization of ``global_order_rank`` for BOUNDED group sets
+    (event types, languages, statuses), where a hot group holds a
+    corpus-scale share of rows and a per-group sort inside one reducer
+    would concentrate the whole group on one task.
+
+    Returns (Dataset(group, id, val, rank), {group: n_total}).
+
+    Same two-level value-range scan, run for all groups in one pass:
+    per-group min/max (one tiny grouped aggregate) size per-group
+    order-preserving value buckets; ONE (group, vbucket) count row per
+    combination reaches the driver (groups x n_buckets, never rows);
+    per-(group, vbucket) finish = local sort + the bucket's exclusive
+    offset.  A hot group's rank work spreads over its n_buckets range
+    buckets instead of one task."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if n_buckets is None:
+        n_buckets = max(8, 10 * cluster_cpus())
+
+    data = ds.materialize()  # consumed twice: bounds + counts/finish
+    bounds = bucketed_group_agg(
+        data, group_col,
+        specs=[("min", val_col, "lo"), ("max", val_col, "hi")],
+        n_buckets=8,
+    ).to_pandas()  # group-set-bounded
+    if not len(bounds):
+        return (
+            rd.from_arrow(
+                pa.table(
+                    {
+                        group_col: pa.array([], pa.string()),
+                        id_col: pa.array([], pa.int64()),
+                        val_col: pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
+            ),
+            {},
+        )
+    lo = dict(zip(bounds[group_col], bounds["lo"].astype(np.int64)))
+    span = {
+        g: max(1, (int(h) - int(l) + n_buckets) // n_buckets)
+        for g, l, h in zip(
+            bounds[group_col], bounds["lo"].astype(np.int64),
+            bounds["hi"].astype(np.int64),
+        )
+    }
+
+    def add_vb(t: pa.Table) -> pa.Table:
+        # factorize -> dict lookups happen once per DISTINCT group in
+        # the batch (bounded), then broadcast by codes — no per-row loop
+        codes, uniq = pd.factorize(
+            pd.Series(t.column(group_col).to_pylist()), sort=False
+        )
+        v = t.column(val_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        los = np.array([lo[g] for g in uniq], np.int64)[codes]
+        spans = np.array([span[g] for g in uniq], np.int64)[codes]
+        return t.append_column(
+            "__vb", pa.array((v - los) // spans, pa.int64())
+        )
+
+    bucketed = data.map_batches(add_vb, batch_format="pyarrow")
+    counts = bucketed_group_agg(
+        bucketed, [group_col, "__vb"], agg="count", out_col="n", n_buckets=8
+    ).to_pandas().sort_values([group_col, "__vb"])  # groups x n_buckets rows
+    n_tot = counts.groupby(group_col)["n"].sum().astype(int).to_dict()
+    offsets = {}
+    for g, sub in counts.groupby(group_col, sort=False):
+        cums = np.concatenate([[0], sub["n"].to_numpy(np.int64).cumsum()[:-1]])
+        for vb, off in zip(sub["__vb"].astype(np.int64), cums):
+            offsets[(g, int(vb))] = int(off)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([val_col, id_col], kind="stable")
+        base = offsets[(g[group_col].iloc[0], int(g["__vb"].iloc[0]))]
+        out = g.drop(columns="__vb").copy()
+        out["rank"] = np.arange(base + 1, base + len(g) + 1, dtype=np.int64)
+        return out
+
+    ranked = bucketed.groupby([group_col, "__vb"]).map_groups(
+        finish, batch_format="pandas"
+    )
+    return ranked, n_tot
+
+
+def ntile_per_group(ds, group_col: str, val_col: str, id_col: str,
+                    tiles: int, n_buckets: int | None = None):
+    """Exact per-group NTILE: Dataset(group, id, val) -> Dataset(group,
+    id, tile) where ``tile`` = ``NTILE(tiles) OVER (PARTITION BY group
+    ORDER BY (val, id))`` under SQL's rule (the first ``N mod tiles``
+    tiles of each group hold the extra row).  Built on
+    ``grouped_order_rank`` — no per-group sort task, no global sort."""
+    ranked, n_tot = grouped_order_rank(
+        ds, group_col, val_col, id_col, n_buckets
+    )
+    qr = {g: divmod(n, tiles) for g, n in n_tot.items()}
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            pd.Series(t.column(group_col).to_pylist()), sort=False
+        )
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        q = np.array([qr[g][0] for g in uniq], np.int64)[codes]
+        rem = np.array([qr[g][1] for g in uniq], np.int64)[codes]
+        boundary = rem * (q + 1)
+        q_safe = np.maximum(q, 1)
+        tile = np.where(
+            rank <= boundary,
+            (rank - 1) // (q + 1),
+            rem + (rank - 1 - boundary) // q_safe,
+        ) + 1
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return ranked.map_batches(to_tile, batch_format="pyarrow")

@@ -152,6 +152,41 @@ def char_run_stats(batch: pa.Table, id_col: str = "doc_id",
     )
 
 
+def sentence_stats(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text") -> pa.Table:
+    """Readability stats per document: sentence count (non-empty
+    segments after an RE2 ``[.!?]+`` split, whitespace-trimmed), token
+    count (pinned to ``token_counts``'s definition) and exact-ppm
+    words-per-sentence — the classic words/sentence quality gate.
+    Zero shuffle; two Arrow regex kernels + bincount per batch."""
+    txt = batch.column(text_col)
+    n = batch.num_rows
+    segs = pc.split_pattern_regex(txt, r"[.!?]+")
+    seg_trim = pc.replace_substring_regex(pc.list_flatten(segs), _TRIM_RE, "")
+    nonempty = pc.not_equal(seg_trim, "").to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+    n_sent = np.bincount(parents[nonempty], minlength=n).astype(np.int64)
+
+    trimmed = _re2_trim(txt)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    n_tok = (
+        pc.list_value_length(toks).cast(pa.int64())
+        .to_numpy(zero_copy_only=False).copy()
+    )
+    n_tok[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+    wps_ppm = np.where(
+        n_sent > 0, n_tok * 1_000_000 // np.maximum(n_sent, 1), 0
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_sentences": pa.array(n_sent),
+            "n_tokens": pa.array(n_tok),
+            "wps_ppm": pa.array(wps_ppm.astype(np.int64)),
+        }
+    )
+
+
 def fingerprints(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5 hex (exact, SQL-matchable) and a 64-bit
     rolling (Rabin-Karp style) hash over the token stream."""

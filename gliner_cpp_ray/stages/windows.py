@@ -992,3 +992,66 @@ def watermark_admitted_counts(ds, ts_col: str = "ts", id_col: str = "event_id",
                ("sum", "n_dropped", "n_dropped")],
         n_buckets=8,
     )
+
+
+def sequence_ngram_counts(ds, key_cols: list[str], ts_col: str, id_col: str,
+                          state_col: str, n: int = 3,
+                          n_buckets: int | None = None):
+    """Timeline n-gram counts: (s_0, ..., s_{n-1}, n) over every run of
+    ``n`` CONSECUTIVE rows of the same key under ``ORDER BY (ts, id)``
+    — the behavioral-sequence feature above ``transition_counts``
+    (its n=2 generalization; SQL expresses it as chained ``lead()``
+    windows).
+
+    Scale shape: identical to ``transition_counts`` — ONE key-hash
+    bucket shuffle, per-bucket vectorized sort + n-1 shifted masks, a
+    per-bucket groupby over the (|states|^n)-bounded combination table,
+    and one tiny grouped Sum merge."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    out_cols = [f"s{i}" for i in range(n)]
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: pd.Series(dtype=object) for c in out_cols},
+             "n": pd.Series(dtype=np.int64)}
+        )
+        if len(g) < n:
+            return empty
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        m = len(g) - (n - 1)
+        same = np.ones(m, dtype=bool)
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            for i in range(1, n):
+                same &= kv[i:m + i] == kv[:m]
+        if not same.any():
+            return empty
+        st = g[state_col].to_numpy()
+        grams = pd.DataFrame(
+            {c: st[i:m + i][same] for i, c in enumerate(out_cols)}
+        )
+        return (
+            grams.groupby(out_cols, sort=False)
+            .size()
+            .rename("n")
+            .astype(np.int64)
+            .reset_index()
+        )
+
+    partials = (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+    return partials.groupby(out_cols).aggregate(Sum("n", alias_name="n"))

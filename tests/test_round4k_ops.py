@@ -108,3 +108,101 @@ def test_watermark_crosses_range_buckets(ray_session):
     )
     assert out.loc[100].tolist() == [1, 0]
     assert out.loc[0].tolist() == [0, n - 1]
+
+
+def test_sentence_stats_edges():
+    from gliner_cpp_ray.stages.text_analysis import sentence_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["One. Two! Three?", "no punctuation", "", "...  !! "],
+                pa.string(),
+            ),
+        }
+    )
+    out = sentence_stats(t)
+    assert out.column("n_sentences").to_pylist() == [3, 1, 0, 0]
+    assert out.column("n_tokens").to_pylist() == [3, 2, 0, 2]
+    # "One. Two! Three?": 3 tokens / 3 sentences = 1.0
+    assert out.column("wps_ppm").to_pylist()[0] == 1_000_000
+    assert out.column("wps_ppm").to_pylist()[2] == 0
+
+
+def test_grouped_ntile_matches_sql_rule(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.packing import ntile_per_group
+
+    rng = np.random.RandomState(5)
+    n = 300
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            # ties on purpose: the (val, id) tie-break must match SQL
+            "v": pa.array(rng.randint(0, 20, n).astype(np.int64)),
+        }
+    )
+    got = (
+        ntile_per_group(rd.from_arrow(t), "g", "v", "id", tiles=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT g, id, CAST(ntile(4) OVER (PARTITION BY g ORDER BY v, id) "
+        "AS BIGINT) AS tile FROM t ORDER BY id"
+    ).df()
+    assert got["tile"].tolist() == want["tile"].tolist()
+
+
+def test_grouped_ntile_single_value_group(ray_session):
+    """A group where every row has the same value degrades to one range
+    bucket and must still tile by (val, id) order."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.packing import ntile_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 6),
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "v": pa.array(np.zeros(6, np.int64)),
+        }
+    )
+    got = (
+        ntile_per_group(rd.from_arrow(t), "g", "v", "id", tiles=4)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # 6 rows / 4 tiles -> sizes 2,2,1,1 under SQL's rule
+    assert got["tile"].tolist() == [1, 1, 2, 2, 3, 4]
+
+
+def test_sequence_ngram_counts_respects_key_runs(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import sequence_ngram_counts
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 10, 20], pa.int64()),
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "s": pa.array(["a", "b", "a", "b", "a", "b"]),
+        }
+    )
+    out = sequence_ngram_counts(
+        rd.from_arrow(t), key_cols=["k"], ts_col="ts", id_col="id",
+        state_col="s", n=3,
+    ).to_pandas()
+    got = {
+        (r.s0, r.s1, r.s2): int(r.n) for r in out.itertuples(index=False)
+    }
+    # key 1: aba, bab; key 2 too short for any trigram
+    assert got == {("a", "b", "a"): 1, ("b", "a", "b"): 1}

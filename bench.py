@@ -281,6 +281,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("event_value_quartile_by_type", q.q_event_value_quartile_by_type)
         timed("doc_sentence_stats", q.q_doc_sentence_stats)
         timed("event_type_trigrams", q.q_event_type_trigrams)
+        timed("link_communities", q.q_link_communities)
+        timed("events_nearest_order", q.q_events_nearest_order)
+        timed("lineitem_corr_stats", q.q_lineitem_corr_stats)
+        timed("user_activity_span", q.q_user_activity_span)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -7150,6 +7150,158 @@ def q_event_type_trigrams(sf_dir: str):
     return df[["s0", "s1", "s2", "n"]]
 
 
+def q_link_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the crawl link
+    graph (see ``stages/graph.label_prop_communities``): 3 synchronous
+    rounds, most-frequent-neighbor-label with smallest-label tie-break —
+    density communities, not components (a bridge does not merge two
+    clusters).  Reuses the session-cached link graph."""
+    from gliner_cpp_ray.stages.graph import label_prop_communities
+
+    edges, nodes = _link_graph(sf_dir)
+    return label_prop_communities(edges, nodes, n_rounds=3)
+
+
+def q_events_nearest_order(sf_dir: str):
+    """NEAREST-in-time join (custom non-equi operator, see
+    ``joins.nearest_join_bucketed``): each event matched to its user's
+    temporally closest order — before OR after, unlike the backward
+    as-of — ties to the earlier order, then max orderkey; aggregated
+    per matched priority.  ``sum_orderkey`` and ``sum_absdt_us``
+    checksum exactly WHICH order matched every event and at what
+    distance, so the per-row nearest semantics are hash-verified."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, nearest_join_bucketed
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "odate_us": t.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = nearest_join_bucketed(
+        ev, orders, key="user_id", left_ts="ts_us", right_ts="odate_us",
+        tiebreak="o_orderkey",
+        n_buckets=_join_buckets(sf_dir, "events", "orders"),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderkey": t.column("o_orderkey"),
+                "adt": pc.abs(
+                    pc.subtract(t.column("ts_us"), t.column("odate_us"))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(
+        j, "o_orderpriority",
+        specs=[("count", None, "n_events"),
+               ("sum", "o_orderkey", "sum_orderkey"),
+               ("sum", "adt", "sum_absdt_us")],
+        n_buckets=8,
+    )
+
+
+def q_lineitem_corr_stats(sf_dir: str):
+    """Exact sufficient statistics for the quantity↔price Pearson
+    correlation: (n, n·Σxy−ΣxΣy, n·Σxx−Σx², n·Σyy−Σy²) — the profiling
+    stat behind 'are these columns related' decisions.  Each block
+    emits ONE six-int partial row (x = whole-unit quantity, y =
+    whole-dollar price keep every per-block sum inside int64 at
+    million-row blocks); the driver finish runs in Python unbounded
+    ints and the cross terms are emitted as STRINGS because n·Σy²
+    exceeds int64 at sf0.1 already (the oracle's HUGEINT does the
+    same)."""
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        y = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # ^ tasks-bounded: one row per input block
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype=np.int64),
+            "cov_num": [str(n * sxy - sx * sy)],
+            "var_x": [str(n * sxx - sx * sx)],
+            "var_y": [str(n * syy - sy * sy)],
+        }
+    )
+
+
+def q_user_activity_span(sf_dir: str):
+    """Per-user activity span: distinct active DAYS plus first/last day
+    (epoch days) — the engagement-tenure feature.  Per-batch Arrow
+    distinct combiner collapses same-day repeats map-side; one
+    (user, day) grouped count makes the pair set globally distinct; the
+    per-user rollup is a second user-keyed grouped aggregate over the
+    pair-bounded table."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        tab = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(t.column("ts").cast(pa.int64()),
+                                 pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+        return tab.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = bucketed_group_agg(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["user_id", "day"], agg="count", out_col="__m",
+        n_buckets=_join_buckets(sf_dir, "events"),
+    )
+    return bucketed_group_agg(
+        pairs, "user_id",
+        specs=[("count", None, "n_active_days"),
+               ("min", "day", "first_day"),
+               ("max", "day", "last_day")],
+        n_buckets=8,
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -7161,6 +7313,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "link_communities": q_link_communities,
+        "events_nearest_order": q_events_nearest_order,
+        "lineitem_corr_stats": q_lineitem_corr_stats,
+        "user_activity_span": q_user_activity_span,
         "kg_two_hop_paths": q_kg_two_hop_paths,
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
         "doc_sentence_stats": q_doc_sentence_stats,
@@ -7833,6 +7989,42 @@ def _pagerank_sql(pages_glob: str, n_iters: int = 3,
     return sql + f" SELECT id AS node_id, r AS rank_micro FROM r{n_iters}"
 
 
+def _label_prop_sql(pages_glob: str, n_rounds: int = 3) -> str:
+    """Literal transcription of stages/graph.label_prop_communities:
+    synchronous rounds unrolled as CTE triples (neighbor-label counts →
+    deterministic top-1 pick with smallest-label tie-break → LEFT-join
+    carry for isolated nodes)."""
+    parts = [
+        "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)"
+        f" AS id, decode(html) AS s FROM read_parquet('{pages_glob}')), ",
+        "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+        "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), ",
+        "edges AS (SELECT DISTINCT src, dst FROM links), ",
+        "u0 AS (SELECT src AS tgt, dst AS nb FROM edges "
+        "UNION SELECT dst, src FROM edges), ",
+        "l0 AS (SELECT id AS node, id AS lab FROM h), ",
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"c{k} AS (SELECT u.tgt AS node, l.lab AS lab, count(*) AS n "
+            f"FROM u0 u JOIN l{k - 1} l ON l.node = u.nb GROUP BY u.tgt, l.lab), "
+        )
+        parts.append(
+            f"p{k} AS (SELECT node, lab FROM (SELECT node, lab, "
+            "row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn "
+            f"FROM c{k}) WHERE rn = 1), "
+        )
+        parts.append(
+            f"l{k} AS (SELECT l.node, coalesce(p.lab, l.lab) AS lab "
+            f"FROM l{k - 1} l LEFT JOIN p{k} p ON p.node = l.node), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    return sql + (
+        f" SELECT node AS node_id, CAST(lab AS BIGINT) AS community "
+        f"FROM l{n_rounds}"
+    )
+
+
 def _cocitation_sql(pages_glob: str, k: int = 3, deg_cap: int = 64) -> str:
     """Literal transcription of stages/linkgraph.cocitation_topk:
     distinct directed edges, hub cut at out-degree ``deg_cap``, pair
@@ -8064,6 +8256,39 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "link_communities": _label_prop_sql(pages_glob),
+        "events_nearest_order": (
+            "WITH c AS (SELECT e.event_id, o.o_orderkey, o.o_orderpriority, "
+            "abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS adt, "
+            "row_number() OVER (PARTITION BY e.event_id ORDER BY "
+            "abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)), "
+            "CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END, "
+            "o.o_orderkey DESC) AS rn "
+            "FROM events e JOIN orders o ON o.o_custkey = e.user_id) "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey, "
+            "CAST(sum(adt) AS BIGINT) AS sum_absdt_us "
+            "FROM c WHERE rn = 1 GROUP BY o_orderpriority"
+        ),
+        "lineitem_corr_stats": (
+            # HUGEINT cross terms emitted as VARCHAR: n*syy passes 2^63
+            # at sf0.1; the Ray side finishes in Python unbounded ints
+            "WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM b) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS VARCHAR) AS cov_num, "
+            "CAST(n*sxx - sx*sx AS VARCHAR) AS var_x, "
+            "CAST(n*syy - sy*sy AS VARCHAR) AS var_y FROM s"
+        ),
+        "user_activity_span": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days, "
+            "CAST(min(day) AS BIGINT) AS first_day, "
+            "CAST(max(day) AS BIGINT) AS last_day FROM d GROUP BY user_id"
+        ),
         "kg_two_hop_paths": (
             "WITH e AS (SELECT DISTINCT subj_canon AS s, obj_canon AS o "
             f"FROM read_parquet('{expected_glob}')) "

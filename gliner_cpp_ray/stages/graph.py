@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _undirected_adjacency(edges_ds, a_col: str = "a", b_col: str = "b"):
@@ -302,3 +303,102 @@ def weighted_sssp(edges_ds, seeds_ds, rounds: int = 4,
             out_col="dist", n_buckets=n_buckets,
         ).materialize()
     return dist
+
+
+def label_prop_communities(edges_ds, nodes_ds, n_rounds: int = 3,
+                           node_col: str = "node_id",
+                           src_col: str = "src_id", dst_col: str = "dst_id",
+                           n_buckets: int | None = None):
+    """Synchronous label-propagation COMMUNITY detection (Raghavan et
+    al. 2007, made deterministic): every node starts labeled with its
+    own id; each round, a node adopts the most frequent label among its
+    undirected neighbors, ties broken by the SMALLEST label; isolated
+    nodes keep their label.  Fixed ``n_rounds`` synchronous rounds, so
+    the answer is a pure function of the graph — exactly replicable by
+    an unrolled SQL transcription (unlike the randomized asynchronous
+    original).  Communities differ from connected components: a bridge
+    between two dense clusters does not merge them.
+
+    Scale shape: per round, ONE node-hash bucketed join (neighbor
+    labels onto the adjacency), one (node, label) grouped count, the
+    shuffle-bounded grouped top-1 pick, and a node-keyed LEFT join to
+    carry isolated nodes — label state stays a distributed (node,
+    label) table throughout, materialized once per round to keep
+    lineage flat."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    # undirected distinct neighbor pairs (tgt adopts from nb)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tgt": pa.array(np.concatenate([s, d])),
+                "nb": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = bucketed_group_agg(
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow"),
+        ["tgt", "nb"], agg="count", out_col="__m", n_buckets=n_buckets,
+    ).map_batches(
+        # join key first: neighbor labels attach via nb = labels.node
+        lambda t: pa.table({"node": t.column("nb"), "tgt": t.column("tgt")}),
+        batch_format="pyarrow",
+    ).materialize()  # consumed every round
+
+    labels = nodes_ds.map_batches(
+        lambda t: (lambda n: pa.table({"node": n, "lab": n}))(
+            t.column(node_col).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    lab_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    for _ in range(n_rounds):
+        nb_labels = bucketed_hash_join(
+            und, labels, on="node", n_buckets=n_buckets,
+            left_schema=pa.schema([("node", pa.int64()), ("tgt", pa.int64())]),
+            right_schema=lab_schema,
+        )
+        counts = bucketed_group_agg(
+            nb_labels.map_batches(
+                lambda t: t.select(["tgt", "lab"]), batch_format="pyarrow"
+            ),
+            ["tgt", "lab"], agg="count", out_col="n", n_buckets=n_buckets,
+        )
+        picks = grouped_top_k(
+            counts, group_col="tgt", order_col="n", id_col="lab", k=1,
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("tgt"), "new_lab": t.column("lab")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = bucketed_hash_join(
+            labels, picks, on="node", how="left", n_buckets=n_buckets,
+            left_schema=lab_schema,
+            right_schema=pa.schema(
+                [("node", pa.int64()), ("new_lab", pa.int64())]
+            ),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "lab": pc.coalesce(
+                        t.column("new_lab").cast(pa.int64()),
+                        t.column("lab").cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {node_col: t.column("node"), "community": t.column("lab")}
+        ),
+        batch_format="pyarrow",
+    )

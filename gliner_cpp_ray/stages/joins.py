@@ -853,3 +853,75 @@ def join_skew_report(left, right, left_key: str, right_key: str,
         batch_format="pyarrow",
     )
     return global_top_k(both, "n_out", "key", k=k)
+
+
+def nearest_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
+                          tiebreak: str, n_buckets: int | None = None):
+    """Distributed NEAREST-in-time join: for each left row, attach the
+    same-key right row minimizing ``|right_ts - left_ts|`` — the sensor/
+    log alignment semantics the backward as-of can't express (a reading
+    just AFTER the probe is closer than one long before).  Ties:
+    equidistant before/after → the EARLIER (backward) row wins; several
+    right rows at the chosen timestamp → the largest ``tiebreak``.
+    Inner semantics: left rows with no same-key right row drop.
+
+    SQL-replicable as ``row_number() OVER (PARTITION BY left_row ORDER
+    BY abs(right_ts - left_ts), (right_ts > left_ts), tiebreak DESC) = 1``.
+
+    Scale shape: identical to ``asof_join_bucketed`` — both sides
+    co-partition by key hash, each bucket does TWO ``merge_asof``
+    passes (backward + forward, O(bucket log bucket)) and a vectorized
+    pick; never all-pairs.
+
+    Both ``*_ts`` columns must be INTEGER (epoch-us) — cast map-side
+    before the join; the distance arithmetic is int64-exact (a float64
+    path would silently round past 2^53 us)."""
+    unioned, lcols, rcols, int_cols, out_schema = _pad_union_by_bucket(
+        left, right, key, n_buckets
+    )
+    out_cols = lcols + rcols
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lg = g.loc[g["__side"] == 0, lcols].sort_values(left_ts)
+        rg_b = g.loc[g["__side"] == 1, [key, *rcols]].sort_values(
+            [right_ts, tiebreak]
+        )
+        if lg.empty or rg_b.empty:
+            return out_schema.empty_table()
+        back = pd.merge_asof(
+            lg, rg_b, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward", allow_exact_matches=True,
+        )
+        # forward pass wants the FIRST row at the chosen ts to carry the
+        # LARGEST tiebreak -> sort tiebreak descending within ts
+        rg_f = rg_b.sort_values(
+            [right_ts, tiebreak], ascending=[True, False]
+        )
+        fwd = pd.merge_asof(
+            lg, rg_f, left_on=left_ts, right_on=right_ts, by=key,
+            direction="forward", allow_exact_matches=True,
+        )
+        # int64-exact distances (float64 would round past 2^53 us):
+        # missing matches get distance MAX so the other side wins
+        lv = lg[left_ts].to_numpy(np.int64)
+        bna = back[right_ts].isna().to_numpy()
+        fna = fwd[right_ts].isna().to_numpy()
+        far = np.iinfo(np.int64).max
+        db = np.where(
+            bna, far, np.abs(lv - back[right_ts].fillna(0).to_numpy(np.int64))
+        )
+        df_ = np.where(
+            fna, far, np.abs(fwd[right_ts].fillna(0).to_numpy(np.int64) - lv)
+        )
+        use_back = ~bna & (db <= df_)  # backward wins ties
+        m = fwd.copy()
+        for c in rcols + [key]:
+            m[c] = back[c].where(use_back, fwd[c])
+        m = m.dropna(subset=[right_ts])  # inner semantics
+        return _merged_to_arrow(
+            _restore_int_dtypes(m[out_cols], int_cols), out_schema
+        )
+
+    return (
+        unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    )

@@ -206,3 +206,74 @@ def test_sequence_ngram_counts_respects_key_runs(ray_session):
     }
     # key 1: aba, bab; key 2 too short for any trigram
     assert got == {("a", "b", "a"): 1, ("b", "a", "b"): 1}
+
+
+def test_nearest_join_prefers_closer_and_breaks_ties_backward(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import nearest_join_bucketed
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "lt": pa.array([100, 10, 55, 7], pa.int64()),
+            "lid": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "rt": pa.array([50, 60, 60, 200], pa.int64()),
+            "rid": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    out = (
+        nearest_join_bucketed(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key="k", left_ts="lt", right_ts="rt", tiebreak="rid",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("lid")
+    )
+    # lt=100: dist 50/40/40/100 -> rt=60, max rid among ties = 12
+    assert out.loc[0, "rid"] == 12
+    # lt=10: nearest is rt=50 (forward-only from below? no: 50 is after)
+    assert out.loc[1, "rid"] == 10
+    # lt=55: back (50, d=5) vs fwd (60, d=5) -> backward wins the tie
+    assert out.loc[2, "rid"] == 10
+    # k=2 has no right rows -> dropped (inner semantics)
+    assert 3 not in out.index
+
+
+def test_label_prop_communities_two_clusters(ray_session):
+    """Two dense triangles joined by one bridge must NOT merge (unlike
+    connected components)."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.graph import label_prop_communities
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(2, 10)]
+    edges = pa.table(
+        {
+            "src_id": pa.array([a for a, _ in tri1 + tri2 + bridge], pa.int64()),
+            "dst_id": pa.array([b for _, b in tri1 + tri2 + bridge], pa.int64()),
+        }
+    )
+    nodes = pa.table(
+        {"node_id": pa.array([0, 1, 2, 10, 11, 12, 99], pa.int64())}
+    )
+    out = (
+        label_prop_communities(
+            rd.from_arrow(edges), rd.from_arrow(nodes), n_rounds=3,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("node_id")["community"]
+    )
+    assert len(set(out.loc[[0, 1, 2]])) == 1
+    assert len(set(out.loc[[10, 11, 12]])) == 1
+    assert out.loc[0] != out.loc[10]  # the bridge does not merge them
+    assert out.loc[99] == 99  # isolated node keeps its own label

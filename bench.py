@@ -285,6 +285,10 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_nearest_order", q.q_events_nearest_order)
         timed("lineitem_corr_stats", q.q_lineitem_corr_stats)
         timed("user_activity_span", q.q_user_activity_span)
+        timed("phrase_match_counts", q.q_phrase_match_counts)
+        timed("session_type_pairs", q.q_session_type_pairs)
+        timed("orders_weekday_profile", q.q_orders_weekday_profile)
+        timed("kg_edge_trend", q.q_kg_edge_trend)
 
     result = {
         "metric": "kg_pipeline_e2e",

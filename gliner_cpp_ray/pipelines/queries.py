@@ -7302,6 +7302,196 @@ def q_user_activity_span(sf_dir: str):
     )
 
 
+# phrase list for the phrase-match query, shared with its oracle (the
+# SQL embeds the same literals); chosen from the generator's vocabulary
+# so counts are non-trivial at every sf
+_PHRASES = ["batch batch", "hash join", "table scan", "sort merge",
+            "window window"]
+
+
+def q_phrase_match_counts(sf_dir: str):
+    """Exact phrase statistics for a fixed phrase list: per phrase, the
+    number of documents containing it and the total non-overlapping
+    occurrence count — the phrase-query building block TF-IDF/BM25's
+    unigram tokenization can't answer.  Zero shuffle: one Arrow
+    ``count_substring`` kernel per phrase per batch, (phrases × tasks)
+    partial rows, one tiny grouped sum."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ph, nd, no = [], [], []
+        for p in _PHRASES:
+            c = pc.count_substring(t.column("text"), p)
+            cn = c.to_numpy(zero_copy_only=False)
+            ph.append(p)
+            nd.append(int((cn > 0).sum()))
+            no.append(int(cn.sum()))
+        return pa.table(
+            {
+                "phrase": pa.array(ph, pa.string()),
+                "nd": pa.array(nd, pa.int64()),
+                "no": pa.array(no, pa.int64()),
+            }
+        )
+
+    return bucketed_group_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "phrase",
+        specs=[("sum", "nd", "n_docs"), ("sum", "no", "n_occurrences")],
+        n_buckets=8,
+    )
+
+
+def q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence (see
+    ``windows.session_item_pairs``): sessions (30-min gap, the registry
+    sessionization) containing both types of each unordered pair."""
+    from gliner_cpp_ray.stages.windows import session_item_pairs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return session_item_pairs(
+        ev, key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        item_col="event_type", gap_us=1_800_000_000,
+    )
+
+
+def q_orders_weekday_profile(sf_dir: str):
+    """Day-of-week seasonality: order count + exact micro-unit revenue
+    per weekday.  The weekday index is pure integer arithmetic on epoch
+    days ((day + 4) mod 7, 0 = Monday — 1970-01-01 was a Thursday), so
+    both engines compute it bit-identically with no calendar library.
+    One map + one 7-row grouped sum."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        wd = (us // 86_400_000_000 + 4) % 7
+        return pa.table(
+            {
+                "weekday": pa.array(wd.astype(np.int64)),
+                "price_micro": _micro(t.column("o_totalprice")),
+            }
+        )
+
+    return bucketed_group_agg(
+        orders.map_batches(proj, batch_format="pyarrow"),
+        "weekday",
+        specs=[("count", None, "n_orders"),
+               ("sum", "price_micro", "revenue_micro")],
+        n_buckets=8,
+    )
+
+
+def q_kg_edge_trend(sf_dir: str):
+    """Temporal KG edge trend: every canonical edge's support split
+    into crawls BEFORE vs AFTER the corpus midpoint timestamp — the
+    'is this fact gaining or losing support' signal above
+    ``kg_edge_timespan``'s first/last interval.  Same scale shape as
+    timespan: one url-keyed bucketed join to the pages (url → ts)
+    dimension, map-side canon rewrite + per-block (count, early-count)
+    partials, one mergeable grouped aggregate.  The midpoint is two
+    column-pruned scalars ((min+max)//2), broadcast."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.canonicalize import _canon_codes, _dict_codes
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    corpus, out = _run_kg(sf_dir)
+    with open(os.path.join(out, "canon", "canon_map.pkl"), "rb") as f:
+        canon_map = pickle.load(f)
+    cm_ref = ray.put(canon_map)
+
+    pages_ts = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "warc_ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t.column("url"),
+                "ts_us": t.column("warc_ts").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: midpoint scalars + the join
+    mid = (int(pages_ts.min("ts_us")) + int(pages_ts.max("ts_us"))) // 2
+
+    cols = ["url", "subj", "pred", "obj", "subj_label", "obj_label",
+            "subj_qid", "obj_qid"]
+    linked = _read_out(out, "linked").select_columns(cols)
+    joined = bucketed_hash_join(
+        linked, pages_ts, on="url",
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(os.path.join(out, "linked"))
+        ),
+        left_schema=pa.schema([(c, pa.string()) for c in cols]),
+        right_schema=pa.schema([("url", pa.string()), ("ts_us", pa.int64())]),
+    )
+
+    empty = pa.table(
+        {
+            "subj_canon": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj_canon": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "ne": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cm = ray.get(cm_ref)
+        vocab: dict = {}
+        subj_c = _canon_codes(cm, t, "subj", "subj_label", "subj_qid", vocab)
+        obj_c = _canon_codes(cm, t, "obj", "obj_label", "obj_qid", vocab)
+        pred_i, pred_d = _dict_codes(t.column("pred"))
+        group = (subj_c * len(pred_d) + pred_i) * len(vocab) + obj_c
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"g": group, "e": (ts < mid).astype(np.int64)}
+        )
+        agg = df.groupby("g", sort=False)["e"].agg(["size", "sum"])
+        uniq = agg.index.to_numpy()
+        canon_arr = np.array(sorted(vocab, key=vocab.get), dtype=object)
+        obj_u = uniq % len(vocab)
+        rest = uniq // len(vocab)
+        pred_u = rest % len(pred_d)
+        subj_u = rest // len(pred_d)
+        return pa.table(
+            {
+                "subj_canon": pa.array(canon_arr[subj_u], pa.string()),
+                "pred": pa.array(
+                    np.array(pred_d, dtype=object)[pred_u], pa.string()
+                ),
+                "obj_canon": pa.array(canon_arr[obj_u], pa.string()),
+                "n": pa.array(agg["size"].to_numpy(np.int64)),
+                "ne": pa.array(agg["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    summed = bucketed_group_agg(
+        partials,
+        ["subj_canon", "pred", "obj_canon"],
+        specs=[("sum", "n", "weight"), ("sum", "ne", "n_early")],
+    )
+    return summed.map_batches(
+        lambda t: t.append_column(
+            "n_late", pc.subtract(t.column("weight"), t.column("n_early"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -7313,6 +7503,10 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "phrase_match_counts": q_phrase_match_counts,
+        "session_type_pairs": q_session_type_pairs,
+        "orders_weekday_profile": q_orders_weekday_profile,
+        "kg_edge_trend": q_kg_edge_trend,
         "link_communities": q_link_communities,
         "events_nearest_order": q_events_nearest_order,
         "lineitem_corr_stats": q_lineitem_corr_stats,
@@ -8256,6 +8450,54 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "phrase_match_counts": (
+            "WITH p(phrase) AS (VALUES "
+            + ", ".join(f"('{p}')" for p in _PHRASES) + "), "
+            "c AS (SELECT p.phrase, (length(d.text) - "
+            "length(replace(d.text, p.phrase, ''))) // length(p.phrase) "
+            "AS occ FROM documents d CROSS JOIN p) "
+            "SELECT phrase, "
+            "CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occurrences "
+            "FROM c GROUP BY phrase"
+        ),
+        "session_type_pairs": (
+            "WITH s AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "l AS (SELECT user_id, event_type, sum(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+            "d AS (SELECT DISTINCT user_id, sess, event_type FROM l), "
+            "pr AS (SELECT a.event_type AS item_a, b.event_type AS item_b "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.sess = b.sess "
+            "AND a.event_type < b.event_type) "
+            "SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM pr GROUP BY item_a, item_b"
+        ),
+        "orders_weekday_profile": (
+            # weekday = (epoch_day + 4) mod 7, 0 = Monday — pure integer
+            # arithmetic, no calendar function on either side
+            "SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 "
+            "AS weekday, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS revenue_micro FROM orders GROUP BY weekday"
+        ),
+        "kg_edge_trend": (
+            "WITH m AS (SELECT (min(epoch_us(warc_ts)) + "
+            "max(epoch_us(warc_ts))) // 2 AS mid "
+            f"FROM read_parquet('{pages_glob}')) "
+            "SELECT t.subj_canon, t.pred, t.obj_canon, "
+            "CAST(count(*) AS BIGINT) AS weight, "
+            "CAST(sum(CASE WHEN epoch_us(p.warc_ts) < (SELECT mid FROM m) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_early, "
+            "CAST(sum(CASE WHEN epoch_us(p.warc_ts) < (SELECT mid FROM m) "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_late "
+            f"FROM read_parquet('{expected_glob}') t "
+            f"JOIN read_parquet('{pages_glob}') p USING (url) "
+            "GROUP BY t.subj_canon, t.pred, t.obj_canon"
+        ),
         "link_communities": _label_prop_sql(pages_glob),
         "events_nearest_order": (
             "WITH c AS (SELECT e.event_id, o.o_orderkey, o.o_orderpriority, "

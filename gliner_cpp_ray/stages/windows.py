@@ -1055,3 +1055,75 @@ def sequence_ngram_counts(ds, key_cols: list[str], ts_col: str, id_col: str,
         )
     )
     return partials.groupby(out_cols).aggregate(Sum("n", alias_name="n"))
+
+
+def session_item_pairs(ds, key_cols: list[str], ts_col: str, id_col: str,
+                       item_col: str, gap_us: int,
+                       n_buckets: int | None = None):
+    """Within-session co-occurrence: for every unordered pair of
+    ``item_col`` values, the number of SESSIONS (gap-split per key)
+    containing both — 'what do users do together in one sitting', the
+    session-scoped analog of the market-basket pair counts.
+
+    Scale shape: ONE composite-key-hash exchange co-locates each key;
+    the per-bucket reduce labels sessions (vectorized diff + cumsum),
+    dedups to distinct (session, item), and pair-expands session by
+    session via a self-merge — pair volume Σ k_session² with k bounded
+    by the item-domain size, never corpus-scaled.  Partials merge under
+    one |items|²-bounded grouped Sum."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "item_a": pd.Series(dtype=object),
+                "item_b": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64) \
+            if g[ts_col].dtype.kind == "M" else g[ts_col].to_numpy(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        same = np.ones(len(g) - 1, dtype=bool)
+        for k in key_cols:
+            kv = g[k].to_numpy()
+            same &= kv[1:] == kv[:-1]
+        new[1:] = ~same | (np.diff(ts) > gap_us)
+        sess = np.cumsum(new.astype(np.int64))  # bucket-locally unique
+        d = pd.DataFrame(
+            {"sess": sess, "item": g[item_col].to_numpy()}
+        ).drop_duplicates(["sess", "item"])
+        m = d.merge(d, on="sess", suffixes=("_a", "_b"))
+        m = m[m["item_a"] < m["item_b"]]
+        if not len(m):
+            return empty
+        out = (
+            m.groupby(["item_a", "item_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+    return partials.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n", alias_name="n_sessions")
+    )

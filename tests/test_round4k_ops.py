@@ -277,3 +277,29 @@ def test_label_prop_communities_two_clusters(ray_session):
     assert len(set(out.loc[[10, 11, 12]])) == 1
     assert out.loc[0] != out.loc[10]  # the bridge does not merge them
     assert out.loc[99] == 99  # isolated node keeps its own label
+
+
+def test_session_item_pairs_splits_on_gap(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.windows import session_item_pairs
+
+    # user 1: session A = {x, y}, then (gap) session B = {x, z}
+    # user 2: one session {y, z}
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 10, 1000, 1010, 5, 6], pa.int64()),
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "it": pa.array(["x", "y", "x", "z", "y", "z"]),
+        }
+    )
+    out = session_item_pairs(
+        rd.from_arrow(t), key_cols=["k"], ts_col="ts", id_col="id",
+        item_col="it", gap_us=100,
+    ).to_pandas()
+    got = {
+        (r.item_a, r.item_b): int(r.n_sessions)
+        for r in out.itertuples(index=False)
+    }
+    assert got == {("x", "y"): 1, ("x", "z"): 1, ("y", "z"): 1}

@@ -289,6 +289,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("session_type_pairs", q.q_session_type_pairs)
         timed("orders_weekday_profile", q.q_orders_weekday_profile)
         timed("kg_edge_trend", q.q_kg_edge_trend)
+        timed("link_avg_neighbor_degree", q.q_link_avg_neighbor_degree)
+        timed("ann_recall_report", q.q_ann_recall_report)
+        timed("order_pareto_by_status", q.q_order_pareto_by_status)
 
     result = {
         "metric": "kg_pipeline_e2e",

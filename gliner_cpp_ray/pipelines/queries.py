@@ -7492,6 +7492,118 @@ def q_kg_edge_trend(sf_dir: str):
     )
 
 
+def q_link_avg_neighbor_degree(sf_dir: str):
+    """Average out-degree of each page's out-neighbors (with exact
+    integer sum and ppm mean) — the degree-assortativity signal: hubs
+    linking to hubs vs hubs linking to leaves.  One grouped count for
+    the degree table, one dst-keyed LEFT bucketed join (dangling
+    targets count degree 0), one src-keyed grouped rollup — all
+    node/edge-bounded over the session-cached distinct edge table."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    edges, _ = _link_graph(sf_dir)
+    pairs = edges.select_columns(["src_id", "dst_id"])
+    deg = bucketed_group_agg(
+        pairs.map_batches(
+            lambda t: pa.table({"node": t.column("src_id")}),
+            batch_format="pyarrow",
+        ),
+        "node", agg="count", out_col="deg", n_buckets=8,
+    )
+    joined = bucketed_hash_join(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst_id"), "src": t.column("src_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        deg, on="node", how="left", n_buckets=8,
+        left_schema=pa.schema([("node", pa.int64()), ("src", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "nd": pc.coalesce(
+                    t.column("deg").cast(pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    summed = bucketed_group_agg(
+        joined, "src",
+        specs=[("count", None, "out_deg"), ("sum", "nd", "sum_nbr_out_deg")],
+        n_buckets=8,
+    )
+    return summed.map_batches(
+        lambda t: pa.table(
+            {
+                "node_id": t.column("src"),
+                "out_deg": t.column("out_deg"),
+                "sum_nbr_out_deg": t.column("sum_nbr_out_deg"),
+                "avg_nbr_deg_ppm": pc.divide(
+                    pc.multiply(
+                        t.column("sum_nbr_out_deg"),
+                        pa.scalar(1_000_000, pa.int64()),
+                    ),
+                    t.column("out_deg"),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_ann_recall_report(sf_dir: str):
+    """ANN quality evaluation: per query, how many of the EXACT top-10
+    the LSH-pruned path recovered (recall in exact ppm) — the
+    sample-scale tuning report run before trusting the approximate path
+    at 100 TB, the retrieval analog of ``near_dup_recall_report``.  The
+    corpus-scale work is inside the two retrieval operators; the
+    comparison is k-bounded driver arithmetic."""
+    exact = q_ann_topk(sf_dir)
+    approx = q_ann_topk_lsh(sf_dir)
+    ek = exact.groupby("query_id")["vec_id"].apply(set)
+    ak = approx.groupby("query_id")["vec_id"].apply(set)
+    rows = []
+    for qid in sorted(ek.index):
+        e = ek.loc[qid]
+        a = ak.get(qid, set())
+        rows.append(
+            (int(qid), len(e), len(e & a), len(e & a) * 1_000_000 // len(e))
+        )
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_exact", "n_common", "recall_ppm"]
+    ).astype(np.int64)
+
+
+def q_order_pareto_by_status(sf_dir: str):
+    """Per-status Pareto frontier of orders maximizing (price, recency)
+    — 'best trade-offs per segment' (see
+    ``frontier.grouped_pareto_frontier``): map-side per-group local
+    skylines, ONE group-hash exchange of frontier candidates only."""
+    from gliner_cpp_ray.stages.frontier import grouped_pareto_frontier
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_micro": _micro(t.column("o_totalprice")),
+                "odate_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_pareto_frontier(
+        orders, "o_orderstatus", ["price_micro", "odate_us"], ["o_orderkey"]
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -7503,6 +7615,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "link_avg_neighbor_degree": q_link_avg_neighbor_degree,
+        "ann_recall_report": q_ann_recall_report,
+        "order_pareto_by_status": q_order_pareto_by_status,
         "phrase_match_counts": q_phrase_match_counts,
         "session_type_pairs": q_session_type_pairs,
         "orders_weekday_profile": q_orders_weekday_profile,
@@ -7766,6 +7881,21 @@ def _lang_id_sql() -> str:
         "SELECT doc_id, CASE WHEN 5 * cjk > slen THEN 'zh' "
         f"WHEN {maxh} = 0 THEN 'und' {pick} END AS pred_lang FROM h"
     )
+
+
+# exact brute-force top-10 — shared by the ann_topk oracle and the
+# ann_recall_report oracle (which embeds it as a subquery)
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+    "FROM embeddings WHERE vec_id < 8), "
+    "s AS (SELECT q.query_id, e.vec_id, "
+    "list_cosine_similarity(e.embedding, q.qe) AS score "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+    "SELECT query_id, rank, vec_id FROM ("
+    "SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
+    "WHERE rank <= 10"
+)
 
 
 def _ann_lsh_sql() -> str:
@@ -8450,6 +8580,41 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "link_avg_neighbor_degree": (
+            "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS id, decode(html) AS s "
+            f"FROM read_parquet('{pages_glob}')), "
+            "links AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) "
+            "AS t(u)), "
+            "edges AS (SELECT DISTINCT src, dst FROM links), "
+            "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src) "
+            "SELECT e.src AS node_id, CAST(count(*) AS BIGINT) AS out_deg, "
+            "CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS sum_nbr_out_deg, "
+            "CAST(sum(coalesce(d.deg, 0)) * 1000000 // count(*) AS BIGINT) "
+            "AS avg_nbr_deg_ppm "
+            "FROM edges e LEFT JOIN deg d ON d.src = e.dst GROUP BY e.src"
+        ),
+        "ann_recall_report": (
+            f"SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact, "
+            "CAST(count(ap.vec_id) AS BIGINT) AS n_common, "
+            "CAST(count(ap.vec_id) * 1000000 // count(*) AS BIGINT) "
+            "AS recall_ppm "
+            f"FROM ({_ANN_TOPK_SQL}) ex LEFT JOIN ({_ann_lsh_sql()}) ap "
+            "ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id "
+            "GROUP BY ex.query_id"
+        ),
+        "order_pareto_by_status": (
+            "WITH t AS (SELECT o_orderstatus, o_orderkey, "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS price_micro, "
+            "epoch_us(o_orderdate) AS odate_us FROM orders) "
+            "SELECT o_orderstatus, o_orderkey, price_micro, "
+            "CAST(odate_us AS BIGINT) AS odate_us FROM t p "
+            "WHERE NOT EXISTS (SELECT 1 FROM t q "
+            "WHERE q.o_orderstatus = p.o_orderstatus "
+            "AND q.price_micro >= p.price_micro AND q.odate_us >= p.odate_us "
+            "AND (q.price_micro > p.price_micro OR q.odate_us > p.odate_us))"
+        ),
         "phrase_match_counts": (
             "WITH p(phrase) AS (VALUES "
             + ", ".join(f"('{p}')" for p in _PHRASES) + "), "
@@ -10109,17 +10274,7 @@ def oracle_sql_for_corpus(corpus_dir: str):
             f"x -> lower(x) IN {_STOP_SQL})) END AS n_stopwords "
             "FROM tt"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
-            "FROM embeddings WHERE vec_id < 8), "
-            "s AS (SELECT q.query_id, e.vec_id, "
-            "list_cosine_similarity(e.embedding, q.qe) AS score "
-            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
-            "SELECT query_id, rank, vec_id FROM ("
-            "SELECT query_id, vec_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
-            "WHERE rank <= 10"
-        ),
+        "ann_topk": _ANN_TOPK_SQL,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a, b.vec_id AS b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

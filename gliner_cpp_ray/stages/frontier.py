@@ -129,3 +129,53 @@ def pareto_frontier_reference(df: pd.DataFrame, crit_cols: list[str]) -> np.ndar
         gt = (vals > vals[i]).any(axis=1)
         keep[i] = not (ge & gt).any()
     return keep
+
+
+def grouped_pareto_frontier(ds, group_col: str, crit_cols: list[str],
+                            carry_cols: list[str],
+                            n_buckets: int | None = None):
+    """PER-GROUP Pareto frontier (grouped skyline): a row survives iff
+    no other row OF ITS GROUP strictly dominates it — 'best trade-offs
+    per segment'.  Group values may be strings; criteria are int64,
+    all maximized (negate upstream to minimize).
+
+    Scale shape: the per-group frontier inherits the mergeability of
+    the global one, so each block shrinks to its per-group local
+    frontiers map-side (group count bounded), ONE group-hash exchange
+    moves only frontier candidates, and a whole-bucket reduce re-runs
+    the kernel per group.  Movement O(tasks × Σ_g |local frontier_g|),
+    never corpus-scaled."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
+    out_cols = [group_col, *carry_cols, *crit_cols]
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[out_cols]
+        parts = []
+        for _, g in df.groupby(group_col, sort=False):
+            mask = _skyline_mask(
+                [g[c].to_numpy(np.int64) for c in crit_cols]
+            )
+            parts.append(g.loc[mask])
+        return pd.concat(parts, ignore_index=True)[out_cols]
+
+    def combiner(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            shrink(t.to_pandas()), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_group_bucket(t, [group_col], n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: shrink(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )

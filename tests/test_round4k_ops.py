@@ -303,3 +303,38 @@ def test_session_item_pairs_splits_on_gap(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == {("x", "y"): 1, ("x", "z"): 1, ("y", "z"): 1}
+
+
+def test_grouped_pareto_matches_reference(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.frontier import (
+        grouped_pareto_frontier,
+        pareto_frontier_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = {
+        "g": rng.choice(["p", "q"], n).tolist(),
+        "id": np.arange(n, dtype=np.int64),
+        "a": rng.randint(0, 50, n).astype(np.int64),
+        "b": rng.randint(0, 50, n).astype(np.int64),
+    }
+    t = pa.table(df)
+    got = (
+        grouped_pareto_frontier(
+            rd.from_arrow(t), "g", ["a", "b"], ["id"], n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("id")["id"]
+        .tolist()
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(df)
+    want = []
+    for _, grp in pdf.groupby("g"):
+        keep = pareto_frontier_reference(grp, ["a", "b"])
+        want.extend(grp.loc[keep, "id"].tolist())
+    assert got == sorted(want)

@@ -320,13 +320,20 @@ def label_prop_communities(edges_ds, nodes_ds, n_rounds: int = 3,
     between two dense clusters does not merge them.
 
     Scale shape: per round, ONE node-hash bucketed join (neighbor
-    labels onto the adjacency), one (node, label) grouped count, the
-    shuffle-bounded grouped top-1 pick, and a node-keyed LEFT join to
-    carry isolated nodes — label state stays a distributed (node,
-    label) table throughout, materialized once per round to keep
-    lineage flat."""
-    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
-    from gliner_cpp_ray.stages.skew import grouped_top_k
+    labels onto the adjacency), ONE tgt-hash exchange whose per-batch
+    combiner pre-counts (tgt, label) pairs and whose whole-bucket
+    reduce sums partials and takes the deterministic top-1 in a single
+    pandas pass, and a node-keyed LEFT join to carry isolated nodes —
+    label state stays a distributed (node, label) table throughout,
+    materialized once per round to keep lineage flat."""
+    import pandas as pd
+
+    from gliner_cpp_ray.stages.joins import (
+        add_group_bucket,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+    from gliner_cpp_ray.stages.sizing import default_buckets
 
     # undirected distinct neighbor pairs (tgt adopts from nb)
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -356,26 +363,58 @@ def label_prop_communities(edges_ds, nodes_ds, n_rounds: int = 3,
     ).materialize()
 
     lab_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    nb = default_buckets(n_buckets)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        # map-side combiner: (tgt, lab, partial n) — bounds the pick
+        # exchange at tasks x distinct (tgt, lab) pairs
+        df = pd.DataFrame(
+            {
+                "tgt": t.column("tgt").to_numpy(zero_copy_only=False),
+                "lab": t.column("lab").to_numpy(zero_copy_only=False),
+            }
+        )
+        c = df.groupby(["tgt", "lab"], sort=False).size().reset_index(name="pn")
+        c["pn"] = c["pn"].astype(np.int64)
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "node": np.zeros(0, np.int64),
+                    "new_lab": np.zeros(0, np.int64),
+                }
+            )
+        c = g.groupby(["tgt", "lab"], sort=False)["pn"].sum().reset_index()
+        c = c.sort_values(
+            ["tgt", "pn", "lab"], ascending=[True, False, True], kind="stable"
+        )
+        p = c.groupby("tgt", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "node": p["tgt"].to_numpy(np.int64),
+                "new_lab": p["lab"].to_numpy(np.int64),
+            }
+        )
+
     for _ in range(n_rounds):
         nb_labels = bucketed_hash_join(
             und, labels, on="node", n_buckets=n_buckets,
             left_schema=pa.schema([("node", pa.int64()), ("tgt", pa.int64())]),
             right_schema=lab_schema,
         )
-        counts = bucketed_group_agg(
-            nb_labels.map_batches(
-                lambda t: t.select(["tgt", "lab"]), batch_format="pyarrow"
-            ),
-            ["tgt", "lab"], agg="count", out_col="n", n_buckets=n_buckets,
-        )
-        picks = grouped_top_k(
-            counts, group_col="tgt", order_col="n", id_col="lab", k=1,
-            n_buckets=n_buckets,
-        ).map_batches(
-            lambda t: pa.table(
-                {"node": t.column("tgt"), "new_lab": t.column("lab")}
-            ),
-            batch_format="pyarrow",
+        picks = (
+            nb_labels.map_batches(partial_counts, batch_format="pyarrow")
+            .map_batches(
+                lambda t: add_group_bucket(t, ["tgt"], nb),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: pick_bucket(g.drop(columns="__bucket")),
+                batch_format="pandas",
+            )
         )
         labels = bucketed_hash_join(
             labels, picks, on="node", how="left", n_buckets=n_buckets,

@@ -7604,6 +7604,474 @@ def q_order_pareto_by_status(sf_dir: str):
     )
 
 
+# --------------------------------------------------- round-4l additions
+
+def q_kg_triple_pr_report(sf_dir: str):
+    """The north rule's acceptance bar (triple P/R vs the reference)
+    as a first-class, driver-checked query: per predicate, the exact
+    MULTISET precision/recall (ppm) of the pipeline's emitted
+    (doc_id, subj, pred, obj) triples against the corpus's closed-form
+    expected triples.  Scale shape: tag each side with (got, exp)
+    indicator columns, union the two streams, ONE 4-key bucketed
+    group-agg yields per-triple (n_got, n_exp); matched = Σ min(got,
+    exp) computed map-side per block; the finish is a predicate-bounded
+    groupby (the ontology has a handful of predicates).  Nothing
+    driver-side ever sees a triple row — only the per-pred totals.
+    The oracle asserts P = R = 1.0 (the test suite pins exact multiset
+    equality; tests/test_kg_pipeline.py:50), so any extraction drift
+    shows up as a hash fail on the matched counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    corpus, out = _run_kg(sf_dir)
+    keys = ["doc_id", "subj", "pred", "obj"]
+
+    def tag(flag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    "g": pa.array(
+                        np.full(n, 1 if flag == "g" else 0, np.int64)
+                    ),
+                    "e": pa.array(
+                        np.full(n, 1 if flag == "e" else 0, np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    got = _read_out(out, "linked").map_batches(
+        lambda t, _f=tag("g"): _f(t.select(keys)), batch_format="pyarrow"
+    )
+    exp = rd.read_parquet(
+        os.path.join(corpus, "expected_triples"), columns=keys
+    ).map_batches(tag("e"), batch_format="pyarrow")
+
+    per_triple = bucketed_group_agg(
+        got.union(exp), keys,
+        specs=[("sum", "g", "n_got"), ("sum", "e", "n_exp")],
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(os.path.join(corpus, "expected_triples"))
+        ),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.column("n_got").to_numpy(zero_copy_only=False)
+        e = t.column("n_exp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_emitted": pa.array(g),
+                "n_expected": pa.array(e),
+                "n_matched": pa.array(np.minimum(g, e)),
+            }
+        )
+
+    totals = (
+        per_triple.map_batches(partials, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Sum("n_expected", alias_name="n_expected"),
+            Sum("n_emitted", alias_name="n_emitted"),
+            Sum("n_matched", alias_name="n_matched"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("n_matched").to_numpy(zero_copy_only=False)
+        em = t.column("n_emitted").to_numpy(zero_copy_only=False)
+        ex = t.column("n_expected").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_expected": t.column("n_expected"),
+                "n_emitted": t.column("n_emitted"),
+                "n_matched": t.column("n_matched"),
+                "precision_ppm": pa.array(m * 1_000_000 // em),
+                "recall_ppm": pa.array(m * 1_000_000 // ex),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped minimum-cost supplier per part: over parts of
+    one size class, the EUROPE supplier with the lowest observed unit
+    cost (lineitem as the part↔supplier link), ties broken by smallest
+    suppkey — SQL's correlated MIN subquery as the distributed
+    'argmin join-back' plan.  Scale shape: the region→nation side is a
+    driver-tiny dimension (broadcast set); lineitem prunes MAP-SIDE
+    with two bloom semi-joins (part size class ~2%, then European
+    suppliers ~1/5) before any exchange; per-part MIN is one bucketed
+    group-agg; the argmin rows come back with ONE bucketed join +
+    equality filter; a second (tiny) group-agg picks min suppkey; the
+    supplier attributes attach with a final suppkey-bucketed join.
+    Unit cost is integer-exact ppm: price_micro·10^6 // qty_micro
+    (price ≤ ~10^5 ⇒ numerator ≤ ~10^17 < 2^63)."""
+    from gliner_cpp_ray.stages.joins import (
+        bloom_semi_join,
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    nation = pq.read_table(_sf_path(sf_dir, "nation"))
+    region = pq.read_table(_sf_path(sf_dir, "region"))
+    eur_key = region.filter(pc.equal(region.column("r_name"), "EUROPE"))[
+        "r_regionkey"
+    ][0].as_py()
+    eur_nations = nation.filter(
+        pc.equal(nation.column("n_regionkey"), eur_key)
+    )
+    nset = set(eur_nations.column("n_nationkey").to_pylist())
+    nname = dict(
+        zip(
+            eur_nations.column("n_nationkey").to_pylist(),
+            eur_nations.column("n_name").to_pylist(),
+        )
+    )
+
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t.column("s_nationkey").cast(pa.int64()),
+                value_set=pa.array(sorted(nset), pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part_dim = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("p_partkey")}
+        ).filter(pc.equal(t.column("p_size"), 15)),
+        batch_format="pyarrow",
+    )
+    supp_dim = supp.map_batches(
+        lambda t: pa.table({"l_suppkey": t.column("s_suppkey")}),
+        batch_format="pyarrow",
+    )
+
+    nb = _join_buckets(sf_dir, "lineitem") // 4 or None
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "cost_ppm": pc.cast(
+                    pc.divide(
+                        pc.multiply(
+                            _micro(t.column("l_extendedprice")),
+                            pa.scalar(1_000_000, pa.int64()),
+                        ),
+                        _micro(t.column("l_quantity")),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = bloom_semi_join(li, part_dim, on="l_partkey", n_buckets=nb)
+    li = bloom_semi_join(li, supp_dim, on="l_suppkey", n_buckets=nb)
+
+    mins = bucketed_group_agg(
+        li.map_batches(
+            lambda t: t.select(["l_partkey", "cost_ppm"]),
+            batch_format="pyarrow",
+        ),
+        "l_partkey", "min", val_col="cost_ppm", out_col="min_cost_ppm",
+        n_buckets=nb,
+    )
+    cand = bucketed_hash_join(
+        li, mins, on="l_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("cost_ppm", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("min_cost_ppm", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("cost_ppm"), t.column("min_cost_ppm"))
+        ).select(["l_partkey", "l_suppkey", "min_cost_ppm"]),
+        batch_format="pyarrow",
+    )
+    winners = bucketed_group_agg(
+        cand, ["l_partkey", "min_cost_ppm"], "min", val_col="l_suppkey",
+        out_col="s_suppkey", n_buckets=nb,
+    )
+
+    sdim = supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": t.column("s_name"),
+                "n_name": pa.array(
+                    [nname[k] for k in t.column("s_nationkey").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucketed_hash_join(
+        winners, sdim, on="s_suppkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("min_cost_ppm", pa.int64()),
+             ("s_suppkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("n_name", pa.string())]
+        ),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("l_partkey"),
+                "min_cost_ppm": t.column("min_cost_ppm"),
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": t.column("s_name"),
+                "n_name": t.column("n_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_part_value_share(sf_dir: str):
+    """TPC-H-Q11-shaped global-threshold HAVING: parts whose lineitem
+    revenue exceeds 5/4 of the MEAN part revenue (the 'above-average
+    concentration' audit — a fixed corpus-share cut goes degenerate as
+    the part count scales, a mean-relative one keeps the same meaning
+    at every sf).  The distributed plan for SQL's scalar subquery: one
+    partkey-bucketed group-agg builds the per-part totals (map-side
+    partials — raw rows never reach the exchange), the global total
+    and part count are two scalars off that same table, and the
+    threshold filter is map-side with the scalar baked into the task
+    closure.  Exactness without overflow: v > 5T/(4n) is evaluated as
+    v > floor(5T/(4n)) — equivalent over integers — with the floor
+    taken in Python unbounded ints on the driver, so the distributed
+    compare stays a single int64 column-vs-scalar (the direct
+    v·4n > 5T form would outgrow int64 near sf 50; the SQL twin keeps
+    that form because its sums are already HUGEINT)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "p": _micro(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_part = bucketed_group_agg(
+        li, "l_partkey", "sum", val_col="p", out_col="value_micro",
+        n_buckets=_join_buckets(sf_dir, "lineitem"),
+    ).materialize()  # consumed twice: global scalars + threshold filter
+    total = int(per_part.sum("value_micro"))
+    n_parts = per_part.count()
+    thr = (5 * total) // (4 * n_parts)  # v > 5T/4n ⟺ v > floor(5T/4n)
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("value_micro"), pa.scalar(thr, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_excess_part_suppliers(sf_dir: str):
+    """TPC-H-Q20-shaped dominant-supplier audit: suppliers that shipped
+    more than 30 % of some part's total 1996 quantity, with how many
+    parts they dominate.  Scale shape: the year filter prunes at the
+    Parquet read; ONE (partkey, suppkey)-bucketed group-agg builds the
+    fine-grained quantity table; the per-part totals RE-AGGREGATE that
+    bounded fine table (never the raw rows — the rollup trick); fine ⋈
+    totals is one partkey-bucketed join; the >30 % filter compares
+    10·fine > 3·total in int64 (no division); the per-supplier count is
+    a second small group-agg, and supplier names attach with a final
+    suppkey-bucketed join."""
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "q": _micro(t.column("l_quantity")),
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(
+                    t.column("l_shipdate").cast(pa.int64()), lo
+                ),
+                pc.less(t.column("l_shipdate").cast(pa.int64()), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    nb = _join_buckets(sf_dir, "lineitem") // 4 or None
+    fine = bucketed_group_agg(
+        li, ["l_partkey", "l_suppkey"], "sum", val_col="q",
+        out_col="supp_qty", n_buckets=nb,
+    )
+    tot = bucketed_group_agg(
+        fine.map_batches(
+            lambda t: t.select(["l_partkey", "supp_qty"]),
+            batch_format="pyarrow",
+        ),
+        "l_partkey", "sum", val_col="supp_qty", out_col="part_qty",
+        n_buckets=nb,
+    )
+    joined = bucketed_hash_join(
+        fine, tot, on="l_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("supp_qty", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("part_qty", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table({"s_suppkey": t.column("l_suppkey")}).filter(
+            pc.greater(
+                pc.multiply(t.column("supp_qty"), pa.scalar(10, pa.int64())),
+                pc.multiply(t.column("part_qty"), pa.scalar(3, pa.int64())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    per_supp = bucketed_group_agg(
+        joined, "s_suppkey", "count", out_col="n_parts", n_buckets=nb,
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return bucketed_hash_join(
+        per_supp, supp, on="s_suppkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("n_parts", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string())]
+        ),
+    )
+
+
+def q_event_type_trend_slopes(sf_dir: str):
+    """Per-type exact OLS trend of hourly event volume: for each
+    event_type, the least-squares slope of (hour index, hourly count)
+    over the corpus's FULL hour range (empty hours count 0 — a trend
+    over observed hours only would be biased toward busy periods).
+    Scale shape: the only corpus-sized pass is the (type, hour)
+    tumbling aggregate; the finish runs on that bounded table (types ×
+    span hours) with Python unbounded ints, emitting the slope as an
+    exact NUMERATOR/DENOMINATOR string pair — the cross terms
+    (n·Σxy − Σx·Σy) outgrow int64 long before they outgrow exactness,
+    and DuckDB's HUGEINT casts to the same decimal string (documented
+    bound: exact while |num| < 10^38, ~sf 10^6)."""
+    from gliner_cpp_ray.stages.windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    base = tumbling_counts(ds, size_s=3600, extra_keys=("event_type",))
+    # bounded: |event types| × |hours in the corpus span| rows
+    df = base.to_pandas()
+    lo, hi = int(df["bucket"].min()), int(df["bucket"].max())
+    span = hi - lo + 1
+    rows = []
+    for etype, g in df.groupby("event_type", sort=True):
+        y = np.zeros(span, np.int64)
+        y[g["bucket"].to_numpy(np.int64) - lo] = g["n"].to_numpy(np.int64)
+        n = span
+        sx = n * (n - 1) // 2
+        sxx = (n - 1) * n * (2 * n - 1) // 6
+        sy = int(y.sum())
+        sxy = int((np.arange(n, dtype=np.int64) * y).sum())
+        num = n * sxy - sx * sy  # Python unbounded ints
+        den = n * sxx - sx * sx
+        rows.append((etype, n, str(num), str(den)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_hours", "slope_num", "slope_den"]
+    )
+
+
+def q_user_coverage_time(sf_dir: str):
+    """Interval-union coverage per user: total time covered by the
+    union of that user's [ts, ts+300 s) activity intervals —
+    overlapping intervals counted ONCE (the sessionization dual: how
+    much wall-clock was the user active).  Scale shape: one user-hash
+    bucket exchange, then a per-bucket vectorized sweep (sort by
+    (user, start), per-user running max of interval ends via
+    np.maximum.accumulate on segment-reset offsets, covered =
+    Σ max(0, end − max(start, prev_max_end))) — int64-exact epoch µs,
+    no per-row Python.  The SQL twin is the windowed prev-max-end
+    formulation."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket, default_buckets
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    span_us = 300 * 1_000_000
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "events")))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda t: add_group_bucket(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "s": t.column("ts").cast(pa.int64()),
+                }
+            ),
+            ["user_id"], nb,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "s"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = s + span_us
+        # constant span ⇒ ends are non-decreasing within a user, so the
+        # running max of preceding ends IS the previous row's end; each
+        # interval adds min(span, e − prev_e), a fresh user adds span
+        new_user = np.empty(len(u), bool)
+        if len(u):
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        prev_e = np.roll(e, 1)
+        add = np.where(
+            new_user, np.int64(span_us), np.minimum(span_us, e - prev_e)
+        )
+        out = pd.DataFrame({"user_id": u, "covered_us": add}).groupby(
+            "user_id", sort=False
+        )["covered_us"].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.groupby("__bucket").map_groups(sweep, batch_format="pandas")
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -7615,6 +8083,12 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_triple_pr_report": q_kg_triple_pr_report,
+        "min_cost_supplier": q_min_cost_supplier,
+        "part_value_share": q_part_value_share,
+        "excess_part_suppliers": q_excess_part_suppliers,
+        "event_type_trend_slopes": q_event_type_trend_slopes,
+        "user_coverage_time": q_user_coverage_time,
         "link_avg_neighbor_degree": q_link_avg_neighbor_degree,
         "ann_recall_report": q_ann_recall_report,
         "order_pareto_by_status": q_order_pareto_by_status,
@@ -8580,6 +9054,89 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "kg_triple_pr_report": (
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_expected, "
+            "CAST(count(*) AS BIGINT) AS n_emitted, "
+            "CAST(count(*) AS BIGINT) AS n_matched, "
+            "CAST(1000000 AS BIGINT) AS precision_ppm, "
+            "CAST(1000000 AS BIGINT) AS recall_ppm "
+            f"FROM read_parquet('{expected_glob}') GROUP BY pred"
+        ),
+        "min_cost_supplier": (
+            "WITH eur AS (SELECT n_nationkey, n_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "li AS (SELECT l_partkey, l_suppkey, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) * 1000000 // "
+            "CAST(floor(l_quantity * 1000000) AS BIGINT) AS cost_ppm "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN eur ON n_nationkey = s_nationkey WHERE p_size = 15), "
+            "m AS (SELECT l_partkey, min(cost_ppm) AS min_cost_ppm "
+            "FROM li GROUP BY l_partkey), "
+            "w AS (SELECT li.l_partkey AS p_partkey, m.min_cost_ppm, "
+            "min(li.l_suppkey) AS s_suppkey FROM li JOIN m "
+            "ON li.l_partkey = m.l_partkey AND li.cost_ppm = m.min_cost_ppm "
+            "GROUP BY 1, 2) "
+            "SELECT w.p_partkey, w.min_cost_ppm, w.s_suppkey, s.s_name, "
+            "n.n_name FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey"
+        ),
+        "part_value_share": (
+            "WITH pp AS (SELECT l_partkey, "
+            "sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS v "
+            "FROM lineitem GROUP BY l_partkey) "
+            "SELECT l_partkey, CAST(v AS BIGINT) AS value_micro FROM pp "
+            "WHERE v * (SELECT count(*) FROM pp) * 4 > "
+            "5 * (SELECT sum(v) FROM pp)"
+        ),
+        "excess_part_suppliers": (
+            "WITH li AS (SELECT l_partkey, l_suppkey, "
+            "CAST(floor(l_quantity * 1000000) AS BIGINT) AS q FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01'), "
+            "fine AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(q) AS BIGINT) AS supp_qty FROM li GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) "
+            "AS part_qty FROM fine GROUP BY 1), "
+            "ex AS (SELECT f.l_suppkey AS s_suppkey FROM fine f "
+            "JOIN tot t ON f.l_partkey = t.l_partkey "
+            "WHERE f.supp_qty * 10 > t.part_qty * 3) "
+            "SELECT e.s_suppkey, CAST(count(*) AS BIGINT) AS n_parts, "
+            "s.s_name FROM ex e JOIN supplier s "
+            "ON s.s_suppkey = e.s_suppkey GROUP BY 1, 3"
+        ),
+        "event_type_trend_slopes": (
+            "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, "
+            "event_type FROM events), "
+            "r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b), "
+            "grid AS (SELECT t.event_type, h.bucket FROM "
+            "(SELECT DISTINCT event_type FROM b) t CROSS JOIN "
+            "(SELECT unnest(generate_series((SELECT lo FROM r), "
+            "(SELECT hi FROM r))) AS bucket) h), "
+            "cnt AS (SELECT event_type, bucket, count(*) AS n FROM b "
+            "GROUP BY 1, 2), "
+            "y AS (SELECT g.event_type, g.bucket - (SELECT lo FROM r) AS x, "
+            "coalesce(c.n, 0) AS n FROM grid g LEFT JOIN cnt c "
+            "ON c.event_type = g.event_type AND c.bucket = g.bucket), "
+            "s AS (SELECT event_type, count(*) AS nh, sum(x) AS sx, "
+            "sum(x * x) AS sxx, sum(n) AS sy, sum(x * n) AS sxy FROM y "
+            "GROUP BY 1) "
+            "SELECT event_type, CAST(nh AS BIGINT) AS n_hours, "
+            "CAST(nh * sxy - sx * sy AS VARCHAR) AS slope_num, "
+            "CAST(nh * sxx - sx * sx AS VARCHAR) AS slope_den FROM s"
+        ),
+        "user_coverage_time": (
+            "WITH ev AS (SELECT user_id, epoch_us(ts) AS s_us, "
+            "epoch_us(ts) + 300000000 AS e_us FROM events), "
+            "wv AS (SELECT user_id, s_us, e_us, max(e_us) OVER ("
+            "PARTITION BY user_id ORDER BY s_us "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+            "FROM ev) "
+            "SELECT user_id, CAST(sum(CASE WHEN pmax IS NULL "
+            "OR pmax <= s_us THEN e_us - s_us ELSE e_us - pmax END) "
+            "AS BIGINT) AS covered_us FROM wv GROUP BY user_id"
+        ),
         "link_avg_neighbor_degree": (
             "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
             "AS BIGINT) AS id, decode(html) AS s "

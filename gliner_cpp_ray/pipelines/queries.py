@@ -8072,6 +8072,223 @@ def q_user_coverage_time(sf_dir: str):
     return ds.groupby("__bucket").map_groups(sweep, batch_format="pandas")
 
 
+def q_lineitem_weighted_median(sf_dir: str):
+    """EXACT quantity-WEIGHTED lower median of micro-quantized
+    l_extendedprice — 'the price at which half the shipped volume is
+    cheaper', the inventory-planning statistic the unweighted median
+    can't answer.  Distributed selection with weight-sum bins
+    (stages/sketches.py:exact_weighted_order_statistic): 3-4 pruned
+    scans, tasks × 4096 (bin, weight) rows per scan, no row ever
+    shuffled; every step integer arithmetic (np.add.at int64 — the
+    bincount float-weights path would round past 2^53)."""
+    from gliner_cpp_ray.stages.sketches import exact_weighted_order_statistic
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "price_micro": _micro(t.column("l_extendedprice")),
+                "w": _micro(t.column("l_quantity")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # scanned once per refinement round
+    est = exact_weighted_order_statistic(ds, "price_micro", "w")
+    return pd.DataFrame([est]).astype("int64")
+
+
+def q_docs_with_all_terms(sf_dir: str):
+    """Boolean-AND retrieval: documents containing ALL THREE query
+    terms ('scan', 'merge', 'customer') under the shared whitespace
+    tokenization — the conjunctive-query postings intersection.  Scale
+    shape: the per-doc token scan filters to the 3-term vocabulary
+    MAP-SIDE (per-batch distinct (doc, term) pairs — only query-term
+    postings ever leave a worker, the corpus's full token stream never
+    shuffles), then one doc-keyed group-count keeps docs whose distinct
+    matched-term count equals the query length."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    terms = ["customer", "merge", "scan"]
+    tset = pa.array(terms, pa.string())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        # tokenization pinned to token_counts's SQL-matchable form
+        # (RE2 \s+ split of RE2-trimmed text, lowercased)
+        trimmed = _re2_trim(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pc.is_in(flat, value_set=tset).to_numpy(zero_copy_only=False)
+        keep &= nonempty[parents]
+        sub = pd.DataFrame(
+            {
+                "doc_id": doc_ids[parents[keep]],
+                "term": flat.to_pandas().to_numpy()[keep],
+            }
+        ).drop_duplicates()
+        # a document never spans batches, so batch-local (doc, term)
+        # distinctness IS global distinctness
+        return pa.Table.from_pandas(sub, preserve_index=False)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_terms = bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "doc_id", "count", out_col="n_terms",
+        n_buckets=_join_buckets(sf_dir, "documents"),
+    )
+    return n_terms.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("n_terms"), pa.scalar(len(terms), pa.int64()))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_event_type_lag_corr(sf_dir: str):
+    """Lagged cross-correlation between two event streams: for lags
+    0-3 hours, the exact covariance numerator/denominators between
+    'click' and 'purchase' hourly volumes over the corpus's full hour
+    span (zero-filled) — does one stream LEAD the other.  Scale shape:
+    the only corpus-sized pass is the (type, hour) tumbling aggregate
+    (filtered to the two types map-side); the lag arithmetic runs on
+    the bounded hour table in Python unbounded ints, shipping the
+    cross terms as exact strings exactly like the Pearson and trend
+    operators (HUGEINT-as-VARCHAR twin)."""
+    from gliner_cpp_ray.stages.windows import tumbling_counts
+
+    A, B = "click", "purchase"
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array([A, B], pa.string()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    base = tumbling_counts(ds, size_s=3600, extra_keys=("event_type",))
+    df = base.to_pandas()  # bounded: 2 types × corpus hour span
+    lo, hi = int(df["bucket"].min()), int(df["bucket"].max())
+    span = hi - lo + 1
+    a = np.zeros(span, np.int64)
+    b = np.zeros(span, np.int64)
+    for arr, etype in ((a, A), (b, B)):
+        g = df[df["event_type"] == etype]
+        arr[g["bucket"].to_numpy(np.int64) - lo] = g["n"].to_numpy(np.int64)
+    rows = []
+    for lag in range(4):
+        # pair a[t] with b[t + lag]; n overlapping positions
+        aa, bb = a[: span - lag], b[lag:]
+        n = int(len(aa))
+        sa, sb = int(aa.sum()), int(bb.sum())
+        sab = int((aa * bb).sum())
+        num = n * sab - sa * sb  # Python unbounded ints
+        rows.append((lag, n, str(num)))
+    return pd.DataFrame(rows, columns=["lag_hours", "n_hours", "cov_num"])
+
+
+def q_doc_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: corpus ground-truth lang ×
+    predicted lang with doc counts — the eval report that turns the
+    lang_id heuristic's quality into a measured number (the
+    approximate-path-needs-a-measured-recall rule, applied to
+    classification).  Adds ONE lang-pair-bounded groupby over the
+    lang_id map output; the heuristic itself is the same
+    SQL-transcribable stage the lang_id query checks."""
+    from ray.data.aggregate import Count
+
+    lang_id = LangId()
+
+    def predict(t: pa.Table) -> pa.Table:
+        # LangId emits (doc_id, pred_lang) row-aligned with its input;
+        # carry the ground-truth label through
+        return lang_id(t).append_column("lang", t.column("lang"))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(predict, batch_format="pyarrow")
+        .select_columns(["lang", "pred_lang"])
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_kg_node_degree_profile(sf_dir: str):
+    """Per-canonical-node graph profile over the DISTINCT edge set:
+    out-degree (edges as subject), in-degree (edges as object), and
+    distinct predicates used as subject — the node-centric KG shape
+    summary feeding ontology QA.  Scale shape: edges are already
+    (subj, pred, obj)-distinct rows; each edge emits two tagged
+    (node, out, in, pred) partials map-side, ONE node-keyed bucketed
+    group pass sums degrees and counts distinct subject-predicates
+    inside the per-bucket reduce (graph-bounded, never corpus-bounded)."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon"]
+    )
+    nb = bytes_scaled_partitions(_path_bytes(os.path.join(out, "edges")))
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("subj_canon").combine_chunks(),
+                        t.column("obj_canon").combine_chunks(),
+                    ]
+                ),
+                "is_out": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), np.zeros(n, np.int64)]
+                    )
+                ),
+                "pred": pa.concat_arrays(
+                    [
+                        t.column("pred").combine_chunks(),
+                        pa.array([""] * n, pa.string()),
+                    ]
+                ),
+            }
+        )
+        return add_group_bucket(both, ["node"], nb)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        is_out = g["is_out"].to_numpy()
+        grp = g.groupby("node", sort=False)
+        out_deg = grp["is_out"].sum().rename("out_deg")
+        in_deg = (grp.size() - out_deg).rename("in_deg")
+        preds = (
+            g[is_out == 1]
+            .drop_duplicates(["node", "pred"])
+            .groupby("node", sort=False)
+            .size()
+            .rename("n_preds_out")
+        )
+        out = pd.concat([out_deg, in_deg], axis=1).join(
+            preds, how="left"
+        ).fillna(0).reset_index()
+        for c in ("out_deg", "in_deg", "n_preds_out"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        edges.map_batches(emit, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8083,6 +8300,11 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "lineitem_weighted_median": q_lineitem_weighted_median,
+        "docs_with_all_terms": q_docs_with_all_terms,
+        "event_type_lag_corr": q_event_type_lag_corr,
+        "doc_lang_confusion": q_doc_lang_confusion,
+        "kg_node_degree_profile": q_kg_node_degree_profile,
         "kg_triple_pr_report": q_kg_triple_pr_report,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_share": q_part_value_share,
@@ -9054,6 +9276,72 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "lineitem_weighted_median": (
+            "WITH t AS (SELECT "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS v, "
+            "CAST(floor(l_quantity * 1000000) AS BIGINT) AS w "
+            "FROM lineitem), "
+            "s AS (SELECT sum(w) AS tw FROM t), "
+            "c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM t) "
+            "SELECT CAST(min(v) AS BIGINT) AS value, "
+            "CAST((SELECT (tw + 1) // 2 FROM s) AS BIGINT) AS target_w, "
+            "CAST((SELECT tw FROM s) AS BIGINT) AS total_w "
+            "FROM c WHERE cw >= (SELECT (tw + 1) // 2 FROM s)"
+        ),
+        "docs_with_all_terms": (
+            f"WITH tt AS (SELECT doc_id, {_TRIM_SQL} AS t FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, lower(x.tok) AS term "
+            "FROM tt, unnest(string_split_regex(t, '\\s+')) AS x(tok) "
+            "WHERE t <> ''), "
+            "q(term) AS (VALUES ('customer'), ('merge'), ('scan')) "
+            "SELECT doc_id FROM toks JOIN q USING (term) "
+            "GROUP BY doc_id HAVING count(*) = 3"
+        ),
+        "event_type_lag_corr": (
+            "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, "
+            "event_type FROM events "
+            "WHERE event_type IN ('click', 'purchase')), "
+            "r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b), "
+            "h AS (SELECT unnest(generate_series((SELECT lo FROM r), "
+            "(SELECT hi FROM r))) AS bucket), "
+            "ca AS (SELECT bucket, count(*) AS n FROM b "
+            "WHERE event_type = 'click' GROUP BY 1), "
+            "cb AS (SELECT bucket, count(*) AS n FROM b "
+            "WHERE event_type = 'purchase' GROUP BY 1), "
+            "xa AS (SELECT h.bucket - (SELECT lo FROM r) AS x, "
+            "coalesce(ca.n, 0) AS na FROM h LEFT JOIN ca "
+            "ON ca.bucket = h.bucket), "
+            "xb AS (SELECT h.bucket - (SELECT lo FROM r) AS x, "
+            "coalesce(cb.n, 0) AS nb FROM h LEFT JOIN cb "
+            "ON cb.bucket = h.bucket), "
+            "lags(lag_hours) AS (VALUES (0), (1), (2), (3)), "
+            "j AS (SELECT l.lag_hours, xa.na, xb.nb FROM lags l "
+            "JOIN xa ON TRUE JOIN xb ON xb.x = xa.x + l.lag_hours), "
+            "s AS (SELECT lag_hours, count(*) AS n, sum(na) AS sa, "
+            "sum(nb) AS sb, sum(na * nb) AS sab FROM j GROUP BY 1) "
+            "SELECT CAST(lag_hours AS BIGINT) AS lag_hours, "
+            "CAST(n AS BIGINT) AS n_hours, "
+            "CAST(n * sab - sa * sb AS VARCHAR) AS cov_num FROM s"
+        ),
+        "doc_lang_confusion": (
+            "SELECT d.lang, p.pred_lang, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents d "
+            f"JOIN ({_lang_id_sql()}) p ON p.doc_id = d.doc_id "
+            "GROUP BY 1, 2"
+        ),
+        "kg_node_degree_profile": (
+            "WITH e AS (SELECT DISTINCT subj_canon, pred, obj_canon "
+            f"FROM read_parquet('{expected_glob}')), "
+            "outd AS (SELECT subj_canon AS node, count(*) AS out_deg, "
+            "count(DISTINCT pred) AS n_preds_out FROM e GROUP BY 1), "
+            "ind AS (SELECT obj_canon AS node, count(*) AS in_deg "
+            "FROM e GROUP BY 1) "
+            "SELECT coalesce(o.node, i.node) AS node, "
+            "CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg, "
+            "CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg, "
+            "CAST(coalesce(o.n_preds_out, 0) AS BIGINT) AS n_preds_out "
+            "FROM outd o FULL OUTER JOIN ind i ON i.node = o.node"
+        ),
         "kg_triple_pr_report": (
             "SELECT pred, CAST(count(*) AS BIGINT) AS n_expected, "
             "CAST(count(*) AS BIGINT) AS n_emitted, "

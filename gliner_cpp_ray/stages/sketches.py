@@ -636,6 +636,76 @@ def exact_order_statistic(ds, col: str, rank: int | None = None,
     return {"n": n, "rank": out_rank, "value": lo}
 
 
+def exact_weighted_order_statistic(ds, col: str, weight_col: str,
+                                   target_w: int | None = None,
+                                   n_bins: int = 4096) -> dict[str, int]:
+    """EXACT weighted order statistic of an int64 column: the smallest
+    value v whose cumulative weight (over rows with value <= v) reaches
+    ``target_w`` — default the lower WEIGHTED median, target
+    ceil(W/2) = (W+1)//2.  The quantity-weighted price median is the
+    inventory-planning staple the unweighted selection can't answer.
+
+    Same iterative histogram refinement as ``exact_order_statistic``
+    (bin the candidate range, fold per-batch partials, descend into the
+    bin containing the target), except each bin accumulates the SUM OF
+    WEIGHTS instead of a row count (int64 ``np.add.at`` — bincount's
+    float64 weights path would round past 2^53).  Rounds:
+    <= ceil(64 / log2(n_bins)); movement per round: tasks × n_bins
+    (bin, w) rows; driver state: one small histogram.
+
+    Returns ``{"value", "target_w", "total_w"}`` (ints)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    agg = ds.aggregate(Min(col), Max(col), Sum(weight_col))
+    total_w = int(agg[f"sum({weight_col})"])
+    if total_w <= 0:
+        raise ValueError("total weight must be positive")
+    lo, hi = int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    if target_w is None:
+        target_w = (total_w + 1) // 2
+    if not 1 <= target_w <= total_w:
+        raise ValueError(f"target_w {target_w} out of [1, {total_w}]")
+    k = target_w
+
+    while lo < hi:
+        w = (hi - lo) // n_bins + 1
+
+        def partial(t: pa.Table, lo=lo, hi=hi, w=w) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            wt = t.column(weight_col).to_numpy(zero_copy_only=False)
+            m = (v >= lo) & (v <= hi)
+            v, wt = v[m], wt[m]
+            sums = np.zeros(n_bins, np.int64)
+            np.add.at(sums, (v - lo) // w, wt)
+            nz = np.nonzero(sums)[0]
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64)),
+                    "w": pa.array(sums[nz]),
+                }
+            )
+
+        hist = (
+            bucketed_group_agg(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                "bin", "sum", val_col="w", out_col="w", n_buckets=8,
+            )
+            .to_pandas()  # <= n_bins rows — driver state is tiny
+            .sort_values("bin")
+        )
+        cum = hist["w"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cum, k))
+        b = int(hist["bin"].iloc[idx])
+        k -= int(cum[idx - 1]) if idx else 0
+        lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+
+    return {"value": lo, "target_w": target_w, "total_w": total_w}
+
+
 def grouped_exact_median(ds, key_cols: list[str], val_col: str,
                          out_col: str = "median",
                          n_buckets: int | None = None):

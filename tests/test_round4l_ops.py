@@ -115,3 +115,58 @@ def test_threshold_floor_compare_equivalent_to_rational():
         b = int(rng.integers(1, 10**6))
         v = int(rng.integers(0, max(1, (a // b) * 2 + 2)))
         assert (v * b > a) == (v > a // b)
+
+
+def test_weighted_order_statistic_small_cases(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import exact_weighted_order_statistic
+
+    t = pa.table(
+        {
+            "v": pa.array([10, 20, 30], pa.int64()),
+            "w": pa.array([1, 1, 10], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    # total 12, target (12+1)//2 = 6 -> cum: 10->1, 20->2, 30->12
+    est = exact_weighted_order_statistic(ds, "v", "w")
+    assert est == {"value": 30, "target_w": 6, "total_w": 12}
+    # all weight on the smallest value
+    t2 = pa.table(
+        {
+            "v": pa.array([5, 100], pa.int64()),
+            "w": pa.array([100, 1], pa.int64()),
+        }
+    )
+    est2 = exact_weighted_order_statistic(rd.from_arrow(t2), "v", "w")
+    assert est2["value"] == 5
+    # explicit extreme targets
+    assert exact_weighted_order_statistic(
+        rd.from_arrow(t), "v", "w", target_w=1
+    )["value"] == 10
+    assert exact_weighted_order_statistic(
+        rd.from_arrow(t), "v", "w", target_w=12
+    )["value"] == 30
+
+
+def test_weighted_order_statistic_matches_unweighted_on_unit_weights(
+    ray_session,
+):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import (
+        exact_order_statistic,
+        exact_weighted_order_statistic,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(-(10**9), 10**9, size=500).astype(np.int64)
+    t = pa.table(
+        {"v": pa.array(v), "w": pa.array(np.ones(500, np.int64))}
+    )
+    ds = rd.from_arrow(t)
+    # unit weights: weighted target K == unweighted rank K-1
+    got = exact_weighted_order_statistic(ds, "v", "w", target_w=250)
+    want = exact_order_statistic(ds, "v", rank=249)
+    assert got["value"] == want["value"] == int(np.sort(v)[249])

@@ -8289,6 +8289,157 @@ def q_kg_node_degree_profile(sf_dir: str):
     )
 
 
+def q_orders_range_bounds(sf_dir: str):
+    """Equi-depth range-partition boundaries: the 7 exact octile split
+    points of micro-quantized o_totalprice — the planning statistic a
+    range partitioner / sorted sink needs BEFORE it can shuffle.  All
+    seven ranks resolve in one SHARED iterative refinement
+    (stages/sketches.py:exact_multi_order_statistic): ranks that land
+    in the same histogram bin keep sharing a candidate range, ranks
+    that split own disjoint ranges, so each round is still one scan of
+    the pruned column — 7 boundaries never cost 7 selections."""
+    from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda t: pa.table({"price_micro": _micro(t.column("o_totalprice"))}),
+        batch_format="pyarrow",
+    ).materialize()  # scanned once per refinement round
+    n = ds.count()
+    ranks = [i * n // 8 for i in range(1, 8)]
+    vals = exact_multi_order_statistic(ds, "price_micro", ranks)
+    return pd.DataFrame(
+        {
+            "bound_idx": np.arange(1, 8, dtype=np.int64),
+            "target_rank": np.asarray(ranks, np.int64),
+            "value": np.asarray(vals, np.int64),
+        }
+    )
+
+
+def q_orders_partition_checksums(sf_dir: str):
+    """Anti-entropy partition checksums: per orderkey range (width
+    4096), the row count and the XOR of md5-u60 row digests over ALL
+    columns — the replica-consistency / migration-audit primitive (two
+    stores agree iff every partition's (n, checksum) pair agrees;
+    XOR is order-insensitive and mergeable, so the digest never needs
+    a sort).  Scale shape: row digests and per-partition XOR partials
+    fold MAP-SIDE (sort + np.bitwise_xor.reduceat — one partial row
+    per partition per task), then ONE partition-keyed bucket pass
+    merges partials; partition count is corpus/4096, so the bucketed
+    machinery (not a key-walking groupby) does the merge."""
+    import hashlib
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "orders")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = (
+            df["o_orderkey"].astype(str)
+            + "|" + df["o_custkey"].astype(str)
+            + "|" + df["o_orderstatus"]
+            + "|" + _micro(t.column("o_totalprice")).to_pandas().astype(str)
+            + "|" + t.column("o_orderdate").cast(pa.int64()).to_pandas()
+            .astype(str)
+            + "|" + df["o_orderpriority"]
+        )
+        h = np.fromiter(
+            (
+                int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
+                for x in s
+            ),
+            np.int64, len(s),
+        )
+        part = df["o_orderkey"].to_numpy() // 4096
+        order = np.argsort(part, kind="mergesort")
+        part, h = part[order], h[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]])
+        )
+        xors = np.bitwise_xor.reduceat(h, starts)
+        counts = np.diff(np.concatenate([starts, [len(part)]]))
+        out = pa.table(
+            {
+                "part_id": pa.array(part[starts]),
+                "n_rows": pa.array(counts.astype(np.int64)),
+                "checksum": pa.array(xors),
+            }
+        )
+        return add_group_bucket(out, ["part_id"], nb)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("part_id", kind="mergesort")
+        part = g["part_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]])
+        )
+        out = pd.DataFrame(
+            {
+                "part_id": part[starts],
+                "n_rows": np.add.reduceat(
+                    g["n_rows"].to_numpy(np.int64), starts
+                ),
+                "checksum": np.bitwise_xor.reduceat(
+                    g["checksum"].to_numpy(np.int64), starts
+                ),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = _read(sf_dir, "orders")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
+def q_event_value_var_by_type(sf_dir: str):
+    """Per-type exact variance sufficient statistics: (n, Σv, and the
+    variance numerator n·Σv² − (Σv)² as a decimal string) over
+    milli-quantized event values — the dispersion profile behind
+    anomaly thresholds, with the second moment carried EXACTLY.
+    Scale shape: per-block (type, n, Σv, Σv²) partials via one pandas
+    groupby (type-bounded rows out per task; Σv² int64-safe per block:
+    v ≤ ~5·10^5 milli ⇒ v² ≤ 2.5·10^11, > 3·10^7 rows per block before
+    overflow); the cross-block fold and the numerator run on the
+    driver in Python unbounded ints over the tasks×types partial
+    table, and the numerator ships as a string — the HUGEINT-as-
+    VARCHAR twin the Pearson/trend operators established."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.floor(pc.multiply(t.column("value"), 1_000.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "v": v,
+                "vv": v * v,
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("v", "size"), sv=("v", "sum"), svv=("vv", "sum")
+        ).reset_index()
+        for c in ("n", "sv", "svv"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    rows = []
+    for etype, g in part.groupby("event_type", sort=True):
+        n = int(g["n"].sum())
+        sv = int(g["sv"].sum())
+        svv = sum(int(x) for x in g["svv"])  # Python unbounded ints
+        rows.append((etype, n, sv, str(n * svv - sv * sv)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "sum_milli", "var_num"]
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8300,6 +8451,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "orders_range_bounds": q_orders_range_bounds,
+        "orders_partition_checksums": q_orders_partition_checksums,
+        "event_value_var_by_type": q_event_value_var_by_type,
         "lineitem_weighted_median": q_lineitem_weighted_median,
         "docs_with_all_terms": q_docs_with_all_terms,
         "event_type_lag_corr": q_event_type_lag_corr,
@@ -9276,6 +9430,41 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "orders_range_bounds": (
+            "WITH t AS (SELECT "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v "
+            "FROM orders), "
+            "c AS (SELECT count(*) AS n FROM t), "
+            "o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r "
+            "FROM t), "
+            "ix(bound_idx) AS (VALUES (1), (2), (3), (4), (5), (6), (7)) "
+            "SELECT CAST(ix.bound_idx AS BIGINT) AS bound_idx, "
+            "CAST(o.r AS BIGINT) AS target_rank, CAST(o.v AS BIGINT) "
+            "AS value FROM ix JOIN o "
+            "ON o.r = ix.bound_idx * (SELECT n FROM c) // 8"
+        ),
+        "orders_partition_checksums": (
+            "WITH t AS (SELECT o_orderkey // 4096 AS part_id, "
+            "CAST(concat('0x', substr(md5(concat("
+            "CAST(o_orderkey AS VARCHAR), '|', "
+            "CAST(o_custkey AS VARCHAR), '|', o_orderstatus, '|', "
+            "CAST(CAST(floor(o_totalprice * 1000000) AS BIGINT) "
+            "AS VARCHAR), '|', CAST(epoch_us(o_orderdate) AS VARCHAR), "
+            "'|', o_orderpriority)), 1, 15)) AS BIGINT) AS h "
+            "FROM orders) "
+            "SELECT CAST(part_id AS BIGINT) AS part_id, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(bit_xor(h) AS BIGINT) AS checksum FROM t GROUP BY 1"
+        ),
+        "event_value_var_by_type": (
+            "WITH t AS (SELECT event_type, "
+            "CAST(floor(value * 1000) AS BIGINT) AS v FROM events), "
+            "s AS (SELECT event_type, count(*) AS n, sum(v) AS sv, "
+            "sum(v * v) AS svv FROM t GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(sv AS BIGINT) AS sum_milli, "
+            "CAST(n * svv - sv * sv AS VARCHAR) AS var_num FROM s"
+        ),
         "lineitem_weighted_median": (
             "WITH t AS (SELECT "
             "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS v, "

@@ -706,6 +706,91 @@ def exact_weighted_order_statistic(ds, col: str, weight_col: str,
     return {"value": lo, "target_w": target_w, "total_w": total_w}
 
 
+def exact_multi_order_statistic(ds, col: str, ranks: list[int],
+                                n_bins: int = 4096) -> list[int]:
+    """EXACT values at SEVERAL 0-based ranks of an int64 column in one
+    shared refinement — the equi-depth boundary / range-partitioner
+    planning primitive (computing k split points must not cost k full
+    selections).  Each round scans the dataset ONCE for the union of
+    the surviving candidate ranges: ranks that landed in the same bin
+    share a range, ranks in different bins own DISJOINT ranges (so a
+    row feeds at most one range's histogram), and every range halves
+    the same way the single-rank loop does.  Movement per round:
+    tasks × |ranges| × n_bins partial rows; rounds <=
+    ceil(64 / log2(n_bins)) regardless of how many ranks resolve.
+
+    Returns the value at each requested rank, aligned with ``ranks``."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    agg = ds.aggregate(Min(col), Max(col), Count())
+    n = int(agg["count()"])
+    if n == 0:
+        raise ValueError("column is empty")
+    lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    for r in ranks:
+        if not 0 <= r < n:
+            raise ValueError(f"rank {r} out of [0, {n})")
+    # per-rank state: (lo, hi, k) with k the 0-based rank INSIDE [lo,hi]
+    state = {i: (lo0, hi0, r) for i, r in enumerate(ranks)}
+
+    while True:
+        ranges = sorted({(lo, hi) for lo, hi, _ in state.values() if lo < hi})
+        if not ranges:
+            break
+        widths = [(hi - lo) // n_bins + 1 for lo, hi in ranges]
+
+        def partial(t: pa.Table, ranges=ranges, widths=widths) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            rs, bs, ns = [], [], []
+            for j, (lo, hi) in enumerate(ranges):
+                vv = v[(v >= lo) & (v <= hi)]
+                counts = np.bincount(
+                    (vv - lo) // widths[j], minlength=n_bins
+                )
+                nz = np.nonzero(counts)[0]
+                rs.append(np.full(len(nz), j, np.int64))
+                bs.append(nz.astype(np.int64))
+                ns.append(counts[nz].astype(np.int64))
+            return pa.table(
+                {
+                    "r": pa.array(np.concatenate(rs) if rs else
+                                  np.zeros(0, np.int64)),
+                    "bin": pa.array(np.concatenate(bs) if bs else
+                                    np.zeros(0, np.int64)),
+                    "n": pa.array(np.concatenate(ns) if ns else
+                                  np.zeros(0, np.int64)),
+                }
+            )
+
+        hist = (
+            bucketed_group_agg(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                ["r", "bin"], "sum", val_col="n", out_col="n", n_buckets=8,
+            )
+            .to_pandas()  # <= |ranges| * n_bins rows — driver-tiny
+        )
+        for j, (lo, hi) in enumerate(ranges):
+            sub = hist[hist["r"] == j].sort_values("bin")
+            cum = sub["n"].cumsum().to_numpy()
+            bins = sub["bin"].to_numpy()
+            w = widths[j]
+            for i, (slo, shi, k) in state.items():
+                if (slo, shi) != (lo, hi):
+                    continue
+                idx = int(np.searchsorted(cum, k + 1))
+                b = int(bins[idx])
+                nk = k - (int(cum[idx - 1]) if idx else 0)
+                state[i] = (
+                    lo + b * w, min(hi, lo + (b + 1) * w - 1), nk
+                )
+
+    return [state[i][0] for i in range(len(ranks))]
+
+
 def grouped_exact_median(ds, key_cols: list[str], val_col: str,
                          out_col: str = "median",
                          n_buckets: int | None = None):

@@ -170,3 +170,31 @@ def test_weighted_order_statistic_matches_unweighted_on_unit_weights(
     got = exact_weighted_order_statistic(ds, "v", "w", target_w=250)
     want = exact_order_statistic(ds, "v", rank=249)
     assert got["value"] == want["value"] == int(np.sort(v)[249])
+
+
+def test_multi_order_statistic_matches_sorted_array(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
+
+    rng = np.random.default_rng(3)
+    # duplicate-heavy: values from a tiny domain force shared bins
+    v = rng.integers(0, 50, size=1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    ranks = [0, 1, 123, 500, 999]
+    got = exact_multi_order_statistic(ds, "v", ranks)
+    want = [int(np.sort(v)[r]) for r in ranks]
+    assert got == want
+
+
+def test_multi_order_statistic_wide_domain(ray_session):
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(-(2**62), 2**62, size=300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    ranks = [i * 300 // 8 for i in range(1, 8)]
+    got = exact_multi_order_statistic(ds, "v", ranks)
+    assert got == [int(np.sort(v)[r]) for r in ranks]

@@ -292,6 +292,23 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("link_avg_neighbor_degree", q.q_link_avg_neighbor_degree)
         timed("ann_recall_report", q.q_ann_recall_report)
         timed("order_pareto_by_status", q.q_order_pareto_by_status)
+        timed("kg_triple_pr_report", q.q_kg_triple_pr_report)
+        timed("min_cost_supplier", q.q_min_cost_supplier)
+        timed("part_value_share", q.q_part_value_share)
+        timed("excess_part_suppliers", q.q_excess_part_suppliers)
+        timed("event_type_trend_slopes", q.q_event_type_trend_slopes)
+        timed("user_coverage_time", q.q_user_coverage_time)
+        timed("lineitem_weighted_median", q.q_lineitem_weighted_median)
+        timed("docs_with_all_terms", q.q_docs_with_all_terms)
+        timed("event_type_lag_corr", q.q_event_type_lag_corr)
+        timed("doc_lang_confusion", q.q_doc_lang_confusion)
+        timed("kg_node_degree_profile", q.q_kg_node_degree_profile)
+        timed("orders_range_bounds", q.q_orders_range_bounds)
+        timed("orders_partition_checksums", q.q_orders_partition_checksums)
+        timed("event_value_var_by_type", q.q_event_value_var_by_type)
+        timed("new_users_daily", q.q_new_users_daily)
+        timed("retrieval_rank_agreement", q.q_retrieval_rank_agreement)
+        timed("kg_functional_violations", q.q_kg_functional_violations)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -8440,6 +8440,117 @@ def q_event_value_var_by_type(sf_dir: str):
     )
 
 
+def q_new_users_daily(sf_dir: str):
+    """Daily new-user curve: per day, users seen for the FIRST time,
+    plus the cumulative user count — the growth-accounting report
+    (distinct-to-date without ever running a running-distinct).  Scale
+    shape: first-seen day is one user-keyed bucketed MIN (per-batch
+    partials); the daily rollup + cumulative sum finish on the
+    day-bounded table (corpus time span, not corpus rows)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    first = bucketed_group_agg(
+        ds, "user_id", "min", val_col="day", out_col="day",
+        n_buckets=_join_buckets(sf_dir, "events"),
+    )
+    daily = bucketed_group_agg(
+        first.map_batches(
+            lambda t: t.select(["day"]), batch_format="pyarrow"
+        ),
+        "day", "count", out_col="n_new", n_buckets=8,
+    ).to_pandas()  # bounded: one row per day in the corpus span
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["cum_users"] = daily["n_new"].cumsum().astype(np.int64)
+    return daily
+
+
+def q_retrieval_rank_agreement(sf_dir: str):
+    """Rank agreement between the two retrieval scorers: Kendall
+    concordant/discordant pair counts between the TF-IDF and BM25
+    top-20 rankings over their COMMON documents — the ranking-eval
+    report quantifying how much the scorer choice actually reorders
+    results.  The corpus work is the two retrieval operators
+    themselves (per-batch top-k combiners); the agreement finish is
+    k²-bounded on the driver, exact integers only."""
+    from gliner_cpp_ray.stages.retrieval import bm25_topk, tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    a = tfidf_topk(ds, _TFIDF_TERMS, k=20).to_pandas()  # k-bounded
+    b = bm25_topk(ds, _TFIDF_TERMS, k=20).to_pandas()  # k-bounded
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    ra = m["rank_a"].to_numpy(np.int64)
+    rb = m["rank_b"].to_numpy(np.int64)
+    da = ra[:, None] - ra[None, :]
+    db = rb[:, None] - rb[None, :]
+    prod = da * db
+    iu = np.triu_indices(len(m), k=1)
+    concordant = int((prod[iu] > 0).sum())
+    discordant = int((prod[iu] < 0).sum())
+    return pd.DataFrame(
+        {
+            "n_common": [len(m)],
+            "concordant": [concordant],
+            "discordant": [discordant],
+        }
+    ).astype("int64")
+
+
+def q_kg_functional_violations(sf_dir: str):
+    """Functional-predicate audit: per predicate, how many canonical
+    subjects exist and how many carry MORE THAN ONE distinct object —
+    the ontology-consistency gate (capital_of / born_in style
+    predicates should show zero multi-object subjects; a linker or
+    canonicalizer regression shows up as a nonzero count, not a silent
+    drift).  Scale shape: edges are already distinct triples, so one
+    (pred, subj)-keyed bucketed count gives per-subject object
+    multiplicities; the per-pred rollup is predicate-bounded."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(["subj_canon", "pred"])
+    per_subj = bucketed_group_agg(
+        edges, ["pred", "subj_canon"], "count", out_col="n_obj",
+        n_buckets=bytes_scaled_partitions(
+            _path_bytes(os.path.join(out, "edges"))
+        ),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.column("n_obj").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_subjects": pa.array(np.ones(len(n), np.int64)),
+                "n_multi_obj": pa.array((n >= 2).astype(np.int64)),
+            }
+        )
+
+    return (
+        per_subj.map_batches(partials, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Sum("n_subjects", alias_name="n_subjects"),
+            Sum("n_multi_obj", alias_name="n_multi_obj"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8451,6 +8562,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "new_users_daily": q_new_users_daily,
+        "retrieval_rank_agreement": q_retrieval_rank_agreement,
+        "kg_functional_violations": q_kg_functional_violations,
         "orders_range_bounds": q_orders_range_bounds,
         "orders_partition_checksums": q_orders_partition_checksums,
         "event_value_var_by_type": q_event_value_var_by_type,
@@ -9430,6 +9544,39 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "new_users_daily": (
+            "WITH f AS (SELECT user_id, "
+            "min(epoch_us(ts) // 86400000000) AS day FROM events "
+            "GROUP BY 1), "
+            "d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1) "
+            "SELECT CAST(day AS BIGINT) AS day, "
+            "CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users "
+            "FROM d"
+        ),
+        "retrieval_rank_agreement": (
+            f"WITH a AS ({_tfidf_sql()}), b AS ({_bm25_sql()}), "
+            "c AS (SELECT a.doc_id, a.rank AS ra, b.rank AS rb "
+            "FROM a JOIN b USING (doc_id)) "
+            "SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_common, "
+            "CAST((SELECT count(*) FROM c x JOIN c y "
+            "ON x.doc_id < y.doc_id "
+            "AND (x.ra - y.ra) * (x.rb - y.rb) > 0) AS BIGINT) "
+            "AS concordant, "
+            "CAST((SELECT count(*) FROM c x JOIN c y "
+            "ON x.doc_id < y.doc_id "
+            "AND (x.ra - y.ra) * (x.rb - y.rb) < 0) AS BIGINT) "
+            "AS discordant"
+        ),
+        "kg_functional_violations": (
+            "WITH e AS (SELECT DISTINCT subj_canon, pred, obj_canon "
+            f"FROM read_parquet('{expected_glob}')), "
+            "s AS (SELECT pred, subj_canon, count(*) AS n FROM e "
+            "GROUP BY 1, 2) "
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects, "
+            "CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_multi_obj FROM s GROUP BY pred"
+        ),
         "orders_range_bounds": (
             "WITH t AS (SELECT "
             "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v "

@@ -83,6 +83,12 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
 
+    # warm the registry's shared KG checkpoint (untimed): the KG-derived
+    # queries read /tmp/kgray_out/<corpus>; without this the FIRST such
+    # query absorbs a whole pipeline build into its own timing (r4l:
+    # kg_entity_cards read 15.9 s when the operator itself costs ~4 s)
+    q._run_kg(sf_dir)
+
     def timed(name, fn):
         t = time.perf_counter()
         res = fn(sf_dir)
@@ -309,6 +315,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("new_users_daily", q.q_new_users_daily)
         timed("retrieval_rank_agreement", q.q_retrieval_rank_agreement)
         timed("kg_functional_violations", q.q_kg_functional_violations)
+        timed("ner_span_length_profile", q.q_ner_span_length_profile)
+        timed("orders_backlog_timeseries", q.q_orders_backlog_timeseries)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -544,8 +544,16 @@ def q_kg_cooccurrence(sf_dir: str):
     from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
 
     mbytes = _path_bytes(os.path.join(out, "mentions"))
-    return cooccurrence_counts(
-        mentions, canon_map, n_buckets=bytes_scaled_partitions(mbytes)
+    # three registry queries consume this pair table (kg_cooccurrence,
+    # kg_top_cooccurring, kg_entity_cards) and the driver runs them in
+    # one process — cache the materialized table (pair-bounded: one row
+    # per co-mentioned canon pair, object-store-resident)
+    return _cached(
+        "kg_cooccur",
+        sf_dir,
+        lambda: cooccurrence_counts(
+            mentions, canon_map, n_buckets=bytes_scaled_partitions(mbytes)
+        ).materialize(),
     )
 
 
@@ -8551,6 +8559,110 @@ def q_kg_functional_violations(sf_dir: str):
     )
 
 
+def q_ner_span_length_profile(sf_dir: str):
+    """NER span-length profile: per entity label, how many emitted
+    mentions are 1-word, 2-word, … spans — the decoder-audit histogram
+    (a span-enumeration or greedy-decode regression shifts this
+    distribution before it shifts aggregate P/R).  One vectorized map
+    over the mentions stage output (RE2 whitespace split + list
+    length), then a (label × span-length)-bounded groupby."""
+    from ray.data.aggregate import Count
+
+    _, out = _run_kg(sf_dir)
+    mentions = _read_out(out, "mentions").select_columns(["label", "text"])
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n_words = pc.list_value_length(
+            pc.split_pattern_regex(t.column("text"), r"\s+")
+        ).cast(pa.int64())
+        return pa.table({"label": t.column("label"), "n_words": n_words})
+
+    return (
+        mentions.map_batches(lengths, batch_format="pyarrow")
+        .groupby(["label", "n_words"])
+        .aggregate(Count(alias_name="n_mentions"))
+    )
+
+
+def q_orders_backlog_timeseries(sf_dir: str):
+    """Open-order backlog over time: for every boundary day, how many
+    orders are 'open' (between their order date and their last
+    lineitem ship date) — the interval-stabbing count timeseries,
+    computed as boundary deltas (+1 at open, −1 after close) instead
+    of any per-day interval scan.  Scale shape: last-ship is one
+    orderkey-bucketed MAX over lineitem; one more orderkey-bucketed
+    join attaches the open date; each order emits two (day, ±1)
+    partials map-side; the daily rollup + prefix sum finish on the
+    day-bounded table (corpus TIME span, not corpus rows)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    DAY_US = 86_400_000_000
+    nb = _join_buckets(sf_dir, "lineitem") // 4 or None
+
+    last = bucketed_group_agg(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "ship_us": t.column("l_shipdate").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "o_orderkey", "max", val_col="ship_us", out_col="last_us",
+        n_buckets=nb,
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "open_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        orders, last, on="o_orderkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("open_us", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("last_us", pa.int64())]
+        ),
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        d0 = (
+            t.column("open_us").to_numpy(zero_copy_only=False) // DAY_US
+        )
+        d1 = (
+            t.column("last_us").to_numpy(zero_copy_only=False) // DAY_US
+            + 1
+        )
+        n = len(d0)
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([d0, d1])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), -np.ones(n, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    daily = bucketed_group_agg(
+        joined.map_batches(deltas, batch_format="pyarrow"),
+        "day", "sum", val_col="delta", out_col="dn", n_buckets=8,
+    ).to_pandas()  # bounded: one row per boundary day in the time span
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["n_open"] = daily["dn"].cumsum().astype(np.int64)
+    return daily[["day", "n_open"]]
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8562,6 +8674,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "ner_span_length_profile": q_ner_span_length_profile,
+        "orders_backlog_timeseries": q_orders_backlog_timeseries,
         "new_users_daily": q_new_users_daily,
         "retrieval_rank_agreement": q_retrieval_rank_agreement,
         "kg_functional_violations": q_kg_functional_violations,
@@ -9544,6 +9658,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
     return {
+        "ner_span_length_profile": (
+            "SELECT label, "
+            "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) "
+            "AS n_words, CAST(count(*) AS BIGINT) AS n_mentions "
+            f"FROM read_parquet('{mentions_glob}') "
+            "GROUP BY 1, 2"
+        ),
+        "orders_backlog_timeseries": (
+            "WITH s AS (SELECT l_orderkey, max(l_shipdate) AS last "
+            "FROM lineitem GROUP BY 1), "
+            "o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d0, "
+            "epoch_us(last) // 86400000000 + 1 AS d1 FROM orders "
+            "JOIN s ON l_orderkey = o_orderkey), "
+            "b AS (SELECT d0 AS day, 1 AS delta FROM o "
+            "UNION ALL SELECT d1, -1 FROM o), "
+            "g AS (SELECT day, sum(delta) AS dn FROM b GROUP BY 1) "
+            "SELECT CAST(day AS BIGINT) AS day, "
+            "CAST(sum(dn) OVER (ORDER BY day) AS BIGINT) AS n_open FROM g"
+        ),
         "new_users_daily": (
             "WITH f AS (SELECT user_id, "
             "min(epoch_us(ts) // 86400000000) AS day FROM events "

@@ -86,8 +86,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
     # warm the registry's shared KG checkpoint (untimed): the KG-derived
     # queries read /tmp/kgray_out/<corpus>; without this the FIRST such
     # query absorbs a whole pipeline build into its own timing (r4l:
-    # kg_entity_cards read 15.9 s when the operator itself costs ~4 s)
-    q._run_kg(sf_dir)
+    # kg_entity_cards read 15.9 s when the operator itself costs ~4 s).
+    # Skipped with the secondary queries — the scaling children time
+    # only the headline pipeline and must not pay an extra build.
+    if not os.environ.get("KGRAY_SKIP_SECONDARY"):
+        q._run_kg(sf_dir)
 
     def timed(name, fn):
         t = time.perf_counter()
@@ -317,6 +320,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("kg_functional_violations", q.q_kg_functional_violations)
         timed("ner_span_length_profile", q.q_ner_span_length_profile)
         timed("orders_backlog_timeseries", q.q_orders_backlog_timeseries)
+        timed("part_pair_lift", q.q_part_pair_lift)
+        timed("hub_clustering_coeffs", q.q_hub_clustering_coeffs)
+        timed("kg_edges_sort_audit", q.q_kg_edges_sort_audit)
 
     result = {
         "metric": "kg_pipeline_e2e",

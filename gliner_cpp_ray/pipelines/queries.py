@@ -8663,6 +8663,294 @@ def q_orders_backlog_timeseries(sf_dir: str):
     return daily[["day", "n_open"]]
 
 
+def q_part_pair_lift(sf_dir: str):
+    """Co-purchase LIFT: for each frequent part pair, the association
+    strength lift = P(a,b) / (P(a)·P(b)) in exact ppm — the
+    normalization that separates 'bought together because both are
+    popular' from real affinity.  Scale shape: pair supports come from
+    the basket-pair machinery (per-batch distinct combiner, one
+    basket-hash exchange); per-part basket counts are ONE part-keyed
+    bucketed count over the same distinct pairs; two part-keyed
+    bucketed joins attach them; the basket total is one scalar.
+    Integer-exact: lift_ppm = n_ab·N·10^6 // (n_a·n_b) — numerator
+    int64-safe while n_ab·N < 9.2·10^12 (documented: holds through
+    ~sf 10^3 at TPC-H pair densities)."""
+    from gliner_cpp_ray.stages.cooccur import basket_pair_counts
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    nb = _join_buckets(sf_dir, "lineitem") // 4 or None
+    base = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "basket": t.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "part": t.column("l_partkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            ).drop_duplicates(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    # distinct (basket, part) rows — the shared base for pair counts,
+    # per-part counts and the basket total
+    distinct = bucketed_group_agg(
+        base, ["basket", "part"], "count", out_col="m", n_buckets=nb,
+    ).map_batches(
+        lambda t: t.select(["basket", "part"]), batch_format="pyarrow"
+    ).materialize()
+
+    n_baskets = int(
+        bucketed_group_agg(
+            distinct.map_batches(
+                lambda t: t.select(["basket"]), batch_format="pyarrow"
+            ),
+            "basket", "count", out_col="m", n_buckets=nb,
+        ).count()
+    )
+    per_part = bucketed_group_agg(
+        distinct.map_batches(
+            lambda t: t.select(["part"]), batch_format="pyarrow"
+        ),
+        "part", "count", out_col="c", n_buckets=nb,
+    )
+    pairs = basket_pair_counts(distinct, "basket", "part", min_support=2)
+    # pairs: (part_a, part_b, n) — attach per-part counts with two joins
+    pa_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("n_ab", pa.int64())]
+    )
+    pairs = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "part_a": t.column("part_a"),
+                "part_b": t.column("part_b"),
+                "n_ab": t.column("n"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        pairs,
+        per_part.map_batches(
+            lambda t: pa.table(
+                {"part_a": t.column("part"), "ca": t.column("c")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="part_a", n_buckets=nb,
+        left_schema=pa_schema,
+        right_schema=pa.schema([("part_a", pa.int64()), ("ca", pa.int64())]),
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        per_part.map_batches(
+            lambda t: pa.table(
+                {"part_b": t.column("part"), "cb": t.column("c")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="part_b", n_buckets=nb,
+        left_schema=pa.schema(
+            list(pa_schema) + [pa.field("ca", pa.int64())]
+        ),
+        right_schema=pa.schema([("part_b", pa.int64()), ("cb", pa.int64())]),
+    )
+    return j2.map_batches(
+        lambda t: pa.table(
+            {
+                "part_a": t.column("part_a"),
+                "part_b": t.column("part_b"),
+                "n_ab": t.column("n_ab"),
+                "lift_ppm": pc.cast(
+                    pc.divide(
+                        pc.multiply(
+                            t.column("n_ab"),
+                            pa.scalar(n_baskets * 1_000_000, pa.int64()),
+                        ),
+                        pc.multiply(t.column("ca"), t.column("cb")),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_hub_clustering_coeffs(sf_dir: str):
+    """Local clustering coefficients for the top-20 link-graph hubs:
+    per hub, its undirected degree, possible wedges deg·(deg−1)/2 and
+    CLOSED wedges (edges between its neighbors) — 'do hub neighbors
+    interlink' is the community-structure probe a global triangle
+    count can't localize.  Scale shape: the distinct undirected edge
+    table is edge-bounded; hub selection is the tasks×k-bounded global
+    top-k; the 20 hub NEIGHBOR SETS broadcast (driver bound Σ deg(h),
+    stated), and closed wedges count MAP-SIDE per edge block with one
+    sorted-membership test per hub — the edge table is scanned once,
+    nothing reshuffles."""
+    import ray
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    edges, _ = _link_graph(sf_dir)
+    und = edges.map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": np.minimum(
+                        t.column("src_id").to_numpy(zero_copy_only=False),
+                        t.column("dst_id").to_numpy(zero_copy_only=False),
+                    ),
+                    "b": np.maximum(
+                        t.column("src_id").to_numpy(zero_copy_only=False),
+                        t.column("dst_id").to_numpy(zero_copy_only=False),
+                    ),
+                }
+            ).query("a != b").drop_duplicates(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    und = bucketed_group_agg(
+        und, ["a", "b"], "count", out_col="m",
+    ).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()  # distinct undirected edges; consumed three times
+
+    deg = bucketed_group_agg(
+        und.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("a").combine_chunks(),
+                            t.column("b").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", "count", out_col="deg", n_buckets=8,
+    )
+    hubs = global_top_k(deg, "deg", "node", k=20).to_pandas()  # k-bounded
+    hub_ids = hubs["node"].to_numpy(np.int64)
+
+    # neighbor sets of the 20 hubs: bounded by Σ deg(hub) — collected
+    # once and broadcast to every edge task
+    def hub_pairs(t: pa.Table, hub_ids=hub_ids) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "hub": np.concatenate([a, b]),
+                "nb": np.concatenate([b, a]),
+            }
+        )
+        df = df[np.isin(df["hub"].to_numpy(), hub_ids)]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    nbr = und.map_batches(hub_pairs, batch_format="pyarrow").to_pandas()
+    nbr_sets = {
+        int(h): np.sort(g["nb"].to_numpy(np.int64))
+        for h, g in nbr.groupby("hub")
+    }
+    sets_ref = ray.put(nbr_sets)
+
+    def closed_partial(t: pa.Table) -> pa.Table:
+        sets = ray.get(sets_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        hs, ns = [], []
+        for h, s in sets.items():
+            ia = s[np.searchsorted(s, a) % max(1, len(s))] == a
+            ib = s[np.searchsorted(s, b) % max(1, len(s))] == b
+            hs.append(h)
+            ns.append(int((ia & ib).sum()))
+        return pa.table(
+            {
+                "node_id": pa.array(np.asarray(hs, np.int64)),
+                "n_closed": pa.array(np.asarray(ns, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    closed = (
+        und.map_batches(closed_partial, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Sum("n_closed", alias_name="n_closed"))
+        .to_pandas()  # 20 rows
+    )
+    out = hubs.rename(columns={"node": "node_id"}).merge(
+        closed, on="node_id", how="left"
+    )
+    out["n_closed"] = out["n_closed"].fillna(0).astype(np.int64)
+    out["n_wedges"] = (out["deg"] * (out["deg"] - 1) // 2).astype(np.int64)
+    return out[["node_id", "deg", "n_wedges", "n_closed"]]
+
+
+def q_kg_edges_sort_audit(sf_dir: str):
+    """Sorted-sink audit of the edges output: per Parquet file (in
+    lexicographic path order), its row count, whether subj_canon is
+    sorted WITHIN the file, and whether the file starts at or after the
+    previous file's maximum — together these verify the B13 global-
+    sort contract from the FILES alone, the check a resumable run does
+    before trusting partial output.  Scale shape: one task per file
+    (the file list distributes, never the rows to the driver); the
+    cross-file boundary check runs on the file-bounded (min, max)
+    table."""
+    import ray.data as rd
+
+    _, out = _run_kg(sf_dir)
+    root = os.path.join(out, "edges")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, names in os.walk(root)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+    def stats(batch: dict) -> dict:
+        outc = {"path": [], "n_rows": [], "is_sorted": [],
+                "mn": [], "mx": []}
+        for p in batch["path"]:
+            col = pq.read_table(p, columns=["subj_canon"]).column(
+                "subj_canon"
+            )
+            v = col.to_pandas().to_numpy()
+            outc["path"].append(p)
+            outc["n_rows"].append(len(v))
+            outc["is_sorted"].append(
+                int(bool((v[:-1] <= v[1:]).all())) if len(v) else 1
+            )
+            outc["mn"].append(v[0] if len(v) else "")
+            outc["mx"].append(v[-1] if len(v) else "")
+        return outc
+
+    per_file = (
+        rd.from_items([{"path": p} for p in files])
+        .map_batches(stats)
+        .to_pandas()  # file-bounded
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    prev_mx = per_file["mx"].shift(1).fillna("")  # "" <= any string
+    per_file["starts_after_prev"] = np.where(
+        per_file["mn"] >= prev_mx, 1, 0
+    ).astype(np.int64)
+    per_file["file_idx"] = np.arange(len(per_file), dtype=np.int64)
+    per_file["n_rows"] = per_file["n_rows"].astype(np.int64)
+    per_file["is_sorted"] = per_file["is_sorted"].astype(np.int64)
+    return per_file[["file_idx", "n_rows", "is_sorted", "starts_after_prev"]]
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8674,6 +8962,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "part_pair_lift": q_part_pair_lift,
+        "hub_clustering_coeffs": q_hub_clustering_coeffs,
+        "kg_edges_sort_audit": q_kg_edges_sort_audit,
         "ner_span_length_profile": q_ner_span_length_profile,
         "orders_backlog_timeseries": q_orders_backlog_timeseries,
         "new_users_daily": q_new_users_daily,
@@ -9657,7 +9948,70 @@ def oracle_sql_for_corpus(corpus_dir: str):
     expected_glob = os.path.join(corpus_dir, "expected_triples", "*.parquet")
     mentions_glob = os.path.join(corpus_dir, "expected_mentions", "*.parquet")
     endpoints_glob = os.path.join(corpus_dir, "expected_endpoints", "*.parquet")
+    edges_glob = os.path.join(
+        _kg_out(corpus_dir), "edges", "**", "*.parquet"
+    )
     return {
+        "part_pair_lift": (
+            "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM b), "
+            "pcount AS (SELECT l_partkey, count(*) AS c FROM b "
+            "GROUP BY 1), "
+            "p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, "
+            "count(*) AS n_ab FROM b a JOIN b c USING (l_orderkey) "
+            "WHERE a.l_partkey < c.l_partkey GROUP BY 1, 2) "
+            "SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST(n_ab * (SELECT n FROM nb) * 1000000 // (ca.c * cb.c) "
+            "AS BIGINT) AS lift_ppm "
+            "FROM p JOIN pcount ca ON ca.l_partkey = part_a "
+            "JOIN pcount cb ON cb.l_partkey = part_b WHERE n_ab >= 2"
+        ),
+        "hub_clustering_coeffs": (
+            "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS id, decode(html) AS s "
+            f"FROM read_parquet('{pages_glob}')), "
+            "l AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) "
+            "AS t(u)), "
+            "und AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM l WHERE src <> dst), "
+            "deg AS (SELECT node, count(*) AS deg FROM ("
+            "SELECT a AS node FROM und UNION ALL SELECT b AS node "
+            "FROM und) GROUP BY 1), "
+            "hubs AS (SELECT node, deg FROM deg "
+            "ORDER BY deg DESC, node LIMIT 20), "
+            "nbr AS (SELECT hb.node AS hub, CASE WHEN u.a = hb.node "
+            "THEN u.b ELSE u.a END AS nb FROM hubs hb JOIN und u "
+            "ON u.a = hb.node OR u.b = hb.node), "
+            "closed AS (SELECT n1.hub, count(*) AS n_closed FROM nbr n1 "
+            "JOIN nbr n2 ON n1.hub = n2.hub AND n1.nb < n2.nb "
+            "JOIN und e ON e.a = n1.nb AND e.b = n2.nb GROUP BY 1) "
+            "SELECT hb.node AS node_id, CAST(hb.deg AS BIGINT) AS deg, "
+            "CAST(hb.deg * (hb.deg - 1) // 2 AS BIGINT) AS n_wedges, "
+            "CAST(coalesce(c.n_closed, 0) AS BIGINT) AS n_closed "
+            "FROM hubs hb LEFT JOIN closed c ON c.hub = hb.node"
+        ),
+        "kg_edges_sort_audit": (
+            "WITH r AS (SELECT filename, file_row_number AS rn, "
+            "subj_canon FROM read_parquet("
+            f"'{edges_glob}', filename=true, file_row_number=true)), "
+            "w AS (SELECT filename, subj_canon, lag(subj_canon) OVER ("
+            "PARTITION BY filename ORDER BY rn) AS prev FROM r), "
+            "f AS (SELECT filename, count(*) AS n_rows, "
+            "min(subj_canon) AS mn, max(subj_canon) AS mx, "
+            "min(CASE WHEN prev IS NULL OR subj_canon >= prev "
+            "THEN 1 ELSE 0 END) AS is_sorted FROM w GROUP BY 1), "
+            "o AS (SELECT row_number() OVER (ORDER BY filename) - 1 "
+            "AS file_idx, n_rows, is_sorted, mn, "
+            "coalesce(lag(mx) OVER (ORDER BY filename), '') AS pmx "
+            "FROM f) "
+            "SELECT CAST(file_idx AS BIGINT) AS file_idx, "
+            "CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(is_sorted AS BIGINT) AS is_sorted, "
+            "CAST(CASE WHEN mn >= pmx THEN 1 ELSE 0 END AS BIGINT) "
+            "AS starts_after_prev FROM o"
+        ),
         "ner_span_length_profile": (
             "SELECT label, "
             "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) "

@@ -323,6 +323,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("part_pair_lift", q.q_part_pair_lift)
         timed("hub_clustering_coeffs", q.q_hub_clustering_coeffs)
         timed("kg_edges_sort_audit", q.q_kg_edges_sort_audit)
+        timed("dedup_normalized_docs", q.q_dedup_normalized_docs)
+        timed("host_mention_density", q.q_host_mention_density)
+        timed("events_peak_5min", q.q_events_peak_5min)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -8343,6 +8343,17 @@ def q_orders_partition_checksums(sf_dir: str):
     nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "orders")))
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # flatnonzero([True]) would index into it
+            return add_group_bucket(
+                pa.table(
+                    {
+                        "part_id": pa.array([], pa.int64()),
+                        "n_rows": pa.array([], pa.int64()),
+                        "checksum": pa.array([], pa.int64()),
+                    }
+                ),
+                ["part_id"], nb,
+            )
         df = t.to_pandas()
         s = (
             df["o_orderkey"].astype(str)
@@ -8951,6 +8962,226 @@ def q_kg_edges_sort_audit(sf_dir: str):
     return per_file[["file_idx", "n_rows", "is_sorted", "starts_after_prev"]]
 
 
+def q_dedup_normalized_docs(sf_dir: str):
+    """Normalization-aware exact dedup: duplicate groups under
+    (lowercase + whitespace-collapse + edge-trim) — the cheap
+    canonicalization pass that catches trivially-reformatted copies
+    byte-exact dedup misses, run BEFORE the expensive near-dup
+    machinery.  The documents table carries no such copies, so the
+    query unions in a DETERMINISTIC perturbed replica of every 10th
+    doc (uppercased + trailing double space, id offset 10^9 — the
+    synthetic-fixture pattern the multimodal ops established): the
+    result must be exactly one group per perturbed doc with the
+    ORIGINAL id as keeper, which hash-verifies the normalization
+    semantics end-to-end (the corpus is case-roundtrip-stable: no
+    ß/İ-style characters, checked).  Scale shape: normalization + md5
+    digests are map-side; one hash-keyed bucketed group pass computes
+    (min keeper, count); singleton groups drop map-side after the
+    reduce."""
+    import hashlib
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    OFFSET = 1_000_000_000
+
+    def norm_hash(t: pa.Table, perturb: bool) -> pa.Table:
+        if perturb:
+            ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids_np % 10 == 0))
+            ids = pc.add(t.column("doc_id"), pa.scalar(OFFSET, pa.int64()))
+            txt = pc.binary_join_element_wise(
+                pc.utf8_upper(t.column("text")), "  ", ""
+            )
+        else:
+            ids = t.column("doc_id")
+            txt = t.column("text")
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(txt), r"\s+", " "
+        )
+        norm = pc.replace_substring_regex(norm, r"^ | $", "")
+        hs = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in norm.to_pylist()
+        ]
+        return pa.table(
+            {
+                "norm_hash": pa.array(hs, pa.string()),
+                "doc_id": ids,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    both = ds.map_batches(
+        lambda t: norm_hash(t, False), batch_format="pyarrow"
+    ).union(
+        ds.map_batches(lambda t: norm_hash(t, True), batch_format="pyarrow")
+    )
+    groups = bucketed_group_agg(
+        both,
+        "norm_hash",
+        specs=[("min", "doc_id", "keeper_doc_id"), ("count", None, "n_docs")],
+        n_buckets=_join_buckets(sf_dir, "documents"),
+    )
+    return groups.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_docs"), pa.scalar(2, pa.int64()))
+        ).select(["norm_hash", "keeper_doc_id", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_host_mention_density(sf_dir: str):
+    """Entity-mention density per host over English pages: docs,
+    whitespace tokens, NER mentions and mentions-per-million-tokens —
+    the crawl-quality signal ranking which hosts actually yield
+    knowledge per byte.  Scale shape: both sides reduce MAP-SIDE to
+    host-keyed partials (hosts are corpus-bounded dimensions); the
+    join and density arithmetic run on the host-bounded tables."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    corpus = _corpus(sf_dir)
+    _, out = _run_kg(sf_dir)
+
+    def page_partials(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("lang"), "en")
+        sub = pa.table(
+            {"url": t.column("url"), "text": t.column("text")}
+        ).filter(keep)
+        host = pc.extract_regex(
+            sub.column("url"), r"^https://(?P<h>[^/]+)/"
+        )
+        trimmed = pc.replace_substring_regex(
+            sub.column("text"), r"^\s+|\s+$", ""
+        )
+        n_tok = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.list_value_length(
+                pc.split_pattern_regex(trimmed, r"\s+")
+            ).cast(pa.int64()),
+        )
+        return pa.table(
+            {
+                "host": pc.struct_field(host, "h"),
+                "n_docs": pa.array(np.ones(sub.num_rows, np.int64)),
+                "n_tokens": n_tok,
+            }
+        )
+
+    pages = (
+        rd.read_parquet(
+            os.path.join(corpus, "pages"), columns=["url", "text", "lang"]
+        )
+        .map_batches(page_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()  # host-bounded
+    )
+
+    def mention_partials(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(
+            t.column("url"), r"^https://(?P<h>[^/]+)/"
+        )
+        return pa.table(
+            {
+                "host": pc.struct_field(host, "h"),
+                "n_mentions": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    mentions = (
+        _read_out(out, "mentions")
+        .select_columns(["url"])
+        .map_batches(mention_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .to_pandas()  # host-bounded
+    )
+    m = pages.merge(mentions, on="host", how="left")
+    m["n_mentions"] = m["n_mentions"].fillna(0).astype(np.int64)
+    m["density_ppm"] = np.where(
+        m["n_tokens"] > 0,
+        m["n_mentions"] * 1_000_000 // np.maximum(1, m["n_tokens"]),
+        0,
+    ).astype(np.int64)
+    return m[["host", "n_docs", "n_tokens", "n_mentions", "density_ppm"]]
+
+
+def q_events_peak_5min(sf_dir: str):
+    """Peak 5-minute burst: the event-anchored window [t, t+300 s)
+    containing the most events (tie → earliest anchor) — the incident
+    headline 'when was load worst', EXACT at any scale via HALO
+    partitioning: events bucket by DAY, each bucket also receives a
+    copy of the next day's first 300 s (the ghost cells), so every
+    anchor's full window is local; per bucket one sort + two
+    searchsorted passes count all windows, one candidate row per
+    bucket survives, and the driver picks the global (max n, min t).
+    The quadratic self-join the SQL twin runs is exactly what this
+    shape avoids."""
+    DAY_US = 86_400_000_000
+    SPAN_US = 300 * 1_000_000
+
+    def emit(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        anchor = np.ones(len(us), bool)
+        # halo copy: events within SPAN of their day's start also serve
+        # the PREVIOUS day's anchors (counted there, never anchored)
+        halo_mask = (us - day * DAY_US) < SPAN_US
+        h_us = us[halo_mask]
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([day, day[halo_mask] - 1])),
+                "us": pa.array(np.concatenate([us, h_us])),
+                "is_anchor": pa.array(
+                    np.concatenate(
+                        [anchor, np.zeros(halo_mask.sum(), bool)]
+                    )
+                ),
+            }
+        )
+
+    def best_per_day(g: pd.DataFrame) -> pa.Table:
+        us = np.sort(g["us"].to_numpy(np.int64))
+        anchors = np.sort(
+            g.loc[g["is_anchor"], "us"].to_numpy(np.int64)
+        )
+        if not len(anchors):
+            return pa.table(
+                {
+                    "window_start_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        n = (
+            np.searchsorted(us, anchors + SPAN_US, side="left")
+            - np.searchsorted(us, anchors, side="left")
+        )
+        best = int(np.lexsort((anchors, -n))[0])
+        return pa.table(
+            {
+                "window_start_us": pa.array([int(anchors[best])], pa.int64()),
+                "n_events": pa.array([int(n[best])], pa.int64()),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(best_per_day, batch_format="pandas")
+        .to_pandas()  # one row per day — time-span bounded
+    )
+    cand = cand.sort_values(
+        ["n_events", "window_start_us"], ascending=[False, True]
+    )
+    return cand.head(1).reset_index(drop=True)
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -8962,6 +9193,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "dedup_normalized_docs": q_dedup_normalized_docs,
+        "host_mention_density": q_host_mention_density,
+        "events_peak_5min": q_events_peak_5min,
         "part_pair_lift": q_part_pair_lift,
         "hub_clustering_coeffs": q_hub_clustering_coeffs,
         "kg_edges_sort_audit": q_kg_edges_sort_audit,
@@ -9952,6 +10186,49 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "dedup_normalized_docs": (
+            "WITH u AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000000, upper(text) || '  ' "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "n AS (SELECT doc_id, md5(regexp_replace("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g'), "
+            "'^ | $', '', 'g')) AS norm_hash FROM u), "
+            "g AS (SELECT norm_hash, min(doc_id) AS keeper_doc_id, "
+            "count(*) AS n_docs FROM n GROUP BY 1) "
+            "SELECT norm_hash, CAST(keeper_doc_id AS BIGINT) "
+            "AS keeper_doc_id, CAST(n_docs AS BIGINT) AS n_docs "
+            "FROM g WHERE n_docs >= 2"
+        ),
+        "host_mention_density": (
+            "WITH p AS (SELECT "
+            "regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t "
+            f"FROM read_parquet('{pages_glob}') WHERE lang = 'en'), "
+            "ph AS (SELECT host, count(*) AS n_docs, "
+            "sum(CASE WHEN t = '' THEN 0 ELSE "
+            "len(string_split_regex(t, '\\s+')) END) AS n_tokens "
+            "FROM p GROUP BY 1), "
+            "mh AS (SELECT "
+            "regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
+            f"count(*) AS n_mentions FROM read_parquet('{mentions_glob}') "
+            "GROUP BY 1) "
+            "SELECT ph.host, CAST(ph.n_docs AS BIGINT) AS n_docs, "
+            "CAST(ph.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(mh.n_mentions, 0) AS BIGINT) AS n_mentions, "
+            "CAST(CASE WHEN ph.n_tokens > 0 THEN "
+            "coalesce(mh.n_mentions, 0) * 1000000 // "
+            "greatest(1, ph.n_tokens) ELSE 0 END AS BIGINT) "
+            "AS density_ppm FROM ph LEFT JOIN mh USING (host)"
+        ),
+        "events_peak_5min": (
+            "WITH e AS (SELECT epoch_us(ts) AS t FROM events), "
+            "c AS (SELECT a.t AS anchor, count(*) AS n FROM e a "
+            "JOIN e b ON b.t >= a.t AND b.t < a.t + 300000000 "
+            "GROUP BY 1) "
+            "SELECT CAST(anchor AS BIGINT) AS window_start_us, "
+            "CAST(n AS BIGINT) AS n_events FROM c "
+            "ORDER BY n DESC, anchor LIMIT 1"
+        ),
         "part_pair_lift": (
             "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey "
             "FROM lineitem), "

@@ -326,6 +326,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("dedup_normalized_docs", q.q_dedup_normalized_docs)
         timed("host_mention_density", q.q_host_mention_density)
         timed("events_peak_5min", q.q_events_peak_5min)
+        timed("kg_entity_alias_recall", q.q_kg_entity_alias_recall)
+        timed("embedding_norm_topk", q.q_embedding_norm_topk)
+        timed("orders_octile_revenue", q.q_orders_octile_revenue)
 
     result = {
         "metric": "kg_pipeline_e2e",

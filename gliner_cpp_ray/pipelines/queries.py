@@ -9182,6 +9182,120 @@ def q_events_peak_5min(sf_dir: str):
     return cand.head(1).reset_index(drop=True)
 
 
+def q_kg_entity_alias_recall(sf_dir: str):
+    """Alias-dictionary recall: per canonical entity, how many of its
+    KNOWN (unambiguous) alias surfaces the crawl actually produced —
+    the dictionary-QA report that says which aliases are dead weight
+    and which entities are under-covered.  Ambiguous surfaces are
+    excluded on both engines (they map to >1 canon; same rule as the
+    ambiguity report).  Scale shape: the corpus pass is one distinct
+    (surface, label) bucketed group over mentions; everything after is
+    vocabulary-bounded (the alias dictionary), the same boundary the
+    canonicalization stage states."""
+    from gliner_cpp_ray.sources import world
+    from gliner_cpp_ray.sources.pages import is_ambiguous_surface
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    _, out = _run_kg(sf_dir)
+    mentions = _read_out(out, "mentions").select_columns(["text", "label"])
+    seen_pairs = bucketed_group_agg(
+        mentions, ["text", "label"], "count", out_col="m",
+    ).to_pandas()  # vocabulary-bounded: distinct (surface, label) pairs
+
+    known: dict[tuple[str, str], set] = {}
+    surface_to_canon: dict[tuple[str, str], str] = {}
+    for lbl, entries in world.all_surfaces().items():
+        for surface, canon, _qid in entries:
+            if is_ambiguous_surface(surface, lbl):
+                continue
+            known.setdefault((lbl, canon), set()).add(surface)
+            surface_to_canon[(surface, lbl)] = canon
+
+    seen: dict[tuple[str, str], set] = {}
+    for text, lbl in zip(seen_pairs["text"], seen_pairs["label"]):
+        canon = surface_to_canon.get((text, lbl))
+        if canon is not None:
+            seen.setdefault((lbl, canon), set()).add(text)
+
+    rows = []
+    for (lbl, canon), surfaces in sorted(known.items()):
+        n_known = len(surfaces)
+        n_seen = len(seen.get((lbl, canon), ()))
+        rows.append(
+            (lbl, canon, n_known, n_seen, n_seen * 1_000_000 // n_known)
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=["label", "canon_id", "n_known", "n_seen", "coverage_ppm"],
+    )
+    for c in ("n_known", "n_seen", "coverage_ppm"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def q_embedding_norm_topk(sf_dir: str):
+    """Vector-QA: the 10 embeddings with the largest squared L2 norm
+    (micro²-exact int64; norm outliers are the classic bad-embedding /
+    exploding-encoder signal caught before they poison ANN scores).
+    One vectorized map computes per-vector norms; the global top-k
+    combiner bounds everything after at tasks × k rows."""
+    from gliner_cpp_ray.stages.skew import global_top_k
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id")
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy())
+        q = np.floor(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {"vec_id": vid, "norm2_micro2": pa.array((q * q).sum(axis=1))}
+        )
+
+    return global_top_k(
+        ds.map_batches(norms, batch_format="pyarrow"),
+        "norm2_micro2", "vec_id", k=10,
+    )
+
+
+def q_orders_octile_revenue(sf_dir: str):
+    """Banded revenue rollup over the equi-depth octile plan: classify
+    every order into its price band (band = number of split points
+    strictly below the price) and roll up count + revenue per band —
+    the query that CONSUMES the range-partitioner bounds, closing the
+    plan→execute loop.  The 7 bounds broadcast in the task closure;
+    banding is one searchsorted per batch; the rollup is 8 rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda t: pa.table({"price_micro": _micro(t.column("o_totalprice"))}),
+        batch_format="pyarrow",
+    ).materialize()  # refinement rounds + the banding pass
+    n = ds.count()
+    ranks = [i * n // 8 for i in range(1, 8)]
+    bounds = np.asarray(
+        exact_multi_order_statistic(ds, "price_micro", ranks), np.int64
+    )
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t.column("price_micro").to_numpy(zero_copy_only=False)
+        # count of bounds strictly below v == searchsorted side='left'
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return pa.table(
+            {"band_idx": pa.array(b), "price_micro": t.column("price_micro")}
+        )
+
+    return (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby("band_idx")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_micro", alias_name="revenue_micro"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9193,6 +9307,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_entity_alias_recall": q_kg_entity_alias_recall,
+        "embedding_norm_topk": q_embedding_norm_topk,
+        "orders_octile_revenue": q_orders_octile_revenue,
         "dedup_normalized_docs": q_dedup_normalized_docs,
         "host_mention_density": q_host_mention_density,
         "events_peak_5min": q_events_peak_5min,
@@ -10144,6 +10261,42 @@ def _sssp_sql(pages_glob: str, n_hosts: int, rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _alias_recall_sql(mentions_glob: str) -> str:
+    """Oracle for kg_entity_alias_recall: the unambiguous alias
+    dictionary inlines as VALUES (same derivation as the Ray side and
+    the ambiguity report's oracle); the only corpus-sized input is the
+    distinct-mentions scan."""
+    from gliner_cpp_ray.sources import world
+    from gliner_cpp_ray.sources.pages import is_ambiguous_surface
+
+    rows, seen = [], set()
+    for lbl, entries in sorted(world.all_surfaces().items()):
+        for surface, canon, _qid in entries:
+            if (surface, lbl) in seen or is_ambiguous_surface(surface, lbl):
+                continue
+            seen.add((surface, lbl))
+            esc_s = surface.replace("'", "''")
+            esc_c = canon.replace("'", "''")
+            rows.append(f"('{esc_s}', '{lbl}', '{esc_c}')")
+    vals = ", ".join(sorted(rows))
+    return (
+        f"WITH al(surface, label, canon_id) AS (VALUES {vals}), "
+        "kn AS (SELECT label, canon_id, count(DISTINCT surface) "
+        "AS n_known FROM al GROUP BY 1, 2), "
+        "sp AS (SELECT DISTINCT mm.text, mm.label "
+        f"FROM read_parquet('{mentions_glob}') mm), "
+        "sn AS (SELECT a.label, a.canon_id, "
+        "count(DISTINCT a.surface) AS n_seen FROM sp JOIN al a "
+        "ON a.surface = sp.text AND a.label = sp.label GROUP BY 1, 2) "
+        "SELECT kn.label, kn.canon_id, "
+        "CAST(kn.n_known AS BIGINT) AS n_known, "
+        "CAST(coalesce(sn.n_seen, 0) AS BIGINT) AS n_seen, "
+        "CAST(coalesce(sn.n_seen, 0) * 1000000 // kn.n_known AS BIGINT) "
+        "AS coverage_ppm FROM kn LEFT JOIN sn "
+        "ON sn.label = kn.label AND sn.canon_id = kn.canon_id"
+    )
+
+
 def _ambiguous_sql(mentions_glob: str) -> str:
     """Oracle for kg_ambiguous_surfaces: the ambiguous (surface, label)
     set is ontology-bounded and derives deterministically from the SAME
@@ -10186,6 +10339,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "kg_entity_alias_recall": _alias_recall_sql(mentions_glob),
+        "embedding_norm_topk": (
+            "WITH ev AS (SELECT vec_id, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS x FROM embeddings), "
+            "s AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) "
+            "AS norm2_micro2 FROM ev GROUP BY 1) "
+            "SELECT vec_id, norm2_micro2 FROM s "
+            "ORDER BY norm2_micro2 DESC, vec_id LIMIT 10"
+        ),
+        "orders_octile_revenue": (
+            "WITH t AS (SELECT "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v "
+            "FROM orders), "
+            "c AS (SELECT count(*) AS n FROM t), "
+            "o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r "
+            "FROM t), "
+            "ix(i) AS (VALUES (1), (2), (3), (4), (5), (6), (7)), "
+            "bd AS (SELECT o.v AS b FROM ix JOIN o "
+            "ON o.r = ix.i * (SELECT n FROM c) // 8) "
+            "SELECT CAST((SELECT count(*) FROM bd WHERE b < t.v) "
+            "AS BIGINT) AS band_idx, CAST(count(*) AS BIGINT) "
+            "AS n_orders, CAST(sum(t.v) AS BIGINT) AS revenue_micro "
+            "FROM t GROUP BY 1"
+        ),
         "dedup_normalized_docs": (
             "WITH u AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000000, upper(text) || '  ' "

@@ -329,6 +329,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("kg_entity_alias_recall", q.q_kg_entity_alias_recall)
         timed("embedding_norm_topk", q.q_embedding_norm_topk)
         timed("orders_octile_revenue", q.q_orders_octile_revenue)
+        timed("orderkey_islands", q.q_orderkey_islands)
+        timed("kg_orphan_nodes", q.q_kg_orphan_nodes)
 
     result = {
         "metric": "kg_pipeline_e2e",

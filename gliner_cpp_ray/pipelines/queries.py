@@ -9296,6 +9296,146 @@ def q_orders_octile_revenue(sf_dir: str):
     )
 
 
+def q_orderkey_islands(sf_dir: str):
+    """Gaps-and-islands over the orderkey sequence: the histogram of
+    contiguous-key run lengths — the id-space fragmentation report
+    (allocation patterns, tombstone density, partition-pruning
+    potential).  Distributed without the classic row_number trick's
+    global sort of the DATA: each key emits (k, self), (k+1, prev),
+    (k−1, next) tags; one key-bucketed group pass flags island STARTS
+    (self ∧ ¬prev) and ENDS (self ∧ ¬next); the i-th start pairs with
+    the i-th end, so both tiny tables get exact global ranks via the
+    two-level value-range scan and ONE rank-keyed join yields run
+    lengths; the histogram is a bounded rollup."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+    from gliner_cpp_ray.stages.packing import global_order_rank
+
+    def tags(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(k)
+        z = np.zeros(n, np.int64)
+        o = np.ones(n, np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k, k + 1, k - 1])),
+                "s": pa.array(np.concatenate([o, z, z])),
+                "p": pa.array(np.concatenate([z, o, z])),
+                "nx": pa.array(np.concatenate([z, z, o])),
+            }
+        )
+
+    nb = _join_buckets(sf_dir, "orders")
+    # the raw orderkey space is dense (one island); the fragmentation
+    # question is asked of a SUBSET — here the finished ('F') orders,
+    # filtered map-side at the read
+    keys = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey")}).filter(
+            pc.equal(t.column("o_orderstatus"), "F")
+        ),
+        batch_format="pyarrow",
+    )
+    flags = bucketed_group_agg(
+        keys.map_batches(tags, batch_format="pyarrow"),
+        "k",
+        specs=[("sum", "s", "s"), ("sum", "p", "p"), ("sum", "nx", "nx")],
+        n_buckets=nb,
+    ).materialize()  # consumed twice: starts and ends
+
+    def pick(flag_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater(t.column("s"), pa.scalar(0, pa.int64())),
+                pc.equal(t.column(flag_col), pa.scalar(0, pa.int64())),
+            )
+            return pa.table({"k": t.column("k")}).filter(keep)
+
+        return fn
+
+    starts = flags.map_batches(pick("p"), batch_format="pyarrow")
+    ends = flags.map_batches(pick("nx"), batch_format="pyarrow")
+    rs, _ = global_order_rank(starts, "k", "k")
+    re_, _ = global_order_rank(ends, "k", "k")
+    joined = bucketed_hash_join(
+        rs.map_batches(
+            lambda t: pa.table(
+                {"rank": t.column("rank"), "start_k": t.column("k")}
+            ),
+            batch_format="pyarrow",
+        ),
+        re_.map_batches(
+            lambda t: pa.table(
+                {"rank": t.column("rank"), "end_k": t.column("k")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="rank", n_buckets=nb,
+        left_schema=pa.schema([("rank", pa.int64()), ("start_k", pa.int64())]),
+        right_schema=pa.schema([("rank", pa.int64()), ("end_k", pa.int64())]),
+    )
+    from ray.data.aggregate import Count
+
+    return (
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "island_len": pc.add(
+                        pc.subtract(t.column("end_k"), t.column("start_k")),
+                        pa.scalar(1, pa.int64()),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("island_len")
+        .aggregate(Count(alias_name="n_islands"))
+    )
+
+
+def q_kg_orphan_nodes(sf_dir: str):
+    """Orphan-entity audit: per label, how many canonical nodes carry
+    NO edge (mentioned in the corpus but never in a relation) — the
+    'known but factless' inventory that tells a KG product where
+    extraction coverage ends.  The edge-endpoint set is
+    ontology-bounded (one id per canonical entity; stated bound), so
+    it collects once and broadcasts; the node table flags orphans
+    map-side and the rollup is label-bounded."""
+    from ray.data.aggregate import Sum
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "obj_canon"]
+    )
+    eps = set()
+    # ontology-bounded: one entry per canonical entity with any edge
+    for t in edges.iter_batches(batch_format="pyarrow"):
+        eps.update(t.column("subj_canon").to_pylist())
+        eps.update(t.column("obj_canon").to_pylist())
+    ep_arr = pa.array(sorted(eps), pa.string())
+
+    nodes = _read_out(out, "nodes").select_columns(["canon_id", "label"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        orphan = pc.invert(pc.is_in(t.column("canon_id"), value_set=ep_arr))
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "n_nodes": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_orphans": orphan.cast(pa.int64()),
+            }
+        )
+
+    return (
+        nodes.map_batches(flag, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_nodes", alias_name="n_nodes"),
+            Sum("n_orphans", alias_name="n_orphans"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9307,6 +9447,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "orderkey_islands": q_orderkey_islands,
+        "kg_orphan_nodes": q_kg_orphan_nodes,
         "kg_entity_alias_recall": q_kg_entity_alias_recall,
         "embedding_norm_topk": q_embedding_norm_topk,
         "orders_octile_revenue": q_orders_octile_revenue,
@@ -10339,6 +10481,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "orderkey_islands": (
+            "WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "g AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp "
+            "FROM k), "
+            "i AS (SELECT count(*) AS len FROM g GROUP BY grp) "
+            "SELECT CAST(len AS BIGINT) AS island_len, "
+            "CAST(count(*) AS BIGINT) AS n_islands FROM i GROUP BY 1"
+        ),
+        "kg_orphan_nodes": (
+            "WITH m AS (SELECT canon_mention AS canon_id, label "
+            f"FROM read_parquet('{mentions_glob}')), "
+            "e AS (SELECT canon_id, label "
+            f"FROM read_parquet('{endpoints_glob}')), "
+            "nodes AS (SELECT DISTINCT canon_id, label FROM ("
+            "SELECT * FROM m UNION ALL SELECT * FROM e)), "
+            "ep AS (SELECT subj_canon AS canon_id "
+            f"FROM read_parquet('{expected_glob}') "
+            "UNION SELECT obj_canon "
+            f"FROM read_parquet('{expected_glob}')) "
+            "SELECT label, CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(CASE WHEN canon_id NOT IN "
+            "(SELECT canon_id FROM ep) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_orphans FROM nodes GROUP BY label"
+        ),
         "kg_entity_alias_recall": _alias_recall_sql(mentions_glob),
         "embedding_norm_topk": (
             "WITH ev AS (SELECT vec_id, "

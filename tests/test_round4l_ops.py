@@ -198,3 +198,102 @@ def test_multi_order_statistic_wide_domain(ray_session):
     ranks = [i * 300 // 8 for i in range(1, 8)]
     got = exact_multi_order_statistic(ds, "v", ranks)
     assert got == [int(np.sort(v)[r]) for r in ranks]
+
+
+def test_peak_window_crosses_midnight(ray_session, tmp_path):
+    """The winning 5-min window starts before a day boundary and its
+    events continue after it — only the halo (ghost-cell) copies make
+    the count exact."""
+    from gliner_cpp_ray.pipelines.queries import q_events_peak_5min
+
+    mid = pd.Timestamp("2024-01-02").value // 1000  # midnight boundary
+    # anchor 100s before midnight: window [mid-100s, mid+200s) holds 5
+    # events; any same-day-only count would see at most 2
+    ts = [
+        mid - 100 * 1_000_000,
+        mid - 50 * 1_000_000,
+        mid + 10 * 1_000_000,
+        mid + 60 * 1_000_000,
+        mid + 199 * 1_000_000,
+        # decoy cluster of 3 well inside day 1
+        mid - 40_000 * 1_000_000,
+        mid - 39_990 * 1_000_000,
+        mid - 39_980 * 1_000_000,
+    ]
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": [1] * len(ts),
+            "event_type": ["view"] * len(ts),
+        }
+    )
+    got = q_events_peak_5min(_mini_sf(tmp_path, ev))
+    assert int(got["n_events"].iloc[0]) == 5
+    assert int(got["window_start_us"].iloc[0]) == mid - 100 * 1_000_000
+
+
+def test_partition_checksums_match_direct_xor(ray_session):
+    """XOR partials merged across buckets equal a single-pass digest."""
+    import hashlib
+
+    from gliner_cpp_ray.pipelines.queries import q_orders_partition_checksums
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_orders_partition_checksums(sf)
+        .to_pandas()
+        .set_index("part_id")
+        .sort_index()
+    )
+    df = pd.read_parquet(f"{sf}/orders.parquet")
+    import pyarrow as _pa
+
+    price = (df["o_totalprice"] * 1_000_000.0).apply(np.floor).astype(np.int64)
+    ts = df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+    s = (
+        df["o_orderkey"].astype(str) + "|" + df["o_custkey"].astype(str)
+        + "|" + df["o_orderstatus"] + "|" + price.astype(str)
+        + "|" + ts.astype(str) + "|" + df["o_orderpriority"]
+    )
+    h = np.fromiter(
+        (int(hashlib.md5(x.encode()).hexdigest()[:15], 16) for x in s),
+        np.int64, len(s),
+    )
+    part = df["o_orderkey"].to_numpy() // 4096
+    want = pd.DataFrame({"p": part, "h": h}).groupby("p")["h"].agg(
+        lambda x: int(np.bitwise_xor.reduce(x.to_numpy()))
+    )
+    for p, row in got.iterrows():
+        assert row["checksum"] == want.loc[p]
+
+
+def test_islands_rank_pairing_small_case(ray_session, tmp_path):
+    """Keys {1,2,3, 7, 9,10} (status F) -> islands of len 3, 1, 2."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from gliner_cpp_ray.pipelines.queries import q_orderkey_islands
+
+    keys = [1, 2, 3, 7, 9, 10, 20]
+    status = ["F"] * 6 + ["O"]  # key 20 filtered out
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array([0] * 7, pa.int64()),
+            "o_orderstatus": pa.array(status, pa.string()),
+            "o_totalprice": pa.array([1.0] * 7, pa.float64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("1995-01-01")] * 7
+            ).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 7, pa.string()),
+        }
+    )
+    _pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    got = (
+        q_orderkey_islands(str(tmp_path))
+        .to_pandas()
+        .set_index("island_len")["n_islands"]
+        .to_dict()
+    )
+    assert got == {3: 1, 1: 1, 2: 1}

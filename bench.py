@@ -331,6 +331,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("orders_octile_revenue", q.q_orders_octile_revenue)
         timed("orderkey_islands", q.q_orderkey_islands)
         timed("kg_orphan_nodes", q.q_kg_orphan_nodes)
+        timed("link_assortativity_stats", q.q_link_assortativity_stats)
 
     result = {
         "metric": "kg_pipeline_e2e",

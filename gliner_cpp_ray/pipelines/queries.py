@@ -9436,6 +9436,93 @@ def q_kg_orphan_nodes(sf_dir: str):
     )
 
 
+def q_link_assortativity_stats(sf_dir: str):
+    """Global degree-assortativity sufficient statistics: over every
+    distinct directed edge, the exact 6-sum vector (n, Σx, Σy, Σxy,
+    Σx², Σy²) of (out-degree(src), out-degree(dst)) — the one number
+    ('do hubs link to hubs?') behind the per-node profile C190, with
+    the cross terms shipped as exact decimal strings per the Pearson
+    precedent.  Scale shape: the degree table derives once; two
+    src/dst-keyed bucketed joins attach degrees to edges (dangling
+    targets count 0); per-block int64 partials (degree² per edge —
+    documented headroom) fold to a tasks-bounded table the driver
+    finishes in Python unbounded ints."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    edges, _ = _link_graph(sf_dir)
+    ed = edges.map_batches(
+        lambda t: t.select(["src_id", "dst_id"]), batch_format="pyarrow"
+    )
+    deg = bucketed_group_agg(
+        ed.map_batches(
+            lambda t: pa.table({"node": t.column("src_id")}),
+            batch_format="pyarrow",
+        ),
+        "node", "count", out_col="deg", n_buckets=8,
+    )
+    j1 = bucketed_hash_join(
+        ed.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("src_id"), "dst_id": t.column("dst_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        deg, on="node", how="left",
+        left_schema=pa.schema([("node", pa.int64()), ("dst_id", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("dst_id"),
+                "x": pc.coalesce(t.column("deg"), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_hash_join(
+        j1, deg, on="node", how="left",
+        left_schema=pa.schema([("node", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "x": t.column("x"),
+                "y": pc.coalesce(t.column("deg"), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+            }
+        )
+
+    part = j2.map_batches(partials, batch_format="pyarrow").to_pandas()
+    vals = {
+        c: sum(int(v) for v in part[c]) for c in part.columns
+    }  # Python unbounded ints
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(vals["n"])],
+            "sum_x": [str(vals["sx"])],
+            "sum_y": [str(vals["sy"])],
+            "sum_xy": [str(vals["sxy"])],
+            "sum_xx": [str(vals["sxx"])],
+            "sum_yy": [str(vals["syy"])],
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9447,6 +9534,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "link_assortativity_stats": q_link_assortativity_stats,
         "orderkey_islands": q_orderkey_islands,
         "kg_orphan_nodes": q_kg_orphan_nodes,
         "kg_entity_alias_recall": q_kg_entity_alias_recall,
@@ -10481,6 +10569,27 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "link_assortativity_stats": (
+            "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS id, decode(html) AS s "
+            f"FROM read_parquet('{pages_glob}')), "
+            "l AS (SELECT id AS src, CAST(u AS BIGINT) AS dst FROM h, "
+            "unnest(regexp_extract_all(s, 'href=\"[^\"]*/p/(\\d+)\"', 1)) "
+            "AS t(u)), "
+            "e AS (SELECT DISTINCT src, dst FROM l), "
+            "deg AS (SELECT src AS node, count(*) AS deg FROM e "
+            "GROUP BY 1), "
+            "xy AS (SELECT coalesce(ds.deg, 0) AS x, "
+            "coalesce(dd.deg, 0) AS y FROM e "
+            "LEFT JOIN deg ds ON ds.node = e.src "
+            "LEFT JOIN deg dd ON dd.node = e.dst) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(x) AS VARCHAR) AS sum_x, "
+            "CAST(sum(y) AS VARCHAR) AS sum_y, "
+            "CAST(sum(x * y) AS VARCHAR) AS sum_xy, "
+            "CAST(sum(x * x) AS VARCHAR) AS sum_xx, "
+            "CAST(sum(y * y) AS VARCHAR) AS sum_yy FROM xy"
+        ),
         "orderkey_islands": (
             "WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders "
             "WHERE o_orderstatus = 'F'), "

@@ -332,6 +332,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("orderkey_islands", q.q_orderkey_islands)
         timed("kg_orphan_nodes", q.q_kg_orphan_nodes)
         timed("link_assortativity_stats", q.q_link_assortativity_stats)
+        timed("cms_error_report", q.q_cms_error_report)
+        timed("kg_pred_pair_counts", q.q_kg_pred_pair_counts)
 
     result = {
         "metric": "kg_pipeline_e2e",

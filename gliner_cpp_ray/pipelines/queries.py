@@ -9523,6 +9523,87 @@ def q_link_assortativity_stats(sf_dir: str):
     )
 
 
+def q_cms_error_report(sf_dir: str):
+    """Count-Min error report: per query term, the EXACT occurrence
+    count next to the sketch estimate and the overcount (est − exact,
+    ≥ 0 by the CMS one-sided guarantee) — the eval that turns 'the
+    sketch is probably fine' into a measured number, the same
+    discipline the LSH/ANN recall reports apply to their approximate
+    paths.  The exact side is one map-side token filter + term-bounded
+    rollup; the sketch side is the existing single-aggregate CMS."""
+    from ray.data.aggregate import Sum
+
+    est = _as_pandas(q_cms_term_counts(sf_dir))  # |terms| rows
+
+    tset = pa.array(sorted(set(_CMS_TERMS)), pa.string())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+        trimmed = _re2_trim(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        keep = pc.is_in(flat, value_set=tset).to_numpy(zero_copy_only=False)
+        keep &= nonempty[parents]
+        vc = pd.Series(
+            flat.to_pandas().to_numpy()[keep]
+        ).value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    exact = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="exact_n"))
+        .to_pandas()  # term-bounded
+    )
+    m = est.merge(exact, on="term", how="left")
+    m["exact_n"] = m["exact_n"].fillna(0).astype(np.int64)
+    m["over_n"] = (m["est_n"] - m["exact_n"]).astype(np.int64)
+    return m[["term", "exact_n", "est_n", "over_n"]]
+
+
+def q_kg_pred_pair_counts(sf_dir: str):
+    """Predicate co-occurrence on subjects: for each unordered
+    predicate pair, how many canonical subjects carry BOTH — the
+    schema-mining signal ('entities with a capital also export') that
+    feeds ontology design.  Distinct (subject, predicate) rows reduce
+    once, then the basket-pair machinery (subject-hash exchange,
+    per-bucket pair expansion bounded by preds-per-subject²) counts
+    pairs; output is predicate²-bounded."""
+    from gliner_cpp_ray.stages.cooccur import basket_pair_counts
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(["subj_canon", "pred"])
+    distinct = bucketed_group_agg(
+        edges, ["subj_canon", "pred"], "count", out_col="m",
+    ).map_batches(
+        lambda t: pa.table(
+            {"basket": t.column("subj_canon"), "pred": t.column("pred")}
+        ),
+        batch_format="pyarrow",
+    )
+    return basket_pair_counts(distinct, "basket", "pred", min_support=1)
+
+
+def _as_pandas(r):
+    if isinstance(r, pd.DataFrame):
+        return r
+    if isinstance(r, pa.Table):
+        return r.to_pandas()
+    return r.to_pandas()
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9534,6 +9615,8 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "cms_error_report": q_cms_error_report,
+        "kg_pred_pair_counts": q_kg_pred_pair_counts,
         "link_assortativity_stats": q_link_assortativity_stats,
         "orderkey_islands": q_orderkey_islands,
         "kg_orphan_nodes": q_kg_orphan_nodes,
@@ -10569,6 +10652,30 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "cms_error_report": (
+            f"WITH est AS ({_cms_sql()}), "
+            f"tt AS (SELECT lower({_TRIM_SQL}) AS t FROM documents), "
+            "lst AS (SELECT list_filter(string_split_regex(t, '\\s+'), "
+            "x -> x <> '') AS l FROM tt), "
+            "tok AS (SELECT unnest(l) AS w FROM lst), "
+            "q AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{t}')" for t in sorted(set(_CMS_TERMS)))
+            + ") t(term)), "
+            "ex AS (SELECT q.term, count(tok.w) AS exact_n FROM q "
+            "LEFT JOIN tok ON tok.w = q.term GROUP BY 1) "
+            "SELECT est.term, CAST(ex.exact_n AS BIGINT) AS exact_n, "
+            "est.est_n, CAST(est.est_n - ex.exact_n AS BIGINT) AS over_n "
+            "FROM est JOIN ex ON ex.term = est.term"
+        ),
+        "kg_pred_pair_counts": (
+            "WITH e AS (SELECT DISTINCT subj_canon, pred "
+            f"FROM read_parquet('{expected_glob}')), "
+            "p AS (SELECT a.pred AS pred_a, c.pred AS pred_b, "
+            "count(*) AS n FROM e a JOIN e c "
+            "ON a.subj_canon = c.subj_canon AND a.pred < c.pred "
+            "GROUP BY 1, 2) "
+            "SELECT pred_a, pred_b, CAST(n AS BIGINT) AS n FROM p"
+        ),
         "link_assortativity_stats": (
             "WITH h AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
             "AS BIGINT) AS id, decode(html) AS s "

@@ -334,6 +334,9 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("link_assortativity_stats", q.q_link_assortativity_stats)
         timed("cms_error_report", q.q_cms_error_report)
         timed("kg_pred_pair_counts", q.q_kg_pred_pair_counts)
+        timed("supplier_part_markup", q.q_supplier_part_markup)
+        timed("events_benford_digits", q.q_events_benford_digits)
+        timed("user_type_diversity", q.q_user_type_diversity)
 
     result = {
         "metric": "kg_pipeline_e2e",

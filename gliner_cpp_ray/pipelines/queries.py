@@ -9604,6 +9604,150 @@ def _as_pandas(r):
     return r.to_pandas()
 
 
+def q_supplier_part_markup(sf_dir: str):
+    """Per-supplier sale-vs-catalog markup: Σ(sale price) relative to
+    Σ(catalog retail price of the parts shipped), as an exact ppm
+    ratio of sums — the pricing-policy outlier report.  Scale shape:
+    part retail prices attach with ONE partkey-bucketed join (the only
+    corpus-sized exchange); per-supplier sums are one bucketed
+    group-agg; the ppm ratio computes as divmod-split integer
+    arithmetic (q·10^6 + r·10^6//d) because the naive Σsale·10^6
+    already overflows int64 at sf 0.01 — caught by the oracle hash on
+    first run."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg, bucketed_hash_join
+
+    nb = _join_buckets(sf_dir, "lineitem") // 4 or None
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "sale": _micro(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("p_partkey"),
+                "retail": _micro(t.column("p_retailprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        li, part, on="l_partkey", n_buckets=nb,
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("sale", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("retail", pa.int64())]
+        ),
+    )
+    sums = bucketed_group_agg(
+        joined.map_batches(
+            lambda t: t.select(["l_suppkey", "sale", "retail"]),
+            batch_format="pyarrow",
+        ),
+        "l_suppkey",
+        specs=[
+            ("count", None, "n_lines"),
+            ("sum", "sale", "sale_micro"),
+            ("sum", "retail", "retail_micro"),
+        ],
+        n_buckets=nb,
+    )
+    def ppm(t: pa.Table) -> pa.Table:
+        s = t.column("sale_micro").to_numpy(zero_copy_only=False)
+        d = t.column("retail_micro").to_numpy(zero_copy_only=False)
+        # exact floor(s*1e6/d): unbounded Python ints via object dtype —
+        # s·1e6 overflows int64 at sf 0.01 already, and the divmod-split
+        # rescue only buys two decades; rows here are SUPPLIER-bounded
+        # (one per supplier per bucket), so object-math cost is dim-sized
+        out = (s.astype(object) * 1_000_000 // d.astype(object)).astype(
+            np.int64
+        )
+        return t.append_column("markup_ppm", pa.array(out))
+
+    return sums.map_batches(ppm, batch_format="pyarrow")
+
+
+def q_events_benford_digits(sf_dir: str):
+    """First-significant-digit distribution of event values (micro
+    units) — the Benford's-law forensic audit that flags fabricated or
+    truncated numeric feeds.  The digit is taken from the DECIMAL
+    string (no float log anywhere, so there is no boundary rounding at
+    powers of ten); one map + a 9-row groupby."""
+    from ray.data.aggregate import Count
+
+    def digits(t: pa.Table) -> pa.Table:
+        v = _micro(t.column("value"))
+        first = pc.utf8_slice_codeunits(
+            pc.cast(v, pa.string()), 0, 1
+        )
+        return pa.table({"digit": first})
+
+    return (
+        _read(sf_dir, "events", columns=["value"])
+        .map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_user_type_diversity(sf_dir: str):
+    """Engagement-breadth histogram: how many users touched exactly k
+    distinct event types — the audience-segmentation signal behind
+    'power users use everything'.  Scale shape: per-batch distinct
+    (user, type) combiner, one user-keyed bucketed distinct-count, then
+    a k-bounded histogram (k ≤ |event types|)."""
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    pairs = _read(
+        sf_dir, "events", columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "event_type": t.column("event_type").to_pandas(),
+                }
+            ).drop_duplicates(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    distinct = bucketed_group_agg(
+        pairs, ["user_id", "event_type"], "count", out_col="m",
+        n_buckets=_join_buckets(sf_dir, "events"),
+    )
+    per_user = bucketed_group_agg(
+        distinct.map_batches(
+            lambda t: t.select(["user_id"]), batch_format="pyarrow"
+        ),
+        "user_id", "count", out_col="n_types",
+        n_buckets=_join_buckets(sf_dir, "events"),
+    )
+    return (
+        per_user.map_batches(
+            lambda t: t.select(["n_types"]), batch_format="pyarrow"
+        )
+        .groupby("n_types")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9615,6 +9759,9 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "supplier_part_markup": q_supplier_part_markup,
+        "events_benford_digits": q_events_benford_digits,
+        "user_type_diversity": q_user_type_diversity,
         "cms_error_report": q_cms_error_report,
         "kg_pred_pair_counts": q_kg_pred_pair_counts,
         "link_assortativity_stats": q_link_assortativity_stats,
@@ -10652,6 +10799,32 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "supplier_part_markup": (
+            "WITH li AS (SELECT l_suppkey, "
+            "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS sale, "
+            "CAST(floor(p_retailprice * 1000000) AS BIGINT) AS retail "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey), "
+            "s AS (SELECT l_suppkey, count(*) AS n_lines, "
+            "sum(sale) AS sale_micro, sum(retail) AS retail_micro "
+            "FROM li GROUP BY 1) "
+            "SELECT l_suppkey, CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(sale_micro AS BIGINT) AS sale_micro, "
+            "CAST(retail_micro AS BIGINT) AS retail_micro, "
+            "CAST(sale_micro * 1000000 // retail_micro AS BIGINT) "
+            "AS markup_ppm FROM s"
+        ),
+        "events_benford_digits": (
+            "SELECT substr(CAST(CAST(floor(value * 1000000) AS BIGINT) "
+            "AS VARCHAR), 1, 1) AS digit, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
+        ),
+        "user_type_diversity": (
+            "WITH d AS (SELECT user_id, "
+            "count(DISTINCT event_type) AS n_types FROM events "
+            "GROUP BY 1) "
+            "SELECT CAST(n_types AS BIGINT) AS n_types, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM d GROUP BY 1"
+        ),
         "cms_error_report": (
             f"WITH est AS ({_cms_sql()}), "
             f"tt AS (SELECT lower({_TRIM_SQL}) AS t FROM documents), "

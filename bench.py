@@ -337,6 +337,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("supplier_part_markup", q.q_supplier_part_markup)
         timed("events_benford_digits", q.q_events_benford_digits)
         timed("user_type_diversity", q.q_user_type_diversity)
+        timed("kg_qid_profile", q.q_kg_qid_profile)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -9748,6 +9748,53 @@ def q_user_type_diversity(sf_dir: str):
     )
 
 
+def q_kg_qid_profile(sf_dir: str):
+    """Linker-output profile: per predicate, the linked-triple count
+    and the distinct subject/object QID counts — the entity-resolution
+    fan-in report (how many distinct identities each relation actually
+    connects; a linker regression collapses or splits these counts
+    before anything else drifts).  Scale shape: one pred-keyed count
+    plus two per-batch-distinct (pred, qid) bucketed reductions; every
+    output is predicate-bounded."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    _, out = _run_kg(sf_dir)
+    linked = _read_out(out, "linked").select_columns(
+        ["pred", "subj_qid", "obj_qid"]
+    )
+
+    def count_distinct(col: str, out_col: str) -> pd.DataFrame:
+        d = bucketed_group_agg(
+            linked.map_batches(
+                lambda t, c=col: pa.table(
+                    {"pred": t.column("pred"), "q": t.column(c)}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["pred", "q"], "count", out_col="m",
+        )
+        return (
+            bucketed_group_agg(
+                d.map_batches(
+                    lambda t: t.select(["pred"]), batch_format="pyarrow"
+                ),
+                "pred", "count", out_col=out_col, n_buckets=8,
+            ).to_pandas()  # predicate-bounded
+        )
+
+    tri = bucketed_group_agg(
+        linked.map_batches(
+            lambda t: t.select(["pred"]), batch_format="pyarrow"
+        ),
+        "pred", "count", out_col="n_triples", n_buckets=8,
+    ).to_pandas()  # predicate-bounded
+    m = tri.merge(count_distinct("subj_qid", "n_subj_qids"), on="pred")
+    m = m.merge(count_distinct("obj_qid", "n_obj_qids"), on="pred")
+    for c in ("n_triples", "n_subj_qids", "n_obj_qids"):
+        m[c] = m[c].astype(np.int64)
+    return m
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9759,6 +9806,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_qid_profile": q_kg_qid_profile,
         "supplier_part_markup": q_supplier_part_markup,
         "events_benford_digits": q_events_benford_digits,
         "user_type_diversity": q_user_type_diversity,
@@ -10799,6 +10847,18 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "kg_qid_profile": (
+            "WITH e AS (SELECT pred, "
+            "'Q_' || subj_label || '_' || "
+            "replace(lower(subj_canon), ' ', '_') AS sq, "
+            "'Q_' || obj_label || '_' || "
+            "replace(lower(obj_canon), ' ', '_') AS oq "
+            f"FROM read_parquet('{expected_glob}')) "
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples, "
+            "CAST(count(DISTINCT sq) AS BIGINT) AS n_subj_qids, "
+            "CAST(count(DISTINCT oq) AS BIGINT) AS n_obj_qids "
+            "FROM e GROUP BY pred"
+        ),
         "supplier_part_markup": (
             "WITH li AS (SELECT l_suppkey, "
             "CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS sale, "

@@ -338,6 +338,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_benford_digits", q.q_events_benford_digits)
         timed("user_type_diversity", q.q_user_type_diversity)
         timed("kg_qid_profile", q.q_kg_qid_profile)
+        timed("kg_mention_offset_audit", q.q_kg_mention_offset_audit)
 
     result = {
         "metric": "kg_pipeline_e2e",

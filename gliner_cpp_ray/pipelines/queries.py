@@ -9795,6 +9795,75 @@ def q_kg_qid_profile(sf_dir: str):
     return m
 
 
+def q_kg_mention_offset_audit(sf_dir: str):
+    """The BYTE-OFFSET contract as a driver-checked query: per label,
+    how many emitted mentions' (start, end) byte offsets slice the
+    page's extracted text to EXACTLY the mention surface (the
+    reference's offset semantics, reference tests/test.cpp goldens) —
+    the oracle pins exact = total, so any off-by-one or codepoint-vs-
+    byte regression in the decoder becomes a hash fail, not a silent
+    drift.  Scale shape: ONE url-bucketed join of mentions against the
+    pruned (url, text) page dimension; the slice check is per-mention
+    work inside the reduce (mention-bounded, the ner-stage precedent);
+    the rollup is label-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    corpus, out = _run_kg(sf_dir)
+    mentions = _read_out(out, "mentions").select_columns(
+        ["url", "start", "end", "text", "label"]
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["url", "start", "end", "mtext", "label"]
+        ),
+        batch_format="pyarrow",
+    )
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "text"]
+    )
+    joined = bucketed_hash_join(
+        mentions, pages, on="url",
+        left_schema=pa.schema(
+            [("url", pa.string()), ("start", pa.int64()),
+             ("end", pa.int64()), ("mtext", pa.string()),
+             ("label", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("url", pa.string()), ("text", pa.string())]
+        ),
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ok = np.fromiter(
+            (
+                p.encode("utf-8")[s:e].decode("utf-8", "replace") == m
+                for p, s, e, m in zip(
+                    df["text"], df["start"], df["end"], df["mtext"]
+                )
+            ),
+            np.int64, len(df),
+        )
+        return pa.table(
+            {
+                "label": pa.array(df["label"].to_numpy(), pa.string()),
+                "n_mentions": pa.array(np.ones(len(df), np.int64)),
+                "n_offset_exact": pa.array(ok),
+            }
+        )
+
+    return (
+        joined.map_batches(check, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Sum("n_offset_exact", alias_name="n_offset_exact"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9806,6 +9875,7 @@ def queries():
     least fresh information."""
     return {
         # -- new in round 4, never driver-checked: run these FIRST
+        "kg_mention_offset_audit": q_kg_mention_offset_audit,
         "kg_qid_profile": q_kg_qid_profile,
         "supplier_part_markup": q_supplier_part_markup,
         "events_benford_digits": q_events_benford_digits,
@@ -10847,6 +10917,13 @@ def oracle_sql_for_corpus(corpus_dir: str):
         _kg_out(corpus_dir), "edges", "**", "*.parquet"
     )
     return {
+        "kg_mention_offset_audit": (
+            # the oracle pins 100% offset-exactness: any decoder offset
+            # regression shows as a count mismatch on the Ray side
+            "SELECT label, CAST(count(*) AS BIGINT) AS n_mentions, "
+            "CAST(count(*) AS BIGINT) AS n_offset_exact "
+            f"FROM read_parquet('{mentions_glob}') GROUP BY label"
+        ),
         "kg_qid_profile": (
             "WITH e AS (SELECT pred, "
             "'Q_' || subj_label || '_' || "

@@ -7701,8 +7701,16 @@ def q_kg_triple_pr_report(sf_dir: str):
                 "n_expected": t.column("n_expected"),
                 "n_emitted": t.column("n_emitted"),
                 "n_matched": t.column("n_matched"),
-                "precision_ppm": pa.array(m * 1_000_000 // em),
-                "recall_ppm": pa.array(m * 1_000_000 // ex),
+                # Guarded denominators: a total extraction regression
+                # (em == 0) degrades to a clean 0 instead of a numpy
+                # divide-by-zero warning (matched ≤ emitted, so the
+                # maximum(…, 1) floor never changes a nonzero case).
+                "precision_ppm": pa.array(
+                    np.where(em > 0, m * 1_000_000 // np.maximum(em, 1), 0)
+                ),
+                "recall_ppm": pa.array(
+                    np.where(ex > 0, m * 1_000_000 // np.maximum(ex, 1), 0)
+                ),
             }
         )
 
@@ -8037,7 +8045,7 @@ def q_user_coverage_time(sf_dir: str):
     Σ max(0, end − max(start, prev_max_end))) — int64-exact epoch µs,
     no per-row Python.  The SQL twin is the windowed prev-max-end
     formulation."""
-    from gliner_cpp_ray.stages.joins import add_group_bucket, default_buckets
+    from gliner_cpp_ray.stages.joins import add_group_bucket
     from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
 
     span_us = 300 * 1_000_000
@@ -8952,6 +8960,10 @@ def q_kg_edges_sort_audit(sf_dir: str):
         .sort_values("path")
         .reset_index(drop=True)
     )
+    # Zero-row files carry no (mn, mx) evidence and the SQL twin's
+    # read_parquet(file_row_number=true) never emits a row for them, so
+    # drop them here too — both engines then audit the same file set.
+    per_file = per_file[per_file["n_rows"] > 0].reset_index(drop=True)
     prev_mx = per_file["mx"].shift(1).fillna("")  # "" <= any string
     per_file["starts_after_prev"] = np.where(
         per_file["mn"] >= prev_mx, 1, 0
@@ -9063,7 +9075,10 @@ def q_host_mention_density(sf_dir: str):
         )
         return pa.table(
             {
-                "host": pc.struct_field(host, "h"),
+                # fill_null('') mirrors DuckDB regexp_extract, which
+                # yields '' (not NULL) for a non-matching URL — keeps
+                # the two engines grouping non-conforming URLs alike.
+                "host": pc.fill_null(pc.struct_field(host, "h"), ""),
                 "n_docs": pa.array(np.ones(sub.num_rows, np.int64)),
                 "n_tokens": n_tok,
             }
@@ -9088,7 +9103,7 @@ def q_host_mention_density(sf_dir: str):
         )
         return pa.table(
             {
-                "host": pc.struct_field(host, "h"),
+                "host": pc.fill_null(pc.struct_field(host, "h"), ""),
                 "n_mentions": pa.array(np.ones(t.num_rows, np.int64)),
             }
         )

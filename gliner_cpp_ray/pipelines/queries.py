@@ -10140,6 +10140,207 @@ def q_user_seq3_support(sf_dir: str):
     return supp.map_batches(to_pattern, batch_format="pyarrow")
 
 
+def q_order_priority_merge_revenue(sf_dir: str):
+    """Fact→dimension join executed as an equi-depth RANGE-partitioned
+    sort-merge join (stages/joins.py:range_merge_join) instead of the
+    hash-bucket plan: split points are the exact equi-depth boundaries
+    of the lineitem orderkey column, both sides move once keyed by
+    contiguous key RANGE, and each partition joins by sorted positional
+    merge — the strategy of choice when the join output must stay
+    key-clustered (sorted sink, subsequent merge) or when hash
+    bucketing would destroy an existing range layout.  Result: revenue
+    by order priority — deliberately the same aggregate family as the
+    hash-join twins so the two strategies are directly comparable in
+    the bench.  Scale shape: one count + boundary refinement
+    (tasks × bins rows/round), one exchange per side, priority-bounded
+    final groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import range_merge_join
+
+    def li(t: pa.Table) -> pa.Table:
+        price = _micro(t.column("l_extendedprice")).to_numpy()
+        disc = pc.cast(
+            pc.floor(pc.multiply(t.column("l_discount"), 1000.0)),
+            pa.int64(),
+        ).to_numpy()
+        return pa.table(
+            {
+                "okey": t.column("l_orderkey"),
+                "revenue_micro": pa.array(price * (1000 - disc) // 1000),
+            }
+        )
+
+    left = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li, batch_format="pyarrow")
+    right = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = range_merge_join(left, right, "okey")
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("revenue_micro", alias_name="revenue_micro"),
+        )
+    )
+
+
+def q_order_cohort_revenue(sf_dir: str):
+    """Cohort-retention matrix over orders: customers cohorted by their
+    FIRST order month, then (cohort_month, months_since_first) cells
+    with order count and revenue — the classic lifecycle analysis that
+    shows whether later cohorts spend like earlier ones.  Month index
+    is pure integer calendar arithmetic (months since 1970-01, via
+    numpy datetime64[M] on the Ray side and year·12+month−1−23640 in
+    SQL — identical civil-calendar semantics, no float dates).  Scale
+    shape: per-customer min-month is a customer-scale bucketed
+    group-agg (never a driver table); the cohort attaches back with ONE
+    custkey-bucketed hash join (cohort side schema passed statically so
+    its shuffle runs once); the final matrix groupby is
+    calendar-bounded (span² / 2 cells)."""
+    from ray.data.aggregate import Count, Sum
+
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = (
+            us.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "m": pa.array(m),
+                "pm": _micro(t.column("o_totalprice")),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(project, batch_format="pyarrow")
+
+    cohort = bucketed_group_agg(
+        orders, "o_custkey", "min", val_col="m", out_col="cohort"
+    )
+
+    joined = bucketed_hash_join(
+        orders, cohort, "o_custkey",
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("cohort", pa.int64())]
+        ),
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_month": t.column("cohort"),
+                "months_since": pc.subtract(t.column("m"),
+                                            t.column("cohort")),
+                "pm": t.column("pm"),
+            }
+        )
+
+    return (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cohort_month", "months_since"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("pm", alias_name="revenue_micro"),
+        )
+    )
+
+
+def q_kg_symmetry_audit(sf_dir: str):
+    """Predicate-symmetry audit over the KG edges output: per
+    predicate, edge count (self-loops excluded), distinct unordered
+    node-pair count, and how many pairs carry BOTH orientations
+    ((a,p,b) and (b,p,a)) — symmetric support on an asserted-directed
+    predicate is an extraction red flag (all five ontology predicates
+    are directional, so the expected n_symmetric is 0 and any nonzero
+    cell points at a linker/relation regression).  Scale shape:
+    orientation flags fold map-side; ONE (pred, lo, hi)-keyed bucketed
+    group pass reduces each unordered pair to (min_orient, max_orient,
+    n); per-pair classification and the pred rollup run on the reduced
+    table (pairs ≤ edges, predicates dimension-bounded)."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    _, out = _run_kg(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        s, o = t.column("subj_canon"), t.column("obj_canon")
+        keep = pc.not_equal(s, o)
+        t = pa.table(
+            {"s": s, "pred": t.column("pred"), "o": o}
+        ).filter(keep)
+        lt = pc.less(t.column("s"), t.column("o"))
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "lo": pc.if_else(lt, t.column("s"), t.column("o")),
+                "hi": pc.if_else(lt, t.column("o"), t.column("s")),
+                "orient": pc.if_else(
+                    lt, pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())
+                ),
+            }
+        )
+
+    pairs = bucketed_group_agg(
+        _read_out(out, "edges")
+        .select_columns(["subj_canon", "pred", "obj_canon"])
+        .map_batches(orient, batch_format="pyarrow"),
+        ["pred", "lo", "hi"],
+        specs=[
+            ("min", "orient", "mn"),
+            ("max", "orient", "mx"),
+            ("count", None, "n_e"),
+        ],
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        both = pc.and_(
+            pc.equal(t.column("mn"), 1), pc.equal(t.column("mx"), 2)
+        )
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_edges": t.column("n_e"),
+                "n_pairs": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_symmetric": both.cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(classify, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("n_symmetric", alias_name="n_symmetric"),
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -10154,6 +10355,9 @@ def queries():
         "events_cube": q_events_cube,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "user_seq3_support": q_user_seq3_support,
+        "order_priority_merge_revenue": q_order_priority_merge_revenue,
+        "order_cohort_revenue": q_order_cohort_revenue,
+        "kg_symmetry_audit": q_kg_symmetry_audit,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -13761,5 +13965,39 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM tr JOIN seq ON seq.s LIKE "
             "'%' || c1 || '%' || c2 || '%' || c3 || '%' "
             "GROUP BY 1"
+        ),
+        "order_priority_merge_revenue": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum((CAST(floor(l_extendedprice * 1000000) AS BIGINT) "
+            "* (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) // 1000) "
+            "AS BIGINT) AS revenue_micro "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "order_cohort_revenue": (
+            "WITH o AS (SELECT o_custkey, "
+            "(date_part('year', o_orderdate) * 12 "
+            "+ date_part('month', o_orderdate) - 1) - 23640 AS m, "
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS pm "
+            "FROM orders), "
+            "c AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1) "
+            "SELECT CAST(cohort AS BIGINT) AS cohort_month, "
+            "CAST(m - cohort AS BIGINT) AS months_since, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(pm) AS BIGINT) AS revenue_micro "
+            "FROM o JOIN c USING (o_custkey) GROUP BY 1, 2"
+        ),
+        "kg_symmetry_audit": (
+            "WITH e AS (SELECT subj_canon AS s, pred, obj_canon AS o "
+            f"FROM read_parquet('{edges_glob}') "
+            "WHERE subj_canon != obj_canon), "
+            "k AS (SELECT pred, least(s, o) AS lo, greatest(s, o) AS hi, "
+            "min(CASE WHEN s < o THEN 1 ELSE 2 END) AS mn, "
+            "max(CASE WHEN s < o THEN 1 ELSE 2 END) AS mx, "
+            "count(*) AS n_e FROM e GROUP BY 1, 2, 3) "
+            "SELECT pred, CAST(sum(n_e) AS BIGINT) AS n_edges, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(CASE WHEN mn = 1 AND mx = 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_symmetric FROM k GROUP BY 1"
         ),
     }

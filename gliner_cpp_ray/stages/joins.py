@@ -271,7 +271,8 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int | None = None,
     )
 
 
-def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None):
+def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None,
+                         bounds: np.ndarray | None = None):
     """Shared shuffle plan for the non-equi joins: bucket both sides on
     the (integer) join key, null-pad each side to the common schema with
     a ``__side`` marker, and union.  Callers group by ``__bucket`` and
@@ -279,9 +280,16 @@ def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None):
     key in a single bucket group (the partitioning assumption all the
     bucketed joins rely on).
 
+    ``bounds``: optional sorted int64 split points — when given, rows
+    are assigned to CONTIGUOUS KEY RANGES via searchsorted instead of
+    the key hash (the range-partitioned join path), and ``n_buckets``
+    is ignored for assignment.
+
     Returns ``(unioned, lcols, rcols, int_cols, out_schema)``.
     """
-    n_buckets = default_buckets(n_buckets)
+    n_buckets = (
+        len(bounds) + 1 if bounds is not None else default_buckets(n_buckets)
+    )
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != key]
@@ -293,7 +301,15 @@ def _pad_union_by_bucket(left, right, key: str, n_buckets: int | None):
     ]
 
     def pad(t: pa.Table, side: int) -> pa.Table:
-        t = add_bucket(t, key, n_buckets)
+        if bounds is not None:
+            k = t.column(key).to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "__bucket",
+                pa.array(np.searchsorted(bounds, k, side="right")
+                         .astype(np.int64)),
+            )
+        else:
+            t = add_bucket(t, key, n_buckets)
         n = t.num_rows
         arrays, names = [], []
         for name, typ in types:
@@ -924,4 +940,78 @@ def nearest_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
 
     return (
         unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    )
+
+
+def range_merge_join(left, right, on: str, n_parts: int | None = None):
+    """Equi-depth RANGE-partitioned sort-merge join (inner) on an int64
+    key — the alternative join strategy to ``bucketed_hash_join`` for
+    when downstream wants key-clustered output: partitions are
+    CONTIGUOUS key ranges (so the join output is range-partitioned by
+    the key, ready for a sorted sink or a subsequent merge), and the
+    per-partition join is a true merge — sort both sides once, expand
+    matches positionally with searchsorted — never a hash table.
+
+    The split points are the exact equi-depth boundaries of the LEFT
+    side (stages/sketches.py:exact_multi_order_statistic), so left-side
+    volume balances by construction under ANY key skew; the right side
+    follows the same ranges (for a fact→dimension join the fact side
+    goes LEFT).  Movement: one count + the boundary refinement
+    (tasks × bins partial rows per round), then each side moves ONCE
+    keyed by range id.  Duplicate keys on both sides produce the full
+    per-key cross product, exactly like a hash join."""
+    from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
+    from gliner_cpp_ray.stages.sizing import default_buckets
+
+    n_parts = default_buckets(n_parts)
+    n = left.count()
+    if n == 0:
+        raise ValueError("left side is empty")
+    ranks = sorted({i * n // n_parts for i in range(1, n_parts)} - {0, n})
+    bounds = (
+        np.array(sorted(set(exact_multi_order_statistic(left, on, ranks))),
+                 np.int64)
+        if ranks
+        else np.array([], np.int64)
+    )
+
+    unioned, lcols, rcols, int_cols, schema = _pad_union_by_bucket(
+        left, right, on, None, bounds=bounds
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lg = g[g["__side"] == 0][lcols]
+        rg = g[g["__side"] == 1][[on, *rcols]]
+        if not len(lg) or not len(rg):
+            return schema.empty_table()
+        lg = _restore_int_dtypes(lg, int_cols).sort_values(
+            on, kind="mergesort"
+        )
+        rg = _restore_int_dtypes(rg, int_cols).sort_values(
+            on, kind="mergesort"
+        )
+        lk = lg[on].to_numpy(np.int64)
+        rk = rg[on].to_numpy(np.int64)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return schema.empty_table()
+        li = np.repeat(np.arange(len(lk)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ri = np.repeat(lo, cnt) + offs
+        out = pd.concat(
+            [
+                lg.iloc[li].reset_index(drop=True),
+                rg.iloc[ri][rcols].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        return _merged_to_arrow(out, schema)
+
+    return (
+        unioned.groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
     )

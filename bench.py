@@ -346,6 +346,11 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
               q.q_order_priority_merge_revenue)
         timed("order_cohort_revenue", q.q_order_cohort_revenue)
         timed("kg_symmetry_audit", q.q_kg_symmetry_audit)
+        timed("kg_provenance_audit", q.q_kg_provenance_audit)
+        timed("kg_pred_cardinality", q.q_kg_pred_cardinality)
+        timed("link_truss_support", q.q_link_truss_support)
+        timed("purchase_attribution", q.q_purchase_attribution)
+        timed("event_markov_stationary", q.q_event_markov_stationary)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -10341,6 +10341,339 @@ def q_kg_symmetry_audit(sf_dir: str):
     )
 
 
+def q_kg_provenance_audit(sf_dir: str):
+    """Provenance-cap contract audit over the KG edges output: the
+    pipeline stores at most 8 sample doc ids per edge while ``weight``
+    carries the true support, so for every edge
+    len(provenance) == least(weight, 8) must hold — this query counts
+    the edges where it does, per predicate, plus total support and
+    total stored provenance (the sampled-lineage storage-cost report).
+    Scale shape: the list-length check is a map-side Arrow kernel
+    (list_value_length), and the rollup is predicate-bounded — no
+    provenance STRINGS ever leave the map task."""
+    from ray.data.aggregate import Sum
+
+    _, out = _run_kg(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        pl = pc.list_value_length(t.column("provenance")).cast(pa.int64())
+        w = t.column("weight")
+        capped = pc.min_element_wise(w, pa.scalar(8, pa.int64()))
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "n_edges": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_weight": w,
+                "n_prov_total": pl,
+                "n_cap_ok": pc.equal(pl, capped).cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read_out(out, "edges")
+        .select_columns(["pred", "weight", "provenance"])
+        .map_batches(check, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("sum_weight", alias_name="sum_weight"),
+            Sum("n_prov_total", alias_name="n_prov_total"),
+            Sum("n_cap_ok", alias_name="n_cap_ok"),
+        )
+    )
+
+
+def q_kg_pred_cardinality(sf_dir: str):
+    """Predicate cardinality classes (1:1 / 1:N / N:1 / M:N) inferred
+    from the KG edges output: max out-degree (distinct objects per
+    subject) and max in-degree (distinct subjects per object) per
+    predicate — the schema-inference signal that tells a downstream
+    ontology whether a predicate is functional, inverse-functional,
+    or neither (kg_functional_violations' classifier dual).  Scale
+    shape: edges are unique per (subj, pred, obj), so per-(pred, subj)
+    row counts ARE distinct-object counts; two (pred, node)-keyed
+    bucketed group passes reduce to degree tables, and the max-rollup
+    plus classification run predicate-bounded."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    _, out = _run_kg(sf_dir)
+    edges = _read_out(out, "edges").select_columns(
+        ["subj_canon", "pred", "obj_canon"]
+    )
+
+    def degree_max(key_col: str) -> pd.DataFrame:
+        deg = bucketed_group_agg(
+            edges, ["pred", key_col], "count", out_col="deg"
+        )
+        return (
+            deg.groupby("pred")
+            .max("deg")
+            .to_pandas()  # predicate-bounded
+            .rename(columns={"max(deg)": "mx"})
+        )
+
+    out_deg = degree_max("subj_canon")
+    in_deg = degree_max("obj_canon")
+    m = out_deg.merge(in_deg, on="pred", suffixes=("_out", "_in"))
+    mo = m["mx_out"].to_numpy(np.int64)
+    mi = m["mx_in"].to_numpy(np.int64)
+    cls = np.where(
+        mo == 1,
+        np.where(mi == 1, "1:1", "N:1"),
+        np.where(mi == 1, "1:N", "M:N"),
+    )
+    return pd.DataFrame(
+        {
+            "pred": m["pred"],
+            "max_out": mo,
+            "max_in": mi,
+            "card_class": cls,
+        }
+    )
+
+
+def q_link_truss_support(sf_dir: str):
+    """Per-edge truss support histogram over the undirected host link
+    graph: for every distinct host pair {a, b} with an edge, the number
+    of common neighbors (triangles through that edge), rolled up as
+    (support, n_edges) — the k-truss decomposition signal that
+    separates community-internal links (high support) from bridges
+    (support 0), which a global triangle count cannot localize.  Scale
+    shape: the html scan and the page→host edge reduction distribute
+    (stages/linkgraph.py); the host-level undirected graph is
+    DIMENSION-bounded (N_HOSTS = 199 ⇒ ≤ 19,701 pairs), so adjacency
+    bitsets and the per-edge intersection run driver-side on the
+    rolled-up table — the same host-bounded finish every host_* query
+    uses."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.linkgraph import (
+        host_link_edges,
+        page_link_edges,
+    )
+
+    corpus = _corpus(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "html"]
+    )
+    he = host_link_edges(page_link_edges(pages), N_HOSTS).to_pandas()
+    a = np.minimum(he["src_host"].to_numpy(np.int64),
+                   he["dst_host"].to_numpy(np.int64))
+    b = np.maximum(he["src_host"].to_numpy(np.int64),
+                   he["dst_host"].to_numpy(np.int64))
+    keep = a != b
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    adj = np.zeros((N_HOSTS, N_HOSTS), bool)
+    adj[pairs[:, 0], pairs[:, 1]] = True
+    adj[pairs[:, 1], pairs[:, 0]] = True
+    support = (adj[pairs[:, 0]] & adj[pairs[:, 1]]).sum(axis=1)
+    counts = np.bincount(support)
+    nz = np.flatnonzero(counts)
+    return pd.DataFrame(
+        {
+            "support": nz.astype(np.int64),
+            "n_edges": counts[nz].astype(np.int64),
+        }
+    )
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase event credits the most
+    recent NON-purchase event of the same user within the preceding
+    hour (order by (ts, event_id); no such event ⇒ 'direct') —
+    the marketing-analytics primitive behind 'which activity drives
+    conversions'.  Scale shape: ONE user-hash bucket exchange; the
+    per-bucket reduce is a fully vectorized segment-reset running
+    'last non-purchase index' (offset-encoded np.maximum.accumulate —
+    no per-row Python), and the rollup is event-type-bounded.  The SQL
+    twin is last_value(... IGNORE NULLS) over the user window."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "events")))
+    HOUR_US = 3_600_000_000
+
+    def project(t: pa.Table) -> pa.Table:
+        return add_group_bucket(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "us": t.column("ts").cast(pa.int64()),
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "vm": pc.cast(
+                        pc.floor(pc.multiply(t.column("value"), 1000.0)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            ["user_id"], nb,
+        )
+
+    def attribute(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy()
+        vm = g["vm"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "attributed_type": pa.array([], pa.string()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "value_milli": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.arange(n, dtype=np.int64)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_user) - 1
+        is_np = typ != "purchase"
+        BIG = np.int64(n + 1)
+        # offset-encode so the running max can never leak across user
+        # segments: an empty segment's baseline seg*BIG - 1 beats every
+        # encoded index of any earlier segment
+        enc = np.where(is_np, seg * BIG + pos, -1)
+        runmax = np.maximum.accumulate(
+            np.maximum(enc, seg * BIG - 1)
+        )
+        prev = np.concatenate(([np.int64(-1)], runmax[:-1]))
+        j = prev - seg * BIG  # decoded index; < 0 ⇒ none in this segment
+        purch = ~is_np
+        jj = j[purch]
+        ok = (jj >= 0) & (us[purch] - us[np.maximum(jj, 0)] <= HOUR_US)
+        attributed = np.where(ok, typ[np.maximum(jj, 0)], "direct")
+        out = (
+            pd.DataFrame(
+                {"attributed_type": attributed, "vm": vm[purch]}
+            )
+            .groupby("attributed_type", sort=False)
+            .agg(n_purchases=("vm", "size"), value_milli=("vm", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "attributed_type": pa.array(out["attributed_type"],
+                                            pa.string()),
+                "n_purchases": pa.array(
+                    out["n_purchases"].to_numpy(np.int64)
+                ),
+                "value_milli": pa.array(
+                    out["value_milli"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: attribute(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .groupby("attributed_type")
+        .aggregate(
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("value_milli", alias_name="value_milli"),
+        )
+    )
+
+
+_MARKOV_ROUNDS = 20
+
+
+def q_event_markov_stationary(sf_dir: str):
+    """Stationary distribution of the user-behavior Markov chain:
+    transition counts over consecutive per-user event-type pairs feed
+    20 synchronous integer power-iteration rounds
+    (π'[j] = Σ_i (π[i]·n_ij) // rowsum_i, every term floor-divided —
+    deterministic fixed-point arithmetic both engines replicate
+    exactly), starting uniform at 1,000,000 ppm — the long-run
+    'where does user attention settle' summary of the transition
+    matrix.  Scale shape: the ONLY corpus-sized work is the
+    distributed transition count (one bucket exchange, ≤ |types|²
+    partial rows); the iteration runs on the |types|²-bounded count
+    table driver-side.  Mass lost to flooring and to dead-end states
+    stays lost — both sides share the convention (unrolled-CTE twin)."""
+    from gliner_cpp_ray.stages.windows import transition_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    tc = transition_counts(
+        ds, ["user_id"], "ts", "event_id", "event_type"
+    ).to_pandas()  # |types|²-bounded
+
+    domain = sorted(
+        set(tc["state"]).union(tc["next_state"])
+    )
+    idx = {t: i for i, t in enumerate(domain)}
+    A = len(domain)
+    i_idx = tc["state"].map(idx).to_numpy(np.int64)
+    j_idx = tc["next_state"].map(idx).to_numpy(np.int64)
+    n = tc["n"].to_numpy(np.int64)
+    rs = np.zeros(A, np.int64)
+    np.add.at(rs, i_idx, n)
+
+    pi = np.full(A, 1_000_000, np.int64)
+    for _ in range(_MARKOV_ROUNDS):
+        nxt = np.zeros(A, np.int64)
+        np.add.at(nxt, j_idx, (pi[i_idx] * n) // rs[i_idx])
+        pi = nxt
+
+    return pd.DataFrame(
+        {
+            "event_type": domain,
+            "stationary_ppm": pi,
+            "out_transitions": rs,
+        }
+    )
+
+
+def _markov_sql(rounds: int = _MARKOV_ROUNDS) -> str:
+    """Unrolled-CTE twin of q_event_markov_stationary: the same
+    transition counts, the same per-term integer floor division, the
+    same uniform 1,000,000 start — one CTE per synchronous round (the
+    _sssp_sql precedent for iterative algorithms)."""
+    # AS MATERIALIZED: without it DuckDB inlines the shared CTEs into
+    # every round and re-runs the events window scan ~20x (measured
+    # 21.8 s -> sub-second at sf0.01)
+    parts = [
+        "WITH s AS MATERIALIZED (SELECT event_type AS state, "
+        "lead(event_type) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS next_state FROM events), "
+        "t AS MATERIALIZED (SELECT state, next_state, count(*) AS n "
+        "FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2), "
+        "rsum AS MATERIALIZED (SELECT state, sum(n) AS rs FROM t "
+        "GROUP BY 1), "
+        "tt AS MATERIALIZED (SELECT t.state, t.next_state, t.n, rsum.rs "
+        "FROM t JOIN rsum USING (state)), "
+        "dom AS MATERIALIZED (SELECT DISTINCT state AS ty FROM "
+        "(SELECT state FROM t UNION SELECT next_state FROM t)), "
+        "d0 AS (SELECT ty, CAST(1000000 AS BIGINT) AS v FROM dom)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", d{k} AS (SELECT tt.next_state AS ty, "
+            f"sum((d{k - 1}.v * tt.n) // tt.rs) AS v "
+            f"FROM d{k - 1} JOIN tt ON tt.state = d{k - 1}.ty GROUP BY 1)"
+        )
+    parts.append(
+        " SELECT dom.ty AS event_type, "
+        f"CAST(coalesce(d{rounds}.v, 0) AS BIGINT) AS stationary_ppm, "
+        "CAST(coalesce(rsum.rs, 0) AS BIGINT) AS out_transitions "
+        f"FROM dom LEFT JOIN d{rounds} USING (ty) "
+        "LEFT JOIN rsum ON rsum.state = dom.ty"
+    )
+    return "".join(parts)
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -10358,6 +10691,11 @@ def queries():
         "order_priority_merge_revenue": q_order_priority_merge_revenue,
         "order_cohort_revenue": q_order_cohort_revenue,
         "kg_symmetry_audit": q_kg_symmetry_audit,
+        "kg_provenance_audit": q_kg_provenance_audit,
+        "kg_pred_cardinality": q_kg_pred_cardinality,
+        "link_truss_support": q_link_truss_support,
+        "purchase_attribution": q_purchase_attribution,
+        "event_markov_stationary": q_event_markov_stationary,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -14000,4 +14338,63 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(CASE WHEN mn = 1 AND mx = 2 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_symmetric FROM k GROUP BY 1"
         ),
+        "kg_provenance_audit": (
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(weight) AS BIGINT) AS sum_weight, "
+            "CAST(sum(len(provenance)) AS BIGINT) AS n_prov_total, "
+            "CAST(sum(CASE WHEN len(provenance) = least(weight, 8) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_ok "
+            f"FROM read_parquet('{edges_glob}') GROUP BY pred"
+        ),
+        "kg_pred_cardinality": (
+            "WITH e AS (SELECT subj_canon, pred, obj_canon "
+            f"FROM read_parquet('{edges_glob}')), "
+            "od AS (SELECT pred, max(cnt) AS mo FROM (SELECT pred, "
+            "subj_canon, count(*) AS cnt FROM e GROUP BY 1, 2) GROUP BY 1), "
+            "id AS (SELECT pred, max(cnt) AS mi FROM (SELECT pred, "
+            "obj_canon, count(*) AS cnt FROM e GROUP BY 1, 2) GROUP BY 1) "
+            "SELECT pred, CAST(mo AS BIGINT) AS max_out, "
+            "CAST(mi AS BIGINT) AS max_in, "
+            "CASE WHEN mo = 1 AND mi = 1 THEN '1:1' "
+            "WHEN mo = 1 THEN 'N:1' WHEN mi = 1 THEN '1:N' "
+            "ELSE 'M:N' END AS card_class "
+            "FROM od JOIN id USING (pred)"
+        ),
+        "link_truss_support": (
+            "WITH h AS (SELECT url, decode(html) AS s FROM "
+            f"read_parquet('{pages_glob}')), "
+            "l AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS src_id, CAST(u AS BIGINT) AS dst_id "
+            "FROM h, unnest(regexp_extract_all(s, "
+            "'href=\"[^\"]*/p/(\\d+)\"', 1)) AS t(u)), "
+            f"e AS (SELECT DISTINCT src_id % {_N_HOSTS} AS s, "
+            f"dst_id % {_N_HOSTS} AS d FROM l), "
+            "und AS (SELECT DISTINCT least(s, d) AS a, "
+            "greatest(s, d) AS b FROM e WHERE s != d), "
+            "nb AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "sup AS (SELECT u1.a, u1.b, (SELECT count(*) FROM nb x "
+            "JOIN nb y ON x.v = y.v WHERE x.u = u1.a AND y.u = u1.b) "
+            "AS s FROM und u1) "
+            "SELECT CAST(s AS BIGINT) AS support, "
+            "CAST(count(*) AS BIGINT) AS n_edges FROM sup GROUP BY 1"
+        ),
+        "purchase_attribution": (
+            "WITH s AS (SELECT event_type, "
+            "CAST(floor(value * 1000) AS BIGINT) AS vm, epoch_us(ts) AS us, "
+            "last_value(CASE WHEN event_type != 'purchase' "
+            "THEN event_type END IGNORE NULLS) OVER w AS prev_type, "
+            "last_value(CASE WHEN event_type != 'purchase' "
+            "THEN epoch_us(ts) END IGNORE NULLS) OVER w AS prev_us "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT CASE WHEN prev_us IS NOT NULL "
+            "AND us - prev_us <= 3600000000 THEN prev_type "
+            "ELSE 'direct' END AS attributed_type, "
+            "CAST(count(*) AS BIGINT) AS n_purchases, "
+            "CAST(sum(vm) AS BIGINT) AS value_milli "
+            "FROM s WHERE event_type = 'purchase' GROUP BY 1"
+        ),
+        "event_markov_stationary": _markov_sql(),
     }

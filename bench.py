@@ -351,6 +351,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("link_truss_support", q.q_link_truss_support)
         timed("purchase_attribution", q.q_purchase_attribution)
         timed("event_markov_stationary", q.q_event_markov_stationary)
+        timed("user_k_anonymity", q.q_user_k_anonymity)
+        timed("event_changepoint", q.q_event_changepoint)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -10674,6 +10674,158 @@ def _markov_sql(rounds: int = _MARKOV_ROUNDS) -> str:
     return "".join(parts)
 
 
+def q_user_k_anonymity(sf_dir: str):
+    """k-anonymity audit over behavioral quasi-identifiers: users are
+    classed by (dominant event type [ties → alphabetically first],
+    active-day band 1 / 2-3 / 4-7 / 8+), and each class reports its
+    population and whether it clears k=5 — the privacy screen run
+    before releasing per-user aggregates (classes below k re-identify).
+    Scale shape: ONE user-hash bucket exchange computes BOTH per-user
+    attributes in the same per-bucket pandas pass (top type via
+    count-desc/type-asc sort + first; distinct active days via
+    nunique); the class rollup is bounded by |types| × 4 bands."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "events")))
+
+    def project(t: pa.Table) -> pa.Table:
+        return add_group_bucket(
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "day": pc.divide(
+                        t.column("ts").cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()),
+                    ),
+                }
+            ),
+            ["user_id"], nb,
+        )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        cnt = (
+            g.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+            .sort_values(
+                ["user_id", "n", "event_type"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        top = cnt.drop_duplicates("user_id")[["user_id", "event_type"]]
+        days = (
+            g.groupby("user_id", sort=False)["day"].nunique().rename("nd")
+        )
+        m = top.merge(days, on="user_id")
+        nd = m["nd"].to_numpy(np.int64)
+        band = np.where(
+            nd <= 1, "1", np.where(nd <= 3, "2-3",
+                                   np.where(nd <= 7, "4-7", "8+"))
+        )
+        out = (
+            pd.DataFrame({"top_type": m["event_type"], "day_band": band})
+            .groupby(["top_type", "day_band"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "top_type": pa.array(out["top_type"], pa.string()),
+                "day_band": pa.array(out["day_band"], pa.string()),
+                "n_users": pa.array(out["n_users"].to_numpy(np.int64)),
+            }
+        )
+
+    classes = (
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: per_user(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .groupby(["top_type", "day_band"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "k_anonymous",
+            pc.cast(
+                pc.greater_equal(t.column("n_users"),
+                                 pa.scalar(5, pa.int64())),
+                pa.int64(),
+            ),
+        )
+
+    return classes.map_batches(flag, batch_format="pyarrow")
+
+
+def q_event_changepoint(sf_dir: str):
+    """Change-point detection per event type: over the daily count
+    series, the day maximizing the integer-scaled CUSUM deviation
+    |D·S_d − T·r_d| (S_d = running count through day d, r_d = day rank,
+    D = #days, T = total) — the drift detector that flags when a
+    feed's volume regime shifted, in pure int64 so both engines agree
+    to the last digit (ties → earliest day).  Scale shape: the only
+    corpus-sized pass is the (type, day)-keyed bucketed count; the
+    CUSUM scan runs on the calendar-bounded daily table (|types| ×
+    days rows, stated)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    daily = (
+        bucketed_group_agg(
+            _read(sf_dir, "events", columns=["event_type", "ts"])
+            .map_batches(project, batch_format="pyarrow"),
+            ["event_type", "day"], "count", out_col="n",
+        )
+        .to_pandas()  # calendar-bounded: |types| x distinct days
+        .sort_values(["event_type", "day"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out_rows = []
+    for typ, g in daily.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        D = np.int64(len(n))
+        T = np.int64(n.sum())
+        s = np.cumsum(n)
+        r = np.arange(1, len(n) + 1, dtype=np.int64)
+        dev = np.abs(D * s - T * r)
+        i = int(np.argmax(dev))  # argmax takes the FIRST maximum
+        out_rows.append(
+            {
+                "event_type": typ,
+                "cp_day": int(day[i]),
+                "max_dev": int(dev[i]),
+                "n_days": int(D),
+                "total": int(T),
+            }
+        )
+    df = pd.DataFrame(out_rows)
+    for c in ["cp_day", "max_dev", "n_days", "total"]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -10696,6 +10848,8 @@ def queries():
         "link_truss_support": q_link_truss_support,
         "purchase_attribution": q_purchase_attribution,
         "event_markov_stationary": q_event_markov_stationary,
+        "user_k_anonymity": q_user_k_anonymity,
+        "event_changepoint": q_event_changepoint,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -14397,4 +14551,42 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "FROM s WHERE event_type = 'purchase' GROUP BY 1"
         ),
         "event_markov_stationary": _markov_sql(),
+        "user_k_anonymity": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "top AS (SELECT user_id, event_type AS top_type FROM "
+            "(SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY n DESC, event_type) AS rk "
+            "FROM c) WHERE rk = 1), "
+            "d AS (SELECT user_id, count(DISTINCT "
+            "epoch_us(ts) // 86400000000) AS nd FROM events GROUP BY 1), "
+            "u AS (SELECT top_type, CASE WHEN nd <= 1 THEN '1' "
+            "WHEN nd <= 3 THEN '2-3' WHEN nd <= 7 THEN '4-7' "
+            "ELSE '8+' END AS day_band FROM top JOIN d USING (user_id)), "
+            "k AS (SELECT top_type, day_band, count(*) AS n_users "
+            "FROM u GROUP BY 1, 2) "
+            "SELECT top_type, day_band, CAST(n_users AS BIGINT) AS n_users, "
+            "CAST(CASE WHEN n_users >= 5 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS k_anonymous FROM k"
+        ),
+        "event_changepoint": (
+            "WITH daily AS (SELECT event_type, "
+            "epoch_us(ts) // 86400000000 AS day, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "w AS (SELECT event_type, day, "
+            "sum(n) OVER (PARTITION BY event_type ORDER BY day) AS s, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY day) "
+            "AS r, count(*) OVER (PARTITION BY event_type) AS d_cnt, "
+            "sum(n) OVER (PARTITION BY event_type) AS t_cnt FROM daily), "
+            "dev AS (SELECT event_type, day, "
+            "abs(d_cnt * s - t_cnt * r) AS dv, d_cnt, t_cnt, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY abs(d_cnt * s - t_cnt * r) DESC, day) AS rk "
+            "FROM w) "
+            "SELECT event_type, CAST(day AS BIGINT) AS cp_day, "
+            "CAST(dv AS BIGINT) AS max_dev, "
+            "CAST(d_cnt AS BIGINT) AS n_days, "
+            "CAST(t_cnt AS BIGINT) AS total "
+            "FROM dev WHERE rk = 1"
+        ),
     }

@@ -10187,7 +10187,10 @@ def q_order_priority_merge_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    joined = range_merge_join(left, right, "okey")
+    n_rows = pq.ParquetFile(
+        _sf_path(sf_dir, "lineitem")
+    ).metadata.num_rows  # footer-only: saves a full count() pass
+    joined = range_merge_join(left, right, "okey", n_rows=n_rows)
     return (
         joined.groupby("o_orderpriority")
         .aggregate(

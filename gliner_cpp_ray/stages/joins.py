@@ -943,7 +943,8 @@ def nearest_join_bucketed(left, right, key: str, left_ts: str, right_ts: str,
     )
 
 
-def range_merge_join(left, right, on: str, n_parts: int | None = None):
+def range_merge_join(left, right, on: str, n_parts: int | None = None,
+                     n_rows: int | None = None):
     """Equi-depth RANGE-partitioned sort-merge join (inner) on an int64
     key — the alternative join strategy to ``bucketed_hash_join`` for
     when downstream wants key-clustered output: partitions are
@@ -959,12 +960,17 @@ def range_merge_join(left, right, on: str, n_parts: int | None = None):
     goes LEFT).  Movement: one count + the boundary refinement
     (tasks × bins partial rows per round), then each side moves ONCE
     keyed by range id.  Duplicate keys on both sides produce the full
-    per-key cross product, exactly like a hash join."""
+    per-key cross product, exactly like a hash join.
+
+    ``n_rows``: optional exact left row count.  Pass it when the caller
+    knows the count from source metadata (Parquet footers) — it saves
+    one full pass over the left plan (``Dataset.count()`` on a
+    read→map chain executes the chain)."""
     from gliner_cpp_ray.stages.sketches import exact_multi_order_statistic
     from gliner_cpp_ray.stages.sizing import default_buckets
 
     n_parts = default_buckets(n_parts)
-    n = left.count()
+    n = left.count() if n_rows is None else int(n_rows)
     if n == 0:
         raise ValueError("left side is empty")
     ranks = sorted({i * n // n_parts for i in range(1, n_parts)} - {0, n})

@@ -353,6 +353,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("event_markov_stationary", q.q_event_markov_stationary)
         timed("user_k_anonymity", q.q_user_k_anonymity)
         timed("event_changepoint", q.q_event_changepoint)
+        timed("doc_source_simpson", q.q_doc_source_simpson)
+        timed("doc_vocab_growth", q.q_doc_vocab_growth)
 
     result = {
         "metric": "kg_pipeline_e2e",

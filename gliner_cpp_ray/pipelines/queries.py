@@ -10829,6 +10829,121 @@ def q_event_changepoint(sf_dir: str):
     return df
 
 
+def q_doc_source_simpson(sf_dir: str):
+    """Simpson diversity of the SOURCE mix per language: the exact
+    probability (ppm) that two random same-language docs share a
+    source, Σ n_s(n_s−1) / N(N−1) — the corpus-concentration signal
+    that flags a language dominated by one crawler feed.  Scale shape:
+    one (lang, source)-bounded grouped count is the only corpus-sized
+    pass; the finish runs UNBOUNDED-int Python math on that
+    dimension-bounded table (Σn_s² ·10^6 overflows int64 at corpus
+    scale — the supplier_part_markup lesson), shipping the pair count
+    as a VARCHAR exact string and the ppm as int64."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "documents", columns=["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # dimension-bounded: |langs| x |sources|
+    )
+    rows = []
+    for lang, g in counts.groupby("lang", sort=True):
+        ns = [int(x) for x in g["n"]]
+        N = sum(ns)
+        pairs = sum(n * (n - 1) for n in ns)  # Python ints: no overflow
+        ppm = pairs * 1_000_000 // (N * (N - 1)) if N > 1 else 0
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": N,
+                "pairs_same_source": str(pairs),
+                "simpson_ppm": ppm,
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["simpson_ppm"] = df["simpson_ppm"].astype(np.int64)
+    return df
+
+
+def q_doc_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve over the CRAWL corpus: new
+    distinct terms first appearing in each page-id decile, with the
+    cumulative vocabulary — the corpus-health curve that shows whether
+    new data still brings new language (a flattening curve says the
+    crawl is saturating; the entity-bearing corpus grows ~linearly,
+    unlike the closed-template documents table).  Tokenization is
+    pinned to the token_counts SQL definition (RE2 trim, \\s+ split,
+    lowercase) over the pages' extracted text.  Scale shape: per-batch
+    (term, min page_id) partials — raw tokens never leave the
+    workers — fold through ONE term-keyed bucketed group-min; the
+    decile rollup and the cumulative sum run on the 10-row table."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+    from gliner_cpp_ray.stages.text_analysis import _re2_trim
+
+    corpus = _corpus(sf_dir)
+    docs = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "text"]
+    )
+    n_docs = n_pages_for_sf(sf_dir)  # url scheme: pid in [0, n_pages)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pid_s = pc.extract_regex(t.column("url"), r"/p/(?P<p>\d+)$")
+        ids = (
+            pc.struct_field(pid_s, "p").cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        trimmed = _re2_trim(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        nonempty = pc.not_equal(trimmed, "").to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame({"doc_id": ids[parents],
+                           "term": flat.to_pandas()})
+        df = df[nonempty[parents]]
+        first = df.groupby("term", sort=False)["doc_id"].min().reset_index()
+        return pa.table(
+            {
+                "term": pa.array(first["term"], pa.string()),
+                "fd": pa.array(first["doc_id"].to_numpy(np.int64)),
+            }
+        )
+
+    firsts = bucketed_group_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "term", "min", val_col="fd", out_col="fd",
+    )
+
+    def decile(t: pa.Table) -> pa.Table:
+        fd = t.column("fd").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "decile": pa.array(fd * 10 // n_docs),
+                "n_new_terms": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        firsts.map_batches(decile, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n_new_terms", alias_name="n_new_terms"))
+        .to_pandas()  # 10 rows
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    out["cum_terms"] = out["n_new_terms"].cumsum().astype(np.int64)
+    return out
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -10853,6 +10968,8 @@ def queries():
         "event_markov_stationary": q_event_markov_stationary,
         "user_k_anonymity": q_user_k_anonymity,
         "event_changepoint": q_event_changepoint,
+        "doc_source_simpson": q_doc_source_simpson,
+        "doc_vocab_growth": q_doc_vocab_growth,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -11880,6 +11997,19 @@ def _ambiguous_sql(mentions_glob: str) -> str:
         "CAST(count(*) AS BIGINT) AS n_mentions "
         "FROM m GROUP BY surface, label"
     )
+
+
+def _corpus_n_pages(corpus_dir: str) -> int:
+    """Page count of a synthetic corpus dir, parsed from its
+    ``n{pages}_s{seed}_g{gen}`` basename (sources/pages.py naming) —
+    keeps corpus-parameterized oracles correct when tests reuse
+    ``oracle_sql_for_corpus`` with a smaller corpus."""
+    import re as _re
+
+    m = _re.match(r"n(\d+)_", os.path.basename(corpus_dir))
+    if not m:
+        raise ValueError(f"unrecognized corpus dir name: {corpus_dir}")
+    return int(m.group(1))
 
 
 def oracle_sql_for_corpus(corpus_dir: str):
@@ -14591,5 +14721,30 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(d_cnt AS BIGINT) AS n_days, "
             "CAST(t_cnt AS BIGINT) AS total "
             "FROM dev WHERE rk = 1"
+        ),
+        "doc_source_simpson": (
+            "WITH c AS (SELECT lang, source, count(*) AS n "
+            "FROM documents GROUP BY 1, 2) "
+            "SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs, "
+            "CAST(sum(n * (n - 1)) AS VARCHAR) AS pairs_same_source, "
+            "CAST(CASE WHEN sum(n) > 1 THEN "
+            "sum(n * (n - 1)) * 1000000 // (sum(n) * (sum(n) - 1)) "
+            "ELSE 0 END AS BIGINT) AS simpson_ppm "
+            "FROM c GROUP BY 1"
+        ),
+        "doc_vocab_growth": (
+            "WITH p AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+            "AS BIGINT) AS doc_id, "
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t "
+            f"FROM read_parquet('{pages_glob}')), "
+            "tok AS (SELECT doc_id, lower(unnest(string_split_regex("
+            "t, '\\s+'))) AS term FROM p WHERE t != ''), "
+            "f AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1), "
+            f"d AS (SELECT fd * 10 // {_corpus_n_pages(corpus_dir)} AS decile, "
+            "count(*) AS n_new FROM f GROUP BY 1) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(n_new AS BIGINT) AS n_new_terms, "
+            "CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) "
+            "AS cum_terms FROM d"
         ),
     }

@@ -355,6 +355,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("event_changepoint", q.q_event_changepoint)
         timed("doc_source_simpson", q.q_doc_source_simpson)
         timed("doc_vocab_growth", q.q_doc_vocab_growth)
+        timed("events_ewma_hourly", q.q_events_ewma_hourly)
+        timed("orders_merkle_root", q.q_orders_merkle_root)
 
     result = {
         "metric": "kg_pipeline_e2e",

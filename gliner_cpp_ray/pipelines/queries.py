@@ -10944,6 +10944,92 @@ def q_doc_vocab_growth(sf_dir: str):
     return out
 
 
+def q_events_ewma_hourly(sf_dir: str):
+    """Integer EWMA anomaly scan over the hourly event-rate series:
+    per event type, ewma' = (7·ewma + v) // 8 across OBSERVED hours in
+    order (gaps skipped — the sparse-series convention), counting
+    hours whose volume exceeds 2× the preceding EWMA — the streaming
+    rate-monitor recurrence, in pure int64 so both engines replicate
+    the fixed point exactly.  The SQL twin is a RECURSIVE CTE stepping
+    the same recurrence (the technique for genuinely sequential
+    semantics the windowed oracles can't express).  Scale shape: the
+    only corpus-sized pass is the (type, hour)-bucketed count; the
+    recurrence runs on the calendar-bounded hourly table
+    (|types| × hours rows, stated)."""
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(3_600_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    hourly = (
+        bucketed_group_agg(
+            _read(sf_dir, "events", columns=["event_type", "ts"])
+            .map_batches(project, batch_format="pyarrow"),
+            ["event_type", "hour"], "count", out_col="n",
+        )
+        .to_pandas()  # calendar-bounded: |types| x distinct hours
+        .sort_values(["event_type", "hour"], kind="mergesort")
+    )
+    rows = []
+    for typ, g in hourly.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        ewma = int(n[0])
+        anom = 0
+        for v in n[1:]:  # bounded sequential recurrence (hours, not rows)
+            if int(v) > 2 * ewma:
+                anom += 1
+            ewma = (7 * ewma + int(v)) // 8
+        rows.append(
+            {
+                "event_type": typ,
+                "n_hours": len(n),
+                "final_ewma": ewma,
+                "n_anomalies": anom,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ["n_hours", "final_ewma", "n_anomalies"]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def q_orders_merkle_root(sf_dir: str):
+    """Dataset-identity fingerprint: ONE md5-u60 root over the ordered
+    per-partition (part_id, n_rows, xor-checksum) table of orders —
+    the single number two replicas compare before falling back to the
+    per-partition anti-entropy diff (q_orders_partition_checksums is
+    the drill-down).  Scale shape: the partition checksum table
+    distributes exactly as the checksum query (map-side digests + one
+    bucketed merge); the root folds its partition-bounded rows
+    driver-side in part order."""
+    import hashlib
+
+    table = q_orders_partition_checksums(sf_dir).to_pandas()
+    table = table.sort_values("part_id")  # partition-bounded
+    leaf = (
+        table["part_id"].astype(str)
+        + "|" + table["n_rows"].astype(str)
+        + "|" + table["checksum"].astype(str)
+    )
+    joined = ";".join(leaf)
+    root = int(hashlib.md5(joined.encode("utf-8")).hexdigest()[:15], 16)
+    return pd.DataFrame(
+        {
+            "n_parts": np.array([len(table)], np.int64),
+            "total_rows": np.array([table["n_rows"].sum()], np.int64),
+            "root_u60": np.array([root], np.int64),
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -10970,6 +11056,8 @@ def queries():
         "event_changepoint": q_event_changepoint,
         "doc_source_simpson": q_doc_source_simpson,
         "doc_vocab_growth": q_doc_vocab_growth,
+        "events_ewma_hourly": q_events_ewma_hourly,
+        "orders_merkle_root": q_orders_merkle_root,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -14746,5 +14834,43 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(n_new AS BIGINT) AS n_new_terms, "
             "CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) "
             "AS cum_terms FROM d"
+        ),
+        "events_ewma_hourly": (
+            "WITH RECURSIVE hourly AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS hour, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "ord AS (SELECT event_type, n, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY hour) AS i FROM hourly), "
+            "rec(event_type, i, ewma, anom) AS ("
+            "SELECT event_type, i, n, 0 FROM ord WHERE i = 1 "
+            "UNION ALL "
+            "SELECT o.event_type, o.i, (7 * r.ewma + o.n) // 8, "
+            "r.anom + CASE WHEN o.n > 2 * r.ewma THEN 1 ELSE 0 END "
+            "FROM rec r JOIN ord o ON o.event_type = r.event_type "
+            "AND o.i = r.i + 1) "
+            "SELECT event_type, CAST(i AS BIGINT) AS n_hours, "
+            "CAST(ewma AS BIGINT) AS final_ewma, "
+            "CAST(anom AS BIGINT) AS n_anomalies FROM rec r "
+            "WHERE i = (SELECT max(i) FROM rec r2 "
+            "WHERE r2.event_type = r.event_type)"
+        ),
+        "orders_merkle_root": (
+            "WITH t AS (SELECT o_orderkey // 4096 AS part_id, "
+            "CAST(concat('0x', substr(md5(concat("
+            "CAST(o_orderkey AS VARCHAR), '|', "
+            "CAST(o_custkey AS VARCHAR), '|', o_orderstatus, '|', "
+            "CAST(CAST(floor(o_totalprice * 1000000) AS BIGINT) "
+            "AS VARCHAR), '|', CAST(epoch_us(o_orderdate) AS VARCHAR), "
+            "'|', o_orderpriority)), 1, 15)) AS BIGINT) AS h "
+            "FROM orders), "
+            "p AS (SELECT part_id, count(*) AS n_rows, "
+            "bit_xor(h) AS checksum FROM t GROUP BY 1), "
+            "leaf AS (SELECT string_agg(part_id || '|' || n_rows || "
+            "'|' || checksum, ';' ORDER BY part_id) AS s, "
+            "count(*) AS n_parts, sum(n_rows) AS total_rows FROM p) "
+            "SELECT CAST(n_parts AS BIGINT) AS n_parts, "
+            "CAST(total_rows AS BIGINT) AS total_rows, "
+            "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
+            "AS root_u60 FROM leaf"
         ),
     }

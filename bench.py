@@ -357,6 +357,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("doc_vocab_growth", q.q_doc_vocab_growth)
         timed("events_ewma_hourly", q.q_events_ewma_hourly)
         timed("orders_merkle_root", q.q_orders_merkle_root)
+        timed("event_value_winsorized", q.q_event_value_winsorized)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -11030,6 +11030,93 @@ def q_orders_merkle_root(sf_dir: str):
     )
 
 
+def q_event_value_winsorized(sf_dir: str):
+    """Winsorized statistics per event type: values clamped to the
+    exact per-group P5/P95 order statistics (rank (q·n+99)//100 under
+    ORDER BY (value, event_id)), then summed — the outlier-robust mean
+    numerator that drops the heavy-tail distortion without discarding
+    rows.  A composition exercise for the grouped-rank primitive:
+    stages/packing.py:grouped_order_rank assigns per-row ranks in one
+    (group, value-bucket) pass, the two threshold rows per group come
+    back group-bounded, and one broadcast clamp + grouped sum finishes.
+    Scale shape: 2 corpus passes + 1 exchange; a hot type spreads over
+    its value-range buckets, never one reducer."""
+    from ray.data.aggregate import Sum
+
+    from gliner_cpp_ray.stages.packing import grouped_order_rank
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "v": pc.cast(
+                    pc.floor(pc.multiply(t.column("value"), 1000.0)),
+                    pa.int64(),
+                ),
+                "event_id": t.column("event_id"),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "value", "event_id"]
+    ).map_batches(project, batch_format="pyarrow")
+    ranked, totals = grouped_order_rank(ds, "event_type", "v", "event_id")
+    r_lo = {g: max(1, (5 * n + 99) // 100) for g, n in totals.items()}
+    r_hi = {g: (95 * n + 99) // 100 for g, n in totals.items()}
+
+    def pick(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            pd.Series(t.column("event_type").to_pylist()), sort=False
+        )
+        lo = np.array([r_lo[g] for g in uniq], np.int64)[codes]
+        hi = np.array([r_hi[g] for g in uniq], np.int64)[codes]
+        rk = t.column("rank").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((rk == lo) | (rk == hi)))
+
+    th = ranked.map_batches(pick, batch_format="pyarrow").to_pandas()
+    # 1-2 rows per group (P5 may equal P95's row when n is tiny)
+    vlo, vhi = {}, {}
+    for g in totals:
+        sub = th[th["event_type"] == g]
+        vlo[g] = int(
+            sub[sub["rank"] == r_lo[g]]["v"].iloc[0]
+        )
+        vhi[g] = int(
+            sub[sub["rank"] == r_hi[g]]["v"].iloc[0]
+        )
+
+    def clamp(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            pd.Series(t.column("event_type").to_pylist()), sort=False
+        )
+        lo = np.array([vlo[g] for g in uniq], np.int64)[codes]
+        hi = np.array([vhi[g] for g in uniq], np.int64)[codes]
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "w": pa.array(np.minimum(np.maximum(v, lo), hi)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(clamp, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("w", alias_name="winsorized_sum_milli"),
+        )
+        .to_pandas()  # group-bounded
+    )
+    agg["p5_milli"] = agg["event_type"].map(vlo).astype(np.int64)
+    agg["p95_milli"] = agg["event_type"].map(vhi).astype(np.int64)
+    return agg[
+        ["event_type", "n", "p5_milli", "p95_milli",
+         "winsorized_sum_milli"]
+    ]
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11058,6 +11145,7 @@ def queries():
         "doc_vocab_growth": q_doc_vocab_growth,
         "events_ewma_hourly": q_events_ewma_hourly,
         "orders_merkle_root": q_orders_merkle_root,
+        "event_value_winsorized": q_event_value_winsorized,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -14872,5 +14960,24 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(total_rows AS BIGINT) AS total_rows, "
             "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) "
             "AS root_u60 FROM leaf"
+        ),
+        "event_value_winsorized": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(floor(value * 1000) AS BIGINT) AS v, event_id "
+            "FROM events), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g "
+            "ORDER BY v, event_id) AS rk, "
+            "count(*) OVER (PARTITION BY g) AS n FROM t), "
+            "th AS (SELECT g, min(n) AS n, "
+            "min(CASE WHEN rk = greatest(1, (5 * n + 99) // 100) "
+            "THEN v END) AS vlo, "
+            "min(CASE WHEN rk = (95 * n + 99) // 100 THEN v END) AS vhi "
+            "FROM r GROUP BY g) "
+            "SELECT t.g AS event_type, CAST(th.n AS BIGINT) AS n, "
+            "CAST(th.vlo AS BIGINT) AS p5_milli, "
+            "CAST(th.vhi AS BIGINT) AS p95_milli, "
+            "CAST(sum(least(greatest(t.v, th.vlo), th.vhi)) AS BIGINT) "
+            "AS winsorized_sum_milli "
+            "FROM t JOIN th ON t.g = th.g GROUP BY 1, 2, 3, 4"
         ),
     }

@@ -358,6 +358,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("events_ewma_hourly", q.q_events_ewma_hourly)
         timed("orders_merkle_root", q.q_orders_merkle_root)
         timed("event_value_winsorized", q.q_event_value_winsorized)
+        timed("host_content_drift", q.q_host_content_drift)
+        timed("order_price_drift", q.q_order_price_drift)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -11117,6 +11117,177 @@ def q_event_value_winsorized(sf_dir: str):
     ]
 
 
+def q_host_content_drift(sf_dir: str):
+    """Per-host content drift via SimHash majority signatures: each
+    host's pages split into crawl halves (by page id), every token
+    occurrence votes ±1 per bit into its (host, half) cell, and the
+    report is the histogram of Hamming distances between each host's
+    early and late 64-bit majority signatures — the mirror-rot /
+    template-change detector that says WHICH hosts' content moved
+    between crawls, using the same RE2-tokenize + md5-u64 vote
+    semantics as the SimHash dedup (stages/dedup.py).  Scale shape:
+    vote vectors are ADDITIVE, so each batch folds its tokens into
+    ≤ hosts·2 partial rows of 64 int columns map-side; one bucketed
+    grouped sum merges them, and the signature/Hamming finish runs on
+    the host-bounded table."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.sources.pages import N_HOSTS
+    from gliner_cpp_ray.stages.dedup import _md5_u64
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    corpus = _corpus(sf_dir)
+    n_pages = n_pages_for_sf(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pid = (
+            pc.struct_field(
+                pc.extract_regex(t.column("url"), r"/p/(?P<p>\d+)$"), "p"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cell_of_doc = (pid % N_HOSTS) * 2 + (pid * 2 >= n_pages)
+        toks = pc.split_pattern_regex(t.column("text"), r"[\t\n\f\r ]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = parents[nonempty]
+        words = pd.Series(flat.to_pandas().to_numpy()[nonempty])
+        codes, uniq = pd.factorize(words, sort=False)
+        h = np.fromiter(
+            (_md5_u64(w) for w in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        votes = 2 * bits - 1  # [U, 64]
+        cells = cell_of_doc[parents]
+        cu, ci = np.unique(cells, return_inverse=True)
+        acc = np.zeros((len(cu), 64), np.int64)
+        np.add.at(acc, ci, votes[codes])
+        cols = {
+            "host": pa.array((cu // 2).astype(np.int64)),
+            "half": pa.array((cu % 2).astype(np.int64)),
+        }
+        for k in range(64):
+            cols[f"a{k}"] = pa.array(acc[:, k])
+        return pa.table(cols)
+
+    merged = bucketed_group_agg(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        ["host", "half"],
+        specs=[("sum", f"a{k}", f"a{k}") for k in range(64)],
+        n_buckets=8,
+    ).to_pandas()  # host-bounded: <= N_HOSTS x 2 rows
+
+    acc = merged[[f"a{k}" for k in range(64)]].to_numpy(np.int64)
+    sig = ((acc > 0).astype(np.uint64)
+           * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(axis=1)
+    merged = merged.assign(sig=sig)
+    e = merged[merged["half"] == 0][["host", "sig"]]
+    l = merged[merged["half"] == 1][["host", "sig"]]
+    m = e.merge(l, on="host", suffixes=("_e", "_l"))
+    ham = np.array(
+        [int(bin(int(a) ^ int(b)).count("1"))
+         for a, b in zip(m["sig_e"], m["sig_l"])],
+        np.int64,
+    )
+    counts = np.bincount(ham, minlength=65)
+    nz = np.flatnonzero(counts)
+    return pd.DataFrame(
+        {
+            "hamming": nz.astype(np.int64),
+            "n_hosts": counts[nz].astype(np.int64),
+        }
+    )
+
+
+def q_order_price_drift(sf_dir: str):
+    """Distribution-drift audit on order prices: the totalprice
+    histogram (64 fixed 8000-wide bins, the quantile query's binning)
+    compared between the EARLY and LATE halves of the order-date range
+    (split at the integer midpoint day), summarized as the exact
+    integer two-sample chi-square-style statistic
+    Σ_bins (c1·N2 − c2·N1)² // (c1 + c2) — the feed-regime-change
+    screen run before trusting a model trained on last month's prices.
+    The statistic overflows int64 by construction (N² cross terms), so
+    it ships as a VARCHAR exact string computed with unbounded Python
+    ints / HUGEINT (the established cross-term idiom).  Scale shape:
+    one min/max date aggregate + one (half, bin)-bounded grouped count
+    (≤128 rows); the finish is driver-trivial."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def project(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("o_orderdate").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        price = t.column("o_totalprice")
+        b = pc.cast(
+            pc.min_element_wise(
+                pc.max_element_wise(
+                    pc.floor(pc.divide(price, 8000.0)), 0.0
+                ),
+                63.0,
+            ),
+            pa.int64(),
+        )
+        return pa.table({"day": day, "bin": b})
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]
+    ).map_batches(project, batch_format="pyarrow")
+    mm = ds.aggregate(Min("day"), Max("day"))
+    mid = (int(mm["min(day)"]) + int(mm["max(day)"]) + 1) // 2
+
+    def halved(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "half": pc.cast(
+                    pc.greater_equal(t.column("day"),
+                                     pa.scalar(mid, pa.int64())),
+                    pa.int64(),
+                ),
+                "bin": t.column("bin"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(halved, batch_format="pyarrow")
+        .groupby(["half", "bin"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # <= 2 x 64 rows
+    )
+    piv = (
+        counts.pivot_table(index="bin", columns="half", values="n",
+                           aggfunc="sum", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+    )
+    c1 = [int(x) for x in piv[0]]
+    c2 = [int(x) for x in piv[1]]
+    n1, n2 = sum(c1), sum(c2)
+    stat = sum(
+        (a * n2 - b * n1) ** 2 // (a + b)
+        for a, b in zip(c1, c2)
+        if a + b > 0
+    )  # unbounded Python ints: the N² cross terms overflow int64
+    return pd.DataFrame(
+        {
+            "n_early": np.array([n1], np.int64),
+            "n_late": np.array([n2], np.int64),
+            "n_bins_used": np.array([len(c1)], np.int64),
+            "drift_stat": [str(stat)],
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11146,6 +11317,8 @@ def queries():
         "events_ewma_hourly": q_events_ewma_hourly,
         "orders_merkle_root": q_orders_merkle_root,
         "event_value_winsorized": q_event_value_winsorized,
+        "host_content_drift": q_host_content_drift,
+        "order_price_drift": q_order_price_drift,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -12172,6 +12345,41 @@ def _ambiguous_sql(mentions_glob: str) -> str:
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
         "CAST(count(*) AS BIGINT) AS n_mentions "
         "FROM m GROUP BY surface, label"
+    )
+
+
+def _content_drift_sql(pages_glob: str, n_hosts: int, n_pages: int) -> str:
+    """Literal twin of q_host_content_drift: same (host, crawl-half)
+    cells, the SimHash vote/majority semantics of _simhash_sql applied
+    per CELL instead of per document, Hamming histogram out."""
+    accs = ", ".join(
+        f"sum(CASE WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS a{k}"
+        for k in range(64)
+    )
+    sim = " + ".join(
+        f"CASE WHEN a{k} > 0 THEN CAST({1 << k} AS UBIGINT) "
+        "ELSE CAST(0 AS UBIGINT) END"
+        for k in range(64)
+    )
+    return (
+        "WITH p AS (SELECT CAST(regexp_extract(url, '/p/(\\d+)$', 1) "
+        f"AS BIGINT) AS pid, text FROM read_parquet('{pages_glob}')), "
+        f"c AS (SELECT pid % {n_hosts} AS host, "
+        f"CASE WHEN pid * 2 >= {n_pages} THEN 1 ELSE 0 END AS half, "
+        "text FROM p), "
+        "toks AS (SELECT host, half, x.tok AS w FROM c, "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS x(tok)), "
+        "h AS (SELECT host, half, "
+        "CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS hv "
+        "FROM toks), "
+        f"acc AS (SELECT host, half, {accs} FROM h GROUP BY 1, 2), "
+        f"sh AS (SELECT host, half, {sim} AS sim FROM acc), "
+        "d AS (SELECT e.host, bit_count(xor(e.sim, l.sim)) AS dist "
+        "FROM sh e JOIN sh l ON e.host = l.host "
+        "AND e.half = 0 AND l.half = 1) "
+        "SELECT CAST(dist AS BIGINT) AS hamming, "
+        "CAST(count(*) AS BIGINT) AS n_hosts FROM d GROUP BY 1"
     )
 
 
@@ -14979,5 +15187,32 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(sum(least(greatest(t.v, th.vlo), th.vhi)) AS BIGINT) "
             "AS winsorized_sum_milli "
             "FROM t JOIN th ON t.g = th.g GROUP BY 1, 2, 3, 4"
+        ),
+        "host_content_drift": _content_drift_sql(
+            pages_glob, _N_HOSTS, _corpus_n_pages(corpus_dir)
+        ),
+        "order_price_drift": (
+            "WITH b AS (SELECT epoch_us(o_orderdate) // 86400000000 "
+            "AS day, CAST(least(greatest(floor(o_totalprice / 8000.0), "
+            "0), 63) AS BIGINT) AS bin FROM orders), "
+            "mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM b), "
+            "c AS (SELECT CASE WHEN day >= (SELECT mid FROM mm) THEN 1 "
+            "ELSE 0 END AS half, bin, count(*) AS n FROM b GROUP BY 1, 2), "
+            "w AS (SELECT bin, "
+            "sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS c1, "
+            "sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS c2 "
+            "FROM c GROUP BY 1), "
+            "t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1, "
+            "CAST(sum(c2) AS HUGEINT) AS n2 FROM w), "
+            "s AS (SELECT sum((CAST(c1 AS HUGEINT) * (SELECT n2 FROM t) "
+            "- CAST(c2 AS HUGEINT) * (SELECT n1 FROM t)) "
+            "* (CAST(c1 AS HUGEINT) * (SELECT n2 FROM t) "
+            "- CAST(c2 AS HUGEINT) * (SELECT n1 FROM t)) "
+            "// (c1 + c2)) AS st, count(*) AS nb FROM w "
+            "WHERE c1 + c2 > 0) "
+            "SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_early, "
+            "CAST((SELECT n2 FROM t) AS BIGINT) AS n_late, "
+            "CAST(nb AS BIGINT) AS n_bins_used, "
+            "CAST(st AS VARCHAR) AS drift_stat FROM s"
         ),
     }

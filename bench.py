@@ -360,6 +360,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("event_value_winsorized", q.q_event_value_winsorized)
         timed("host_content_drift", q.q_host_content_drift)
         timed("order_price_drift", q.q_order_price_drift)
+        timed("embedding_top_eigvec", q.q_embedding_top_eigvec)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -11288,6 +11288,86 @@ def q_order_price_drift(sf_dir: str):
     )
 
 
+_EIG_ROUNDS = 12
+
+
+def q_embedding_top_eigvec(sf_dir: str):
+    """Top principal direction of the embedding corpus: 12 integer
+    power-iteration rounds over the EXACT distributed Gram matrix
+    (stages/similarity.py:embedding_second_moments — the corpus-sized
+    work is one (d, d) aggregate), each round renormalizing to ±10^6
+    by the max component with the sign-split truncating division BOTH
+    engines implement identically (DuckDB ``//`` truncates toward
+    zero on negatives where Python floors — ``sign·(|w|·10^6 // m)``
+    sidesteps the divergence).  The unrolled-CTE twin steps the same
+    fixed point, so the PCA direction is hash-checked to the last ppm.
+    Scale shape: movement O(tasks·d²) for the Gram; the d-bounded
+    iteration runs driver-side on Python unbounded ints (G·v products
+    overflow int64 by construction)."""
+    from gliner_cpp_ray.stages.similarity import embedding_second_moments
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    up = embedding_second_moments(ds).to_pandas()  # d²-bounded
+    d = int(max(up["d1"].max(), up["d2"].max())) + 1
+    G = [[0] * d for _ in range(d)]
+    for a, b, s in zip(up["d1"], up["d2"], up["sum_xy"]):
+        G[int(a)][int(b)] = int(s)
+        G[int(b)][int(a)] = int(s)
+    v = [1_000_000] * d
+    for _ in range(_EIG_ROUNDS):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [
+            (-((-x) * 1_000_000 // m)) if x < 0
+            else (x * 1_000_000 // m)
+            for x in w
+        ]
+    return pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype=np.int64),
+            "component_ppm": np.array(v, np.int64),
+        }
+    )
+
+
+def _eigvec_sql(rounds: int = _EIG_ROUNDS) -> str:
+    """Unrolled-CTE twin of q_embedding_top_eigvec: the embedding_
+    moments Gram CTE mirrored to full symmetry, then one CTE per power
+    round with the sign-split truncating renormalization."""
+    parts = [
+        "WITH ev AS MATERIALIZED (SELECT vec_id, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+        "AS BIGINT) AS x, "
+        "unnest(range(len(embedding))) AS d FROM embeddings), "
+        "up AS MATERIALIZED (SELECT a.d AS d1, b.d AS d2, "
+        "CAST(sum(a.x * b.x) AS HUGEINT) AS s "
+        "FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.d <= b.d "
+        "GROUP BY 1, 2), "
+        "g AS MATERIALIZED (SELECT d1, d2, s FROM up "
+        "UNION ALL SELECT d2, d1, s FROM up WHERE d1 != d2), "
+        "v0 AS (SELECT DISTINCT d1 AS d, CAST(1000000 AS HUGEINT) AS v "
+        "FROM g)",
+    ]
+    # every round MATERIALIZED and the max folded in via CROSS JOIN:
+    # with plain CTEs + scalar subqueries DuckDB's optimizer inlines
+    # the 12-deep chain and hangs in join pushdown (observed SIGTERM
+    # after 300 s); materialization keeps the plan linear
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", r{k} AS MATERIALIZED (SELECT g.d1 AS d, "
+            f"sum(g.s * v{k - 1}.v) AS w "
+            f"FROM g JOIN v{k - 1} ON v{k - 1}.d = g.d2 GROUP BY 1), "
+            f"v{k} AS MATERIALIZED (SELECT d, CASE WHEN w < 0 THEN "
+            f"-((-w) * 1000000 // m) ELSE w * 1000000 // m END AS v "
+            f"FROM r{k}, (SELECT max(abs(w)) AS m FROM r{k}) mm)"
+        )
+    parts.append(
+        f" SELECT CAST(d AS BIGINT) AS dim, "
+        f"CAST(v AS BIGINT) AS component_ppm FROM v{rounds}"
+    )
+    return "".join(parts)
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11319,6 +11399,7 @@ def queries():
         "event_value_winsorized": q_event_value_winsorized,
         "host_content_drift": q_host_content_drift,
         "order_price_drift": q_order_price_drift,
+        "embedding_top_eigvec": q_embedding_top_eigvec,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -15215,4 +15296,5 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(nb AS BIGINT) AS n_bins_used, "
             "CAST(st AS VARCHAR) AS drift_stat FROM s"
         ),
+        "embedding_top_eigvec": _eigvec_sql(),
     }

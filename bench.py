@@ -361,6 +361,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("host_content_drift", q.q_host_content_drift)
         timed("order_price_drift", q.q_order_price_drift)
         timed("embedding_top_eigvec", q.q_embedding_top_eigvec)
+        timed("user_lorenz_curve", q.q_user_lorenz_curve)
+        timed("page_boilerplate_lines", q.q_page_boilerplate_lines)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -11368,6 +11368,144 @@ def _eigvec_sql(rounds: int = _EIG_ROUNDS) -> str:
     return "".join(parts)
 
 
+def q_user_lorenz_curve(sf_dir: str):
+    """Lorenz concentration curve of user value: users ranked into
+    exact global deciles by lifetime event value (SQL NTILE semantics,
+    ties → user_id), each decile reporting its population, value mass,
+    and the cumulative share in ppm — the distribution curve behind
+    the Gini scalar (q_user_value_gini), answering 'how much of the
+    platform's value do the top users hold'.  Scale shape: per-user
+    totals are a user-scale bucketed group-agg; decile assignment is
+    the two-level NTILE scan (stages/packing.py:ntile_global — ranks
+    spread over value-range buckets, never one sort task); one
+    user-bucketed join attaches tiles to totals and the 10-row finish
+    uses unbounded-int ppm (cum·10^6 overflows int64 at corpus
+    scale)."""
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+    from gliner_cpp_ray.stages.packing import ntile_global
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t.column("value"), 1000.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    totals = bucketed_group_agg(
+        _read(sf_dir, "events", columns=["user_id", "value"])
+        .map_batches(project, batch_format="pyarrow"),
+        "user_id", "sum", val_col="vm", out_col="tv",
+    ).materialize()  # consumed twice: ntile ranks + the join back
+
+    tiles = ntile_global(totals, "tv", "user_id", 10)
+    joined = bucketed_hash_join(
+        totals, tiles, "user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("tv", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("tile", pa.int64())]
+        ),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    d = (
+        joined.groupby("tile")
+        .aggregate(
+            Count(alias_name="n_users"),
+            Sum("tv", alias_name="value_milli"),
+        )
+        .to_pandas()  # 10 rows
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    total = int(d["value_milli"].astype(object).sum())
+    cum = 0
+    ppm = []
+    for v in d["value_milli"]:
+        cum += int(v)
+        ppm.append(cum * 1_000_000 // total)  # unbounded-int numerator
+    return pd.DataFrame(
+        {
+            "decile": d["tile"].astype(np.int64),
+            "n_users": d["n_users"].astype(np.int64),
+            "value_milli": d["value_milli"].astype(np.int64),
+            "cum_value_ppm": np.array(ppm, np.int64),
+        }
+    )
+
+
+def q_page_boilerplate_lines(sf_dir: str):
+    """Boilerplate-line detection over the crawl corpus: lines (the
+    '\\n'-split units of extracted text) appearing on at least 0.5% of
+    pages (min 2), top-20 by document frequency — the classic web-cleaning
+    step that strips navigation/template text before training (the
+    line-level complement of the substring dup stats).  Scale shape:
+    per-batch DISTINCT (page, line) partials reduce to (line, df)
+    map-side; ONE line-keyed bucketed sum merges them; the ≥0.5%
+    threshold bounds the survivor set by 200·avg_lines_per_page rows
+    (Σdf / threshold — stated), which sorts driver-side for the
+    top-20."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import bucketed_group_agg
+
+    corpus = _corpus(sf_dir)
+    n_pages = n_pages_for_sf(sf_dir)
+    thr = max(2, n_pages // 200)
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t.column("text"), "\n")
+        flat_vals = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False
+        )
+        keep = pc.not_equal(flat_vals, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "doc": parents[keep],
+                "line": flat_vals.to_pandas().to_numpy()[keep],
+            }
+        ).drop_duplicates()
+        counts = df.groupby("line", sort=False).size()
+        return pa.table(
+            {
+                "line": pa.array(counts.index, pa.string()),
+                "df": pa.array(counts.to_numpy(np.int64)),
+            }
+        )
+
+    dfs = bucketed_group_agg(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        "line", "sum", val_col="df", out_col="df",
+    )
+    survivors = (
+        dfs.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("df"), pa.scalar(thr, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: Σdf / thr <= 200·avg_lines_per_page
+        .sort_values(["df", "line"], ascending=[False, True],
+                     kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    survivors["df"] = survivors["df"].astype(np.int64)
+    return survivors[["line", "df"]]
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11400,6 +11538,8 @@ def queries():
         "host_content_drift": q_host_content_drift,
         "order_price_drift": q_order_price_drift,
         "embedding_top_eigvec": q_embedding_top_eigvec,
+        "user_lorenz_curve": q_user_lorenz_curve,
+        "page_boilerplate_lines": q_page_boilerplate_lines,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -15297,4 +15437,31 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "CAST(st AS VARCHAR) AS drift_stat FROM s"
         ),
         "embedding_top_eigvec": _eigvec_sql(),
+        "user_lorenz_curve": (
+            "WITH u AS (SELECT user_id, "
+            "sum(CAST(floor(value * 1000) AS BIGINT)) AS tv "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT user_id, tv, "
+            "ntile(10) OVER (ORDER BY tv, user_id) AS decile FROM u), "
+            "d AS (SELECT decile, count(*) AS n_users, sum(tv) AS v "
+            "FROM t GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(v) AS HUGEINT) AS s FROM d) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(n_users AS BIGINT) AS n_users, "
+            "CAST(v AS BIGINT) AS value_milli, "
+            "CAST(CAST(sum(v) OVER (ORDER BY decile) AS HUGEINT) "
+            "* 1000000 // (SELECT s FROM tot) AS BIGINT) "
+            "AS cum_value_ppm FROM d"
+        ),
+        "page_boilerplate_lines": (
+            "WITH p AS (SELECT url, text FROM "
+            f"read_parquet('{pages_glob}')), "
+            "l AS (SELECT DISTINCT url, line FROM (SELECT url, "
+            "unnest(string_split(text, chr(10))) AS line FROM p) "
+            "WHERE line != ''), "
+            "df AS (SELECT line, count(*) AS df FROM l GROUP BY 1) "
+            "SELECT line, CAST(df AS BIGINT) AS df FROM df "
+            f"WHERE df >= greatest(2, {_corpus_n_pages(corpus_dir)} // 200) "
+            "ORDER BY df DESC, line LIMIT 20"
+        ),
     }

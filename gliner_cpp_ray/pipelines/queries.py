@@ -11506,6 +11506,71 @@ def q_page_boilerplate_lines(sf_dir: str):
     return survivors[["line", "df"]]
 
 
+def q_kg_pred_patterns(sf_dir: str):
+    """Relation textual-pattern mining: for every expected triple, the
+    whitespace-normalized text BETWEEN the subject's first page
+    occurrence and the next object occurrence after it, counted per
+    predicate and reported top-3 per predicate — the distant-
+    supervision pattern table ('X is the capital of Y') that seeds new
+    relation extractors from an existing KG.  Character-position
+    semantics (str.find / strpos) are identical in both engines.
+    Scale shape: triples attach to page text with ONE url-bucketed
+    hash join; the between-slice is per-TRIPLE work (the per-mention
+    loop class, never per-row-per-column); (pred, pattern) counts fold
+    through a bucketed sum and the top-3 uses the combiner-bounded
+    grouped top-k."""
+    import ray.data as rd
+
+    from gliner_cpp_ray.stages.joins import (
+        bucketed_group_agg,
+        bucketed_hash_join,
+    )
+    from gliner_cpp_ray.stages.skew import grouped_top_k
+
+    corpus = _corpus(sf_dir)
+    triples = rd.read_parquet(
+        os.path.join(corpus, "expected_triples"),
+        columns=["url", "subj", "pred", "obj"],
+    )
+    pages = rd.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "text"]
+    )
+    joined = bucketed_hash_join(triples, pages, "url")
+
+    def between(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        preds, pats = [], []
+        subj = t.column("subj").to_pylist()
+        obj = t.column("obj").to_pylist()
+        pred = t.column("pred").to_pylist()
+        text = t.column("text").to_pylist()
+        for s, o, p, x in zip(subj, obj, pred, text):
+            i = x.find(s)
+            if i < 0:
+                continue
+            rest = x[i + len(s):]
+            j = rest.find(o)
+            if j < 0:
+                continue
+            preds.append(p)
+            pats.append(
+                _re.sub(r"\s+", " ", rest[:j]).strip(" ")
+            )
+        return pa.table(
+            {
+                "pred": pa.array(preds, pa.string()),
+                "pattern": pa.array(pats, pa.string()),
+            }
+        )
+
+    counts = bucketed_group_agg(
+        joined.map_batches(between, batch_format="pyarrow"),
+        ["pred", "pattern"], "count", out_col="n",
+    )
+    return grouped_top_k(counts, "pred", "n", "pattern", 3)
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11540,6 +11605,7 @@ def queries():
         "embedding_top_eigvec": q_embedding_top_eigvec,
         "user_lorenz_curve": q_user_lorenz_curve,
         "page_boilerplate_lines": q_page_boilerplate_lines,
+        "kg_pred_patterns": q_kg_pred_patterns,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -15463,5 +15529,27 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "SELECT line, CAST(df AS BIGINT) AS df FROM df "
             f"WHERE df >= greatest(2, {_corpus_n_pages(corpus_dir)} // 200) "
             "ORDER BY df DESC, line LIMIT 20"
+        ),
+        "kg_pred_patterns": (
+            "WITH tr AS (SELECT url, subj, pred, obj "
+            f"FROM read_parquet('{expected_glob}')), "
+            "j AS (SELECT t.pred, t.subj, t.obj, p.text FROM tr t "
+            f"JOIN (SELECT url, text FROM read_parquet('{pages_glob}')) p "
+            "USING (url)), "
+            "pos AS (SELECT pred, subj, obj, text, "
+            "strpos(text, subj) AS sp FROM j), "
+            "o AS (SELECT pred, sp, subj, obj, text, "
+            "CASE WHEN sp > 0 THEN "
+            "strpos(substr(text, sp + length(subj)), obj) ELSE 0 END "
+            "AS op FROM pos), "
+            "pat AS (SELECT pred, trim(regexp_replace("
+            "substr(text, sp + length(subj), op - 1), '\\s+', ' ', 'g'), "
+            "' ') AS pattern FROM o WHERE sp > 0 AND op > 0), "
+            "c AS (SELECT pred, pattern, count(*) AS n FROM pat "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT pred, pattern, n, row_number() OVER ("
+            "PARTITION BY pred ORDER BY n DESC, pattern) AS rk FROM c) "
+            "SELECT pred, pattern, CAST(n AS BIGINT) AS n "
+            "FROM r WHERE rk <= 3"
         ),
     }

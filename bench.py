@@ -364,6 +364,7 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("user_lorenz_curve", q.q_user_lorenz_curve)
         timed("page_boilerplate_lines", q.q_page_boilerplate_lines)
         timed("kg_pred_patterns", q.q_kg_pred_patterns)
+        timed("events_hourly_ohlc", q.q_events_hourly_ohlc)
 
     result = {
         "metric": "kg_pipeline_e2e",

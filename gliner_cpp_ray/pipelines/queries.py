@@ -11571,6 +11571,69 @@ def q_kg_pred_patterns(sf_dir: str):
     return grouped_top_k(counts, "pred", "n", "pattern", 3)
 
 
+def q_events_hourly_ohlc(sf_dir: str):
+    """OHLC bars per (event_type, hour): open/close = the value of the
+    FIRST/LAST event under ORDER BY (ts, event_id) within the bar,
+    high/low = max/min, plus the event count — the timeseries
+    candlestick aggregation every monitoring stack draws.  Scale
+    shape: ONE (type, hour)-keyed bucket exchange co-locates each bar;
+    the per-bucket reduce is a single sort + vectorized groupby
+    (first/last are positional heads of the sorted runs, never a
+    per-bar Python loop); bar count is calendar-bounded."""
+    from gliner_cpp_ray.stages.joins import add_group_bucket
+    from gliner_cpp_ray.stages.sizing import bytes_scaled_partitions
+
+    nb = bytes_scaled_partitions(_path_bytes(_sf_path(sf_dir, "events")))
+
+    def project(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        return add_group_bucket(
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "hour": pc.divide(
+                        us, pa.scalar(3_600_000_000, pa.int64())
+                    ),
+                    "us": us,
+                    "event_id": t.column("event_id"),
+                    "vm": pc.cast(
+                        pc.floor(pc.multiply(t.column("value"), 1000.0)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            ["event_type", "hour"], nb,
+        )
+
+    def bars(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["event_type", "hour", "us", "event_id"], kind="mergesort"
+        )
+        grp = g.groupby(["event_type", "hour"], sort=False)["vm"]
+        out = grp.agg(
+            open_milli="first",
+            high_milli="max",
+            low_milli="min",
+            close_milli="last",
+            n_events="size",
+        ).reset_index()
+        for c in ["open_milli", "high_milli", "low_milli",
+                  "close_milli", "n_events"]:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        _read(sf_dir, "events",
+              columns=["event_type", "ts", "event_id", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: bars(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11606,6 +11669,7 @@ def queries():
         "user_lorenz_curve": q_user_lorenz_curve,
         "page_boilerplate_lines": q_page_boilerplate_lines,
         "kg_pred_patterns": q_kg_pred_patterns,
+        "events_hourly_ohlc": q_events_hourly_ohlc,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -15551,5 +15615,25 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "PARTITION BY pred ORDER BY n DESC, pattern) AS rk FROM c) "
             "SELECT pred, pattern, CAST(n AS BIGINT) AS n "
             "FROM r WHERE rk <= 3"
+        ),
+        "events_hourly_ohlc": (
+            "WITH t AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS hour, epoch_us(ts) AS us, "
+            "event_id, CAST(floor(value * 1000) AS BIGINT) AS vm "
+            "FROM events), "
+            "w AS (SELECT event_type, hour, vm, "
+            "row_number() OVER (PARTITION BY event_type, hour "
+            "ORDER BY us, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY event_type, hour "
+            "ORDER BY us DESC, event_id DESC) AS rd FROM t) "
+            "SELECT event_type, CAST(hour AS BIGINT) AS hour, "
+            "CAST(min(CASE WHEN ra = 1 THEN vm END) AS BIGINT) "
+            "AS open_milli, "
+            "CAST(max(vm) AS BIGINT) AS high_milli, "
+            "CAST(min(vm) AS BIGINT) AS low_milli, "
+            "CAST(min(CASE WHEN rd = 1 THEN vm END) AS BIGINT) "
+            "AS close_milli, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM w GROUP BY 1, 2"
         ),
     }

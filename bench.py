@@ -365,6 +365,8 @@ def _run_bench(sf_dir: str, num_cpus: int) -> dict:
         timed("page_boilerplate_lines", q.q_page_boilerplate_lines)
         timed("kg_pred_patterns", q.q_kg_pred_patterns)
         timed("events_hourly_ohlc", q.q_events_hourly_ohlc)
+        timed("segment_priority_independence",
+              q.q_segment_priority_independence)
 
     result = {
         "metric": "kg_pipeline_e2e",

@@ -11634,6 +11634,65 @@ def q_events_hourly_ohlc(sf_dir: str):
     )
 
 
+def q_segment_priority_independence(sf_dir: str):
+    """Exact chi-square-style independence statistic for market
+    segment × order priority: over the FULL contingency table
+    (zero-observed cells included — they carry expected mass),
+    Σ (N·o_ij − r_i·c_j)² // (r_i·c_j), reported as a VARCHAR
+    unbounded int (N² cross terms overflow int64 by construction) —
+    the 'does customer segment drive order urgency' screen.  Scale
+    shape: ONE custkey-bucketed hash join + a (5×5)-bounded grouped
+    count; margins and the statistic finish driver-side on Python
+    ints, HUGEINT in the twin."""
+    from ray.data.aggregate import Count
+
+    from gliner_cpp_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "pri": t.column("o_orderpriority"),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        orders.map_batches(rn, batch_format="pyarrow"), cust, "c_custkey"
+    )
+    obs = (
+        joined.groupby(["c_mktsegment", "pri"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # bounded: |segments| x |priorities|
+    )
+    piv = obs.pivot_table(
+        index="c_mktsegment", columns="pri", values="n",
+        aggfunc="sum", fill_value=0,
+    )
+    o = [[int(x) for x in row] for row in piv.to_numpy()]
+    r = [sum(row) for row in o]
+    c = [sum(col) for col in zip(*o)]
+    N = sum(r)
+    stat = 0
+    cells = 0
+    for i in range(len(r)):
+        for j in range(len(c)):
+            e = r[i] * c[j]
+            if e > 0:
+                cells += 1
+                d = N * o[i][j] - e
+                stat += d * d // e  # unbounded Python ints
+    return pd.DataFrame(
+        {
+            "n_orders": np.array([N], np.int64),
+            "n_cells": np.array([cells], np.int64),
+            "indep_stat": [str(stat)],
+        }
+    )
+
+
 # ------------------------------------------------------------- registry
 
 def queries():
@@ -11670,6 +11729,7 @@ def queries():
         "page_boilerplate_lines": q_page_boilerplate_lines,
         "kg_pred_patterns": q_kg_pred_patterns,
         "events_hourly_ohlc": q_events_hourly_ohlc,
+        "segment_priority_independence": q_segment_priority_independence,
         # -- never driver-checked (r1-r4): run these FIRST under the
         # -- driver budget; round-5 additions are inserted above this line
         "event_value_quartile_by_type": q_event_value_quartile_by_type,
@@ -15635,5 +15695,26 @@ def oracle_sql_for_corpus(corpus_dir: str):
             "AS close_milli, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM w GROUP BY 1, 2"
+        ),
+        "segment_priority_independence": (
+            "WITH j AS (SELECT c_mktsegment AS seg, "
+            "o_orderpriority AS pri FROM customer "
+            "JOIN orders ON c_custkey = o_custkey), "
+            "ob AS (SELECT seg, pri, count(*) AS n FROM j GROUP BY 1, 2), "
+            "r AS (SELECT seg, sum(n) AS rn FROM ob GROUP BY 1), "
+            "c AS (SELECT pri, sum(n) AS cn FROM ob GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM ob), "
+            "cells AS (SELECT r.seg, c.pri, "
+            "CAST(r.rn AS HUGEINT) * CAST(c.cn AS HUGEINT) AS e, "
+            "CAST(coalesce(ob.n, 0) AS HUGEINT) AS o "
+            "FROM r CROSS JOIN c LEFT JOIN ob "
+            "ON ob.seg = r.seg AND ob.pri = c.pri), "
+            "s AS (SELECT count(*) AS nc, "
+            "sum(((SELECT nn FROM t) * o - e) * "
+            "((SELECT nn FROM t) * o - e) // e) AS st "
+            "FROM cells WHERE e > 0) "
+            "SELECT CAST((SELECT nn FROM t) AS BIGINT) AS n_orders, "
+            "CAST(nc AS BIGINT) AS n_cells, "
+            "CAST(st AS VARCHAR) AS indep_stat FROM s"
         ),
     }
